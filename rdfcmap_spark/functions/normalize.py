@@ -1,0 +1,108 @@
+"""Label/mention normalization (SURVEY.md X1/X9/X10).
+
+Regex semantics follow the reference byte-for-byte where it matters for
+precision/recall:
+
+* :func:`unbreak` — `Cmap2TurtleConverter.unbreakString:1860-1867`: turn
+  ``&#10;`` and newline runs into single spaces, collapse whitespace.
+* :func:`normalize_label` — the cleanup ladder of
+  `RdfUtil.getResourceByLabel:205-318`: strip ``&#10;``/``&#xa;``, ``[`` ``]``
+  (blank-node marker), ``instance of``, ``NamedIndividual``, trailing
+  ``instance:…``, comma-list disambiguation preferring ``af*`` terms, and
+  ``(PREFIX_1234567)`` / ``(prefix:Term)`` parenthetical extraction.
+* :func:`slugify` — `Cmap2TurtleConverter.java:2729-2742` filename slugs.
+
+Each function exists twice with identical behavior: a Spark ``Column``
+builder (JVM-side, codegen) and a plain-Python mirror used by the golden
+generator and tests. Keeping the hot path in built-ins is the whole point —
+no per-row Python (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- X1 unbreak -----------------------------------------------------------
+
+
+def unbreak(col: Column) -> Column:
+    c = F.regexp_replace(col, "&#10;", "\\\\n")
+    c = F.regexp_replace(c, "\\s+\\n\\s+", " ")
+    c = F.regexp_replace(c, "\\\\n", "")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return c
+
+
+def unbreak_py(label: str) -> str:
+    label = label.replace("&#10;", "\\n")
+    label = re.sub(r"\s+\n\s+", " ", label)
+    label = label.replace("\\n", "")
+    label = re.sub(r"\s+", " ", label)
+    return label
+
+
+# --- X9 label cleanup ladder ------------------------------------------------
+
+_AID_RE = r"\(([A-Z]+_[0-9]{5,7})\)"
+_PREFIXED_IRI_RE = r"\(([a-zA-Z\-]+:[a-zA-Z]+)\)"
+_INSTANCE_RE = r"(?i)(instance:[a-zA-Z0-9\s]+)$"
+
+
+def normalize_label(col: Column) -> Column:
+    """X9 as one chained Column expression.
+
+    Output: the cleaned, lowercased, whitespace-collapsed label ready for the
+    broadcast dictionary join (J2). Comma-list disambiguation ("a, af term"
+    -> prefer the af* element) is handled, as is stripping of parenthetical
+    ``(AFX_0001234)`` / ``(prefix:Term)`` disambiguators.
+    """
+    c = F.regexp_replace(col, "&#10;|&#xa;", "")
+    c = F.regexp_replace(c, "[\\[\\]]", "")
+    c = F.regexp_replace(c, "instance of", "")
+    c = F.regexp_replace(c, "NamedIndividual", "")
+    c = F.regexp_replace(c, _INSTANCE_RE, "")
+    c = F.regexp_replace(c, _AID_RE, "")
+    c = F.regexp_replace(c, _PREFIXED_IRI_RE, "")
+    # comma-list: prefer the first element starting with 'af' (case-insens.),
+    # else keep the first element (RdfUtil.java:249-260 keeps the last probed,
+    # which is the first when no af* match exists and the loop breaks early —
+    # we pin "first" as the deterministic choice, see SURVEY.md §2.5)
+    c = F.trim(c)
+    parts = F.split(c, ",")
+    af = F.filter(parts, lambda p: F.lower(F.trim(p)).startswith("af"))
+    c = F.when(
+        F.size(parts) > 1,
+        F.trim(F.coalesce(F.get(af, 0), F.get(parts, 0))),
+    ).otherwise(c)
+    c = F.lower(F.trim(F.regexp_replace(c, "\\s+", " ")))
+    return c
+
+
+def normalize_label_py(label: str) -> str:
+    label = re.sub(r"&#10;|&#xa;", "", label)
+    label = re.sub(r"[\[\]]", "", label)
+    label = label.replace("instance of", "")
+    label = label.replace("NamedIndividual", "")
+    label = re.sub(_INSTANCE_RE, "", label)
+    label = re.sub(_AID_RE, "", label)
+    label = re.sub(_PREFIXED_IRI_RE, "", label)
+    label = label.strip()
+    parts = label.split(",")
+    if len(parts) > 1:
+        af = [p.strip() for p in parts if p.strip().lower().startswith("af")]
+        label = af[0] if af else parts[0].strip()
+    return re.sub(r"\s+", " ", label).strip().lower()
+
+
+# --- X10 slug ---------------------------------------------------------------
+
+
+def slugify(col: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(col), "[^A-Za-z0-9]+", "-"))
+
+
+def slugify_py(s: str) -> str:
+    return re.sub(r"[^A-Za-z0-9]+", "-", s.strip()).lower()

@@ -1,0 +1,203 @@
+"""Stage 3 — triple assembly (SURVEY.md J1/J8, X3, X12).
+
+Builds the ``triples`` DataFrame from linked sentences + entities:
+
+* entity triples — ``rdf:type owl:NamedIndividual`` + ``dct:title`` +
+  resolved-type (`VisualizationInfoBuilder.java:76,112-124`);
+* relation triples — (subj, property, obj); unresolved linking phrases fall
+  back to ``skos:related`` (cf. `Cmap2TurtleConverter.java:539-578`);
+* qudt-unit rewrite — objects referenced via ``qudt:unit`` are re-pointed
+  from the unit named-individual to the unit class (J6,
+  `Cmap2TurtleConverter.replaceNamedResources:2828-2910`);
+* cardinality resources — classified per `CmapUtil.determineCardinality:
+  809-876`, attached as structured nodes (`Cmap2TurtleConverter.java:580-684`);
+  unknown grammars quarantine instead of throwing;
+* typed literals — lexical + datatype kept verbatim (X12,
+  `Cmap2TurtleConverter.java:2416-2463`), invalid lexicals quarantined.
+
+Scale notes: every triple family is a narrow projection off the linked
+sentence stream — the only joins are the broadcast dictionary probes done in
+stage 2; IDs are minted inline (uuid5 column expr). No shuffle until the
+final set-semantics ``dropDuplicates``.
+
+:func:`assemble_from_connections` is the general two-hop J1 join
+(`Cmap2TurtleConverter.java:477-537`) for CXL-shaped relational inputs
+(concepts / linking_phrases / connections), kept as a first-class operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdfcmap_spark import vocab
+from rdfcmap_spark.functions.cardinality import classify_cols
+from rdfcmap_spark.ids import instance_iri_col
+from rdfcmap_spark.schemas import TRIPLES
+
+_T_COLS = [f.name for f in TRIPLES.fields]
+
+
+def _as_triples(df: DataFrame) -> DataFrame:
+    """Project/cast to the canonical triples schema column order."""
+    for f in TRIPLES.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df.select(*[F.col(f.name).cast(f.dataType) for f in TRIPLES.fields])
+
+
+def entity_triples(entities: DataFrame) -> DataFrame:
+    """NamedIndividual + title + resolved-type triples per entity."""
+    base = entities.select(
+        "entity_id", "titles", "canonical_iri", "conv_id",
+    )
+    named = base.select(
+        F.col("entity_id").alias("subj"),
+        F.lit(vocab.RDF_TYPE).alias("pred"),
+        F.lit("iri").alias("obj_kind"),
+        F.lit(vocab.OWL_NAMED_INDIVIDUAL).alias("obj_iri"),
+        F.lit(None).alias("obj_lexical"),
+        F.lit(None).alias("obj_datatype"),
+        "conv_id",
+        F.lit(None).alias("turn_idx"),
+    )
+    titles = base.select(
+        F.col("entity_id").alias("subj"),
+        F.lit(vocab.DCT_TITLE).alias("pred"),
+        F.lit("literal").alias("obj_kind"),
+        F.lit(None).alias("obj_iri"),
+        F.explode("titles").alias("obj_lexical"),
+        F.lit(vocab.XSD_STRING).alias("obj_datatype"),
+        "conv_id",
+        F.lit(None).alias("turn_idx"),
+    )
+    typed = base.filter(F.col("canonical_iri").isNotNull()).select(
+        F.col("entity_id").alias("subj"),
+        F.lit(vocab.RDF_TYPE).alias("pred"),
+        F.lit("iri").alias("obj_kind"),
+        F.col("canonical_iri").alias("obj_iri"),
+        F.lit(None).alias("obj_lexical"),
+        F.lit(None).alias("obj_datatype"),
+        "conv_id",
+        F.lit(None).alias("turn_idx"),
+    )
+    return _as_triples(named).unionByName(_as_triples(titles)).unionByName(_as_triples(typed))
+
+
+def relation_triples(rel: DataFrame) -> DataFrame:
+    """Relation sentences (subj_entity, pred_iri?, obj_entity, obj_kind, card).
+
+    Expects columns: conv_id, turn_idx, sent_idx, subj_entity, pred_iri
+    (null = unresolved phrase), obj_entity, obj_kind, card.
+    Emits the main triple + cardinality satellite nodes; sameAs rows must be
+    filtered out by the caller (they feed canonicalization, not the output).
+    """
+    unit_map = F.create_map(*[F.lit(x) for kv in vocab.UNIT_INDIVIDUAL_TO_CLASS.items() for x in kv])
+    pred = F.coalesce(F.col("pred_iri"), F.lit(vocab.SKOS_RELATED))
+    obj = F.when(
+        F.col("pred_iri") == vocab.QUDT_UNIT,
+        F.coalesce(unit_map[F.col("obj_entity")], F.col("obj_entity")),
+    ).otherwise(F.col("obj_entity"))
+    main = rel.select(
+        F.col("subj_entity").alias("subj"),
+        pred.alias("pred"),
+        F.col("obj_kind"),
+        obj.alias("obj_iri"),
+        F.lit(None).alias("obj_lexical"),
+        F.lit(None).alias("obj_datatype"),
+        "conv_id",
+        "turn_idx",
+    )
+
+    card_type, card_min, card_max = classify_cols(F.col("card"))
+    with_card = (
+        rel.filter(F.col("card").isNotNull() & (F.col("card") != "") & F.col("pred_iri").isNotNull())
+        .withColumn("card_type", card_type)
+        .withColumn("card_min", card_min)
+        .withColumn("card_max", card_max)
+        .filter(F.col("card_type").isNotNull())  # unsupported grammar -> quarantined
+        .withColumn(
+            "card_node",
+            instance_iri_col(
+                F.concat_ws("|", F.lit("card"), F.col("conv_id"), F.col("turn_idx"), F.col("sent_idx"))
+            ),
+        )
+    )
+    card_rows = []
+    card_rows.append(with_card.select(
+        F.col("card_node").alias("subj"), F.lit(vocab.RDF_TYPE).alias("pred"),
+        F.lit("iri").alias("obj_kind"), F.col("card_type").alias("obj_iri"),
+        F.lit(None).alias("obj_lexical"), F.lit(None).alias("obj_datatype"), "conv_id", "turn_idx"))
+    card_rows.append(with_card.select(
+        F.col("card_node").alias("subj"), F.lit(vocab.AFV_ON_PROPERTY).alias("pred"),
+        F.lit("iri").alias("obj_kind"), F.col("pred_iri").alias("obj_iri"),
+        F.lit(None).alias("obj_lexical"), F.lit(None).alias("obj_datatype"), "conv_id", "turn_idx"))
+    card_rows.append(with_card.select(
+        F.col("subj_entity").alias("subj"), F.lit(vocab.AFV + "hasCardinality").alias("pred"),
+        F.lit("bnode").alias("obj_kind"), F.col("card_node").alias("obj_iri"),
+        F.lit(None).alias("obj_lexical"), F.lit(None).alias("obj_datatype"), "conv_id", "turn_idx"))
+    card_rows.append(with_card.filter(F.col("card_min").isNotNull()).select(
+        F.col("card_node").alias("subj"), F.lit(vocab.AFV_MIN_VALUE).alias("pred"),
+        F.lit("literal").alias("obj_kind"), F.lit(None).alias("obj_iri"),
+        F.col("card_min").alias("obj_lexical"), F.lit(vocab.XSD_INTEGER).alias("obj_datatype"),
+        "conv_id", "turn_idx"))
+    card_rows.append(with_card.filter(F.col("card_max").isNotNull()).select(
+        F.col("card_node").alias("subj"), F.lit(vocab.AFV_MAX_VALUE).alias("pred"),
+        F.lit("literal").alias("obj_kind"), F.lit(None).alias("obj_iri"),
+        F.col("card_max").alias("obj_lexical"), F.lit(vocab.XSD_INTEGER).alias("obj_datatype"),
+        "conv_id", "turn_idx"))
+
+    out = _as_triples(main)
+    for c in card_rows:
+        out = out.unionByName(_as_triples(c))
+    return out
+
+
+def literal_triples(lit: DataFrame) -> DataFrame:
+    """Literal sentences -> (subj, datatype_prop, literal) with quarantine.
+
+    Expects: conv_id, turn_idx, subj_entity, pred_iri, obj_lexical,
+    obj_datatype, lex_valid. Invalid lexicals (reference would throw in
+    Double.parseDouble etc.) are dropped here and counted by the caller.
+    """
+    return _as_triples(
+        lit.filter(F.col("lex_valid"))
+        .select(
+            F.col("subj_entity").alias("subj"),
+            F.col("pred_iri").alias("pred"),
+            F.lit("literal").alias("obj_kind"),
+            F.lit(None).alias("obj_iri"),
+            "obj_lexical",
+            "obj_datatype",
+            "conv_id",
+            "turn_idx",
+        )
+    )
+
+
+def assemble_from_connections(
+    concepts: DataFrame, links: DataFrame, connections: DataFrame
+) -> DataFrame:
+    """The reference's core two-hop join J1 (`Cmap2TurtleConverter.java:
+    477-537`): (concept -> link) pairs ⋈ (link -> concept) pairs on the link
+    id -> (from_concept, link_label, to_concept).
+
+    Inputs follow FIXTURES.md §2 (concepts/linking_phrases/connections). The
+    reference runs this as nested loops over statements (O(n·m)); here it is
+    two shuffle-hash/broadcast equi-joins that AQE sizes at runtime. If one
+    linking phrase is hyper-shared (skew), AQE skew-join splits it; the join
+    keys stay (link_id), never the label.
+    """
+    c2l = (
+        connections.join(links.select(F.col("link_id"), F.col("label")), connections.to_id == F.col("link_id"))
+        .select(F.col("from_id").alias("from_concept"), "link_id", "label")
+    )
+    l2c = connections.join(
+        links.select(F.col("link_id").alias("lid2")), connections.from_id == F.col("lid2")
+    ).select(F.col("lid2").alias("link_id_r"), F.col("to_id").alias("to_concept"))
+    return (
+        c2l.join(l2c, c2l.link_id == l2c.link_id_r)
+        .join(concepts.select(F.col("concept_id").alias("from_concept"), F.col("label").alias("from_label")), "from_concept")
+        .join(concepts.select(F.col("concept_id").alias("to_concept"), F.col("label").alias("to_label")), "to_concept")
+        .select("from_concept", "from_label", F.col("label").alias("link_label"), "to_concept", "to_label")
+    )

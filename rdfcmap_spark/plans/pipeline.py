@@ -1,0 +1,175 @@
+"""The flagship KG-construction pipeline (SURVEY.md §3.1 re-architected).
+
+transcripts ── extract (narrow, codegen) ── link (broadcast joins)
+            ── assemble (inline uuid5 minting, no shuffle)
+            ── canonicalize (iterative CC over identity edges)
+            ── materialize (set-dedup + partitioned write + metrics)
+
+Every stage is a pure DataFrame -> DataFrame function; the whole plan up to
+canonicalization is shuffle-free (scan -> split/explode -> regexp -> broadcast
+probes -> projections), which is what survives a 100 TB input: cost is one
+pass over the text plus the small CC fixed point over identity edges only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdfcmap_spark import vocab
+from rdfcmap_spark.functions.literals import literal_cols
+from rdfcmap_spark.functions.normalize import normalize_label
+from rdfcmap_spark.operators import assembly, canonicalize, linking, mentions
+
+
+@dataclass
+class PipelineResult:
+    triples: DataFrame
+    metrics: dict = field(default_factory=dict)
+
+
+def linked_sentences(transcripts: DataFrame, alias: DataFrame) -> DataFrame:
+    """Sentences with subject/object/predicate all resolved + entity IDs.
+
+    Three broadcast probes of the alias dictionary (subject surface, object
+    surface, linking phrase) — no shuffle, no Python.
+    """
+    sent = mentions.extract_sentences(transcripts)
+    sent = sent.withColumn("subj_norm", normalize_label(F.col("subj"))).withColumn(
+        "obj_norm", normalize_label(F.col("obj"))
+    ).withColumn("phrase_norm", normalize_label(F.col("phrase")))
+
+    a = F.broadcast
+    al = linking.resolved_alias_df(transcripts.sparkSession)
+    subj_d = al.select(
+        F.col("label_norm").alias("subj_norm"),
+        F.col("resolved_iri").alias("subj_res"),
+        F.col("term_kind").alias("subj_kind"),
+    )
+    obj_d = al.select(
+        F.col("label_norm").alias("obj_norm"),
+        F.col("resolved_iri").alias("obj_res"),
+        F.col("term_kind").alias("obj_kind_term"),
+    )
+    pred_d = al.filter(F.col("term_kind").isin("objectProperty", "datatypeProperty")).select(
+        F.col("label_norm").alias("phrase_norm"),
+        F.col("resolved_iri").alias("pred_iri"),
+    )
+    from rdfcmap_spark.ids import instance_iri_col
+
+    out = (
+        sent.join(a(subj_d), "subj_norm", "left")
+        .join(a(obj_d), "obj_norm", "left")
+        .join(a(pred_d), "phrase_norm", "left")
+        .withColumn(
+            "subj_entity",
+            F.when(F.col("subj_kind") == "individual", F.col("subj_res")).otherwise(
+                instance_iri_col(F.concat_ws("|", F.lit("ent"), F.col("conv_id"), F.col("subj_norm")))
+            ),
+        )
+        .withColumn(
+            "obj_entity",
+            F.when(F.col("obj_norm").isNull(), F.lit(None)).when(
+                F.col("obj_kind_term") == "individual", F.col("obj_res")
+            ).otherwise(
+                instance_iri_col(F.concat_ws("|", F.lit("ent"), F.col("conv_id"), F.col("obj_norm")))
+            ),
+        )
+        # named individuals of the ontology are never blank nodes (J7 wins
+        # over the [ ] marker — golden mirror in synth.entity_for)
+        .withColumn(
+            "obj_kind",
+            F.when(F.col("obj_kind_term") == "individual", F.lit("iri"))
+            .when(F.col("obj_bnode"), F.lit("bnode"))
+            .otherwise(F.lit("iri")),
+        )
+    )
+    return out
+
+
+def run_pipeline(
+    transcripts: DataFrame,
+    alias: DataFrame | None = None,
+    with_canonicalization: bool = True,
+) -> PipelineResult:
+    spark = transcripts.sparkSession
+    alias = alias if alias is not None else linking.resolved_alias_df(spark)
+
+    sent = linked_sentences(transcripts, alias)
+
+    # --- entities (distinct per conv + surface; individuals excluded)
+    ment = mentions.mention_surfaces(
+        sent.select("conv_id", "turn_idx", "sent_idx", "form", "subj", "obj", "obj_bnode")
+    )
+    ment_linked = linking.link_mentions(ment, alias)
+    entities = linking.build_entities(ment_linked)
+
+    ent_t = assembly.entity_triples(entities)
+
+    # --- relations (incl. unit rewrite + cardinality); sameAs diverted
+    rel = sent.filter((F.col("form") == "relation") & F.col("obj_entity").isNotNull())
+    sameas = rel.filter(F.col("pred_iri") == vocab.OWL_SAME_AS).select(
+        F.col("subj_entity").alias("a"), F.col("obj_entity").alias("b")
+    )
+    rel_main = rel.filter(
+        F.col("pred_iri").isNull() | (F.col("pred_iri") != vocab.OWL_SAME_AS)
+    )
+    rel_t = assembly.relation_triples(
+        rel_main.select(
+            "conv_id", "turn_idx", "sent_idx", "subj_entity", "pred_iri", "obj_entity", "obj_kind", "card"
+        )
+    )
+
+    # --- literals (with validity quarantine); identifiers also feed identity
+    lit_token = F.concat(F.lit('"'), F.col("lex"), F.lit('"^^xsd:'), F.col("dt_local"))
+    obj_lex, obj_dt, lex_valid = literal_cols(lit_token)
+    lit = (
+        sent.filter(F.col("form") == "literal")
+        .withColumn("obj_lexical", obj_lex)
+        .withColumn("obj_datatype", obj_dt)
+        .withColumn("lex_valid", F.coalesce(lex_valid, F.lit(False)))
+        .withColumn("pred_iri", F.coalesce(F.col("pred_iri"), F.lit(vocab.SKOS_RELATED)))
+    )
+    lit_t = assembly.literal_triples(lit)
+    idents = lit.filter(
+        (F.col("pred_iri") == vocab.DCT + "identifier") & F.col("lex_valid")
+    ).select(F.col("subj_entity").alias("entity_id"), F.col("obj_lexical").alias("value"))
+
+    triples = ent_t.unionByName(rel_t).unionByName(lit_t)
+
+    metrics: dict = {}
+    if with_canonicalization:
+        edges = canonicalize.identity_edges(sameas, idents)
+        mapping = canonicalize.connected_components(edges)
+        triples = canonicalize.rewrite_triples(triples, mapping)
+    else:
+        key = ["subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"]
+        triples = triples.dropDuplicates(key)
+
+    return PipelineResult(triples=triples, metrics=metrics)
+
+
+def pipeline_metrics(transcripts: DataFrame, alias: DataFrame | None = None) -> dict:
+    """QA metrics the reference logs as it converts (`CmapUtil.java:450-466`,
+    unresolved labels `RdfUtil.java:531-537`) — computed in one aggregate pass.
+    """
+    spark = transcripts.sparkSession
+    sent = linked_sentences(transcripts, alias or linking.resolved_alias_df(spark))
+    lit_token = F.concat(F.lit('"'), F.col("lex"), F.lit('"^^xsd:'), F.col("dt_local"))
+    _, _, lex_valid = literal_cols(lit_token)
+    row = sent.agg(
+        F.count("*").alias("sentences"),
+        F.sum(((F.col("form") == "relation") & F.col("subj_res").isNull()).cast("long")).alias(
+            "unresolved_subjects"
+        ),
+        F.sum(
+            ((F.col("form") == "relation") & F.col("obj_norm").isNotNull() & F.col("obj_res").isNull()).cast("long")
+        ).alias("unresolved_objects"),
+        F.sum((F.col("pred_iri").isNull()).cast("long")).alias("unresolved_phrases"),
+        F.sum(((F.col("form") == "literal") & ~F.coalesce(lex_valid, F.lit(False))).cast("long")).alias(
+            "quarantined_literals"
+        ),
+    ).collect()[0]
+    return row.asDict()

@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for the KG-construction pipeline.
+
+Local-mode settings mirror what we would set on a real cluster:
+AQE on (runtime re-plan + skew-join splitting), Arrow on (every UDF in this
+repo is a pandas/Arrow UDF — no per-row Python), shuffle partitions sized to
+cores (on a 1000-executor cluster this would be ~2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    cpus: int | None = None,
+    app_name: str = "rdfcmap_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # deterministic-output requirement (SURVEY.md §4 determinism row):
+        # never let partial-aggregation push nondeterminism into floats we hash
+        .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

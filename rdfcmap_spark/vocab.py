@@ -1,0 +1,220 @@
+"""IRI constants, prefix maps, and the built-in alias dictionary.
+
+Mirrors the vocabulary surface of the reference: the static prefix->namespace
+dictionaries of `util/Prefixes.java:25-122`, the well-known term constants of
+`util/AFOUtil.java` / `util/VizUtil.java`, and the label->term resolution data
+the reference scans per lookup in `util/RdfUtil.java:449-529`.
+
+In the reference the vocabulary is a Jena Model merged from `-r` files and
+re-scanned linearly for every label lookup; here it is a small DataFrame
+(:func:`alias_dict_df`) that entity linking **broadcasts** (SURVEY.md J2) —
+one cheap build, zero per-lookup scans, no shuffle at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rdfcmap_spark.schemas import ALIAS_DICT
+
+# --- well-known IRIs (public W3C/DC/QUDT/Allotrope namespaces; cf. AFOUtil.java:55,160-269) ---
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+OWL = "http://www.w3.org/2002/07/owl#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+SKOS = "http://www.w3.org/2004/02/skos/core#"
+DCT = "http://purl.org/dc/terms/"
+QUDT = "http://qudt.org/schema/qudt#"
+UNIT = "http://qudt.org/vocab/unit#"
+OBO = "http://purl.obolibrary.org/obo/"
+AFE = "http://purl.allotrope.org/ontologies/equipment#"
+AFM = "http://purl.allotrope.org/ontologies/material#"
+AFR = "http://purl.allotrope.org/ontologies/result#"
+AFP = "http://purl.allotrope.org/ontologies/process#"
+AFX = "http://purl.allotrope.org/ontologies/property#"
+AFV = "http://purl.allotrope.org/ontologies/visualization#"
+
+RDF_TYPE = RDF + "type"
+RDFS_LABEL = RDFS + "label"
+RDFS_SUBCLASS_OF = RDFS + "subClassOf"
+OWL_NAMED_INDIVIDUAL = OWL + "NamedIndividual"
+OWL_SAME_AS = OWL + "sameAs"
+OWL_DEPRECATED = OWL + "deprecated"
+SKOS_PREF_LABEL = SKOS + "prefLabel"
+SKOS_RELATED = SKOS + "related"
+DCT_TITLE = DCT + "title"
+DCT_IS_REPLACED_BY = DCT + "isReplacedBy"
+QUDT_UNIT = QUDT + "unit"
+
+XSD_STRING = XSD + "string"
+XSD_DOUBLE = XSD + "double"
+XSD_INTEGER = XSD + "integer"
+XSD_DATETIME = XSD + "dateTime"
+XSD_DATETIMESTAMP = XSD + "dateTimeStamp"
+XSD_BOOLEAN = XSD + "boolean"
+
+#: datatypes the reference parses from "v"^^xsd:t labels
+#: (`Cmap2TurtleConverter.java:2416-2463`); unknown types fall back to string.
+KNOWN_DATATYPES = {
+    "string": XSD_STRING,
+    "double": XSD_DOUBLE,
+    "integer": XSD_INTEGER,
+    "dateTime": XSD_DATETIME,
+    "dateTimeStamp": XSD_DATETIMESTAMP,
+    "boolean": XSD_BOOLEAN,
+}
+
+# cardinality resource types (VizUtil.java:24-27)
+AFV_EXACT_CARDINALITY = AFV + "ExactCardinality"
+AFV_MIN_CARDINALITY = AFV + "MinCardinality"
+AFV_MAX_CARDINALITY = AFV + "MaxCardinality"
+AFV_INTERVAL_CARDINALITY = AFV + "IntervalCardinality"
+AFV_MIN_VALUE = AFV + "minimumValue"
+AFV_MAX_VALUE = AFV + "maximumValue"
+AFV_ON_PROPERTY = AFV + "onProperty"
+AFX_HAS_OBJECT = AFX + "AFX_0000396"  # af-x:hasObject (AFOUtil.java:352)
+
+#: prefix -> namespace (subset of Prefixes.java:25-122 relevant to the dict)
+NS_PREFIX_MAP = {
+    "rdf": RDF,
+    "rdfs": RDFS,
+    "owl": OWL,
+    "xsd": XSD,
+    "skos": SKOS,
+    "dct": DCT,
+    "qudt": QUDT,
+    "unit": UNIT,
+    "obo": OBO,
+    "afe": AFE,
+    "afm": AFM,
+    "afr": AFR,
+    "afp": AFP,
+    "af-x": AFX,
+    "afv": AFV,
+}
+
+#: namespace-priority for resolution tie-breaks: the reference prefers
+#: Allotrope terms when a label is ambiguous (comma-list scan
+#: `RdfUtil.java:249-260` accepts the first `af*` term; prefixed-iri list
+#: `:283-318` likewise). Lower = preferred.
+NS_PRIORITY = {"afe": 0, "afm": 0, "afr": 0, "afp": 0, "af-x": 0, "obo": 1, "unit": 3, "qudt": 3}
+
+# ---------------------------------------------------------------------------
+# Built-in alias dictionary (FIXTURES.md §3): ~50 terms covering every
+# resolution branch — deprecated redirect, ambiguous label, units, properties.
+# rows: (iri, prefix, label_norm, label_kind, term_kind, is_deprecated, replaced_by)
+# ---------------------------------------------------------------------------
+
+_CLASSES = [
+    (AFE + "AFE_0000354", "afe", "reactor"),
+    (AFE + "AFE_0000412", "afe", "stirrer"),
+    (AFE + "AFE_0000501", "afe", "detector"),
+    (AFE + "AFE_0000277", "afe", "pump"),
+    (AFE + "AFE_0000049", "afe", "balance"),
+    (AFE + "AFE_0000330", "afe", "vial"),
+    (AFE + "AFE_0000601", "afe", "cooling jacket"),
+    (AFM + "AFM_0000275", "afm", "sample"),
+    (AFM + "AFM_0000312", "afm", "solvent"),
+    (AFM + "AFM_0000099", "afm", "aliquot"),
+    (AFR + "AFR_0001073", "afr", "peak area"),
+    (AFR + "AFR_0001120", "afr", "measurement"),
+    (AFR + "AFR_0001417", "afr", "dataset"),
+    (AFR + "AFR_0001533", "afr", "report"),
+    (AFP + "AFP_0003062", "afp", "experiment"),
+    (AFP + "AFP_0003411", "afp", "protocol"),
+    (OBO + "PATO_0000146", "obo", "temperature"),
+    (OBO + "PATO_0001025", "obo", "pressure"),
+    (OBO + "CHEBI_15377", "obo", "water"),
+    (OBO + "CHEBI_16236", "obo", "ethanol"),
+    (OBO + "CHEBI_15347", "obo", "acetone"),
+    (OBO + "BFO_0000015", "obo", "process"),
+    (OBO + "BFO_0000019", "obo", "quality"),
+    # ambiguous label: present in two namespaces; af* wins the tie-break
+    (AFE + "AFE_0000700", "afe", "column"),
+    (OBO + "OBI_0000968", "obo", "column"),
+]
+
+_OBJECT_PROPERTIES = [
+    (AFX + "AFX_0000141", "af-x", "has part"),
+    (AFX + "AFX_0000233", "af-x", "contains"),
+    (AFX + "AFX_0000311", "af-x", "is realized by"),
+    (AFX + "AFX_0000287", "af-x", "has participant"),
+    (AFX + "AFX_0000405", "af-x", "uses"),
+    (AFX + "AFX_0000512", "af-x", "produces"),
+    (AFX + "AFX_0000533", "af-x", "measures"),
+    (AFX + "AFX_0000602", "af-x", "is about"),
+    (AFX + "AFX_0000618", "af-x", "has quality"),
+    (OBO + "BFO_0000063", "obo", "precedes"),
+    (QUDT_UNIT, "qudt", "unit"),
+    (OWL_SAME_AS, "owl", "is same as"),
+]
+
+_DATATYPE_PROPERTIES = [
+    (AFX + "AFX_0000690", "af-x", "has value"),
+    (DCT + "identifier", "dct", "has identifier"),
+]
+
+_INDIVIDUALS = [
+    # qudt unit named individuals -> rewritten to unit classes by J6
+    (UNIT + "DEG_C-Individual", "unit", "degree celsius"),
+    (UNIT + "KiloPA-Individual", "unit", "kilopascal"),
+]
+
+#: J6 rewrite map (`Cmap2TurtleConverter.replaceNamedResources:2828-2910`):
+#: objects referencing a unit *individual* via qudt:unit are re-pointed at the
+#: unit *class*.
+UNIT_INDIVIDUAL_TO_CLASS = {
+    UNIT + "DEG_C-Individual": UNIT + "DEG_C",
+    UNIT + "KiloPA-Individual": UNIT + "KiloPA",
+}
+
+#: deprecated-term redirects (`Cmap2TurtleConverter.java:997-1015`):
+#: (iri, prefix, label, replaced_by)
+_DEPRECATED = [
+    (AFE + "AFE_0000090", "afe", "vessel", AFE + "AFE_0000354"),       # -> reactor
+    (AFM + "AFM_0000010", "afm", "specimen", AFM + "AFM_0000275"),     # -> sample
+]
+
+#: small rdfs:subClassOf edge list for hierarchy-level tests (G4/G5,
+#: `VisualizationInfoBuilder.determineClassHierarchyLevel:1155-1208`).
+SUBCLASS_EDGES = [
+    (AFE + "AFE_0000354", AFE + "AFE_0000001"),  # reactor ⊑ equipment
+    (AFE + "AFE_0000412", AFE + "AFE_0000001"),  # stirrer ⊑ equipment
+    (AFE + "AFE_0000601", AFE + "AFE_0000001"),  # cooling jacket ⊑ equipment
+    (AFE + "AFE_0000001", OBO + "BFO_0000040"),  # equipment ⊑ material entity
+    (AFM + "AFM_0000275", OBO + "BFO_0000040"),  # sample ⊑ material entity
+    (OBO + "PATO_0000146", OBO + "BFO_0000019"),  # temperature ⊑ quality
+    (OBO + "PATO_0001025", OBO + "BFO_0000019"),  # pressure ⊑ quality
+]
+
+
+def alias_rows() -> list[tuple]:
+    """Full dictionary as plain rows (driver-side; broadcast by linking)."""
+    rows = []
+    for iri, prefix, label in _CLASSES:
+        rows.append((iri, prefix, label, "prefLabel", "class", False, None, NS_PRIORITY.get(prefix, 9)))
+    for iri, prefix, label in _OBJECT_PROPERTIES:
+        rows.append((iri, prefix, label, "prefLabel", "objectProperty", False, None, NS_PRIORITY.get(prefix, 9)))
+    for iri, prefix, label in _DATATYPE_PROPERTIES:
+        rows.append((iri, prefix, label, "prefLabel", "datatypeProperty", False, None, NS_PRIORITY.get(prefix, 9)))
+    for iri, prefix, label in _INDIVIDUALS:
+        rows.append((iri, prefix, label, "prefLabel", "individual", False, None, NS_PRIORITY.get(prefix, 9)))
+    for iri, prefix, label, replaced in _DEPRECATED:
+        rows.append((iri, prefix, label, "prefLabel", "class", True, replaced, NS_PRIORITY.get(prefix, 9)))
+    return rows
+
+
+def alias_dict_df(spark: SparkSession) -> DataFrame:
+    """The broadcast side of entity linking (SURVEY.md J2)."""
+    return spark.createDataFrame(alias_rows(), ALIAS_DICT)
+
+
+#: surfaces usable as entity mentions (for the synthetic grammar)
+ENTITY_SURFACES = sorted({r[2] for r in _CLASSES} | {r[2] for r in _DEPRECATED} | {r[2] for r in _INDIVIDUALS})
+#: linking-phrase surfaces (relation sentences)
+RELATION_PHRASES = sorted({r[2] for r in _OBJECT_PROPERTIES} - {"unit", "is same as"})
+LITERAL_PHRASES = sorted(r[2] for r in _DATATYPE_PROPERTIES)
+#: surfaces planted but intentionally absent from the dictionary -> must land
+#: in the unresolved_mentions metric (reference behavior RdfUtil.java:531-537)
+UNRESOLVED_SURFACES = ["flux capacitor", "retro encabulator"]
+UNRESOLVED_PHRASES = ["frobnicates"]

@@ -1,0 +1,137 @@
+"""Unit tests for the regex-faithful scalar functions (SURVEY.md X1/X3/X9/X12).
+
+Table-driven per the reference grammars; Spark Column implementations are
+checked against the Python mirrors for byte-identical behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfcmap_spark import vocab
+from rdfcmap_spark.functions.cardinality import classify_cols, classify_py
+from rdfcmap_spark.functions.literals import literal_cols, parse_literal_py
+from rdfcmap_spark.functions.normalize import (
+    normalize_label,
+    normalize_label_py,
+    slugify_py,
+    unbreak_py,
+)
+from rdfcmap_spark.ids import NAMESPACE, uuid5, uuid5_col
+
+
+# --- X3 cardinality (CardinalityPattern.java:19-31, CmapUtil.java:809-876) ---
+
+CARD_CASES = [
+    ("", (vocab.AFV_MIN_CARDINALITY, "0", None)),
+    ("=1", (vocab.AFV_EXACT_CARDINALITY, "1", "1")),
+    ("=2", (vocab.AFV_EXACT_CARDINALITY, "2", "2")),
+    ("3", (vocab.AFV_EXACT_CARDINALITY, "3", "3")),
+    (">1", (vocab.AFV_MIN_CARDINALITY, "1", None)),
+    ("<5", (vocab.AFV_MAX_CARDINALITY, None, "5")),
+    ("2,4", (vocab.AFV_INTERVAL_CARDINALITY, "2", "4")),
+    ("3 5", (vocab.AFV_INTERVAL_CARDINALITY, "3", "5")),
+    ("2, 4", (vocab.AFV_INTERVAL_CARDINALITY, "2", "4")),
+    (">2[", None),  # qualified: unsupported -> quarantine (CmapUtil.java:824)
+    ("[1", None),
+    ("abc", None),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CARD_CASES)
+def test_cardinality_py(raw, expected):
+    got = classify_py(raw)
+    if expected is None:
+        assert got is None
+    else:
+        assert (got.card_type, got.card_min, got.card_max) == expected
+
+
+def test_cardinality_spark_matches_py(spark):
+    df = spark.createDataFrame([(c,) for c, _ in CARD_CASES], "card string")
+    t, mn, mx = classify_cols(F.col("card"))
+    rows = df.select("card", t.alias("t"), mn.alias("mn"), mx.alias("mx")).collect()
+    for r in rows:
+        exp = classify_py(r["card"])
+        if exp is None:
+            assert r["t"] is None
+        else:
+            assert (r["t"], r["mn"], r["mx"]) == (exp.card_type, exp.card_min, exp.card_max)
+
+
+# --- X9 normalization ladder (RdfUtil.getResourceByLabel:205-318) -----------
+
+NORM_CASES = [
+    ("Reactor", "reactor"),
+    ("peak&#10;area", "peakarea"),
+    ("[ cooling jacket ]", "cooling jacket"),
+    ("water (CHEBI_15377)", "water"),
+    ("stirrer (afe:Stirrer)", "stirrer"),
+    ("thing, AF term", "af term"),
+    ("alpha, beta", "alpha"),
+    ("sample instance of", "sample"),
+    ("pump NamedIndividual", "pump"),
+    ("  spaced   label  ", "spaced label"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", NORM_CASES)
+def test_normalize_py(raw, expected):
+    assert normalize_label_py(raw) == expected
+
+
+def test_normalize_spark_matches_py(spark):
+    df = spark.createDataFrame([(c,) for c, _ in NORM_CASES], "label string")
+    rows = df.select("label", normalize_label(F.col("label")).alias("norm")).collect()
+    for r in rows:
+        assert r["norm"] == normalize_label_py(r["label"]), r["label"]
+
+
+def test_unbreak_and_slug():
+    assert unbreak_py("a&#10;b") == "ab"
+    assert unbreak_py("a   b") == "a b"
+    assert slugify_py("Peak Area #1!") == "peak-area-1-"
+
+
+# --- X12 typed literals (Cmap2TurtleConverter.java:2416-2463) ----------------
+
+
+@pytest.mark.parametrize(
+    "token,expected",
+    [
+        ('"7.5"^^xsd:double', ("7.5", vocab.XSD_DOUBLE)),
+        ('"42"^^xsd:integer', ("42", vocab.XSD_INTEGER)),
+        ('"true"^^xsd:boolean', ("true", vocab.XSD_BOOLEAN)),
+        ('"2025-01-02T03:00:00Z"^^xsd:dateTime', ("2025-01-02T03:00:00Z", vocab.XSD_DATETIME)),
+        ('"x"^^xsd:float', ("x", vocab.XSD_STRING)),  # unknown -> string fallback
+        ("plain text", None),
+    ],
+)
+def test_literal_py(token, expected):
+    assert parse_literal_py(token) == expected
+
+
+def test_literal_spark(spark):
+    toks = ['"7.5"^^xsd:double', '"n/a"^^xsd:double', '"lot 3"^^xsd:string', '"9"^^xsd:float']
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    lex, dt, valid = literal_cols(F.col("tok"))
+    rows = {r["tok"]: r for r in df.select("tok", lex.alias("lex"), dt.alias("dt"), valid.alias("v")).collect()}
+    assert rows['"7.5"^^xsd:double']["v"] is True
+    assert rows['"n/a"^^xsd:double']["v"] is False  # quarantine, not a crash
+    assert rows['"lot 3"^^xsd:string']["dt"] == vocab.XSD_STRING
+    assert rows['"9"^^xsd:float']["dt"] == vocab.XSD_STRING  # fallback
+
+
+# --- deterministic uuid5 (replaces UUID.randomUUID, VisualizationInfoBuilder.java:70)
+
+
+def test_uuid5_spark_matches_python(spark):
+    import uuid as _uuid
+
+    names = ["ent|conv-000001|reactor", "card|c|1|2", "", "äöü unicode"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    rows = df.select("name", uuid5_col(F.col("name")).alias("u")).collect()
+    for r in rows:
+        assert r["u"] == str(_uuid.uuid5(NAMESPACE, r["name"])), r["name"]
+    assert uuid5("x") == str(_uuid.uuid5(NAMESPACE, "x"))
