@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG-construction run on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2 plus the
+training-data operators (dedup / similarity / text analysis / multimodal).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every oracle-checkable
+query (same column names; engine-stable numerics: md5 hex hashes, integer
+counts, single rounded divisions).
+
+Rows-only entries (no oracle): the full text->KG pipeline and its
+canonicalization mapping, which run over deterministically synthesized
+transcripts (the driver's DuckDB session only sees the 10 parquet views).
+Their semantics are covered by the golden-fixture P/R tests instead
+(tests/test_pipeline_golden.py, BASELINE.md P/R >= 0.95).
 """
 
 from __future__ import annotations
@@ -12,27 +19,632 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdfcmap_spark.operators import dedup, multimodal, relational, similarity, textstats
+from rdfcmap_spark.sources.tables import load
+
+
+def _t(name):
+    return lambda spark, sf_dir: load(spark, sf_dir, name)
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.001
+
+
+def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdfcmap_spark.synth import transcripts_df
+
+    sf = _sf_of(sf_dir)
+    n_convs = max(8, int(400 * sf))
+    return transcripts_df(spark, n_convs=n_convs, turns_per_conv=8)
+
+
+def _kg_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdfcmap_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(_synth_transcripts(spark, sf_dir))
+    return res.triples
+
+
+def _kg_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdfcmap_spark.operators import canonicalize
+    from rdfcmap_spark.plans.pipeline import linked_sentences
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.functions.literals import literal_cols
+
+    sent = linked_sentences(_synth_transcripts(spark, sf_dir), None)
+    sameas = sent.filter(
+        (F.col("form") == "relation") & (F.col("pred_iri") == vocab.OWL_SAME_AS)
+        & F.col("obj_entity").isNotNull()
+    ).select(F.col("subj_entity").alias("a"), F.col("obj_entity").alias("b"))
+    lit_token = F.concat(F.lit('"'), F.col("lex"), F.lit('"^^xsd:'), F.col("dt_local"))
+    obj_lex, _, lex_valid = literal_cols(lit_token)
+    idents = (
+        sent.filter(F.col("form") == "literal")
+        .withColumn("obj_lexical", obj_lex)
+        .withColumn("lex_valid", F.coalesce(lex_valid, F.lit(False)))
+        .filter((F.col("pred_iri") == vocab.DCT + "identifier") & F.col("lex_valid"))
+        .select(F.col("subj_entity").alias("entity_id"), F.col("obj_lexical").alias("value"))
+    )
+    edges = canonicalize.identity_edges(sameas, idents)
+    return canonicalize.connected_components(edges)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG construction (extract -> link -> assemble ->
+    canonicalize) over deterministic synthetic transcripts at sf0.001 scale,
+    unioned with triples lifted from the sf0.001 relational tables via the
+    J1 two-hop assembly — both paths of SURVEY.md §3.1."""
+    sf_dir = "/root/testdata/sf0.001"
+    triples = _kg_pipeline_full(spark, sf_dir)
+    rel = relational.j1_triple_assembly(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "nation"), load(spark, sf_dir, "region")
+    ).select(
+        F.col("from_concept").alias("subj"),
+        F.concat(F.lit("urn:pred:"), F.col("link_label")).alias("pred"),
+        F.lit("iri").alias("obj_kind"),
+        F.col("to_concept").alias("obj_iri"),
+        F.lit(None).cast("string").alias("obj_lexical"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+    )
+    return triples.unionByName(rel)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- KG operator coverage (SURVEY.md §2) over relational inputs ---
+        "kg_j1_triple_assembly": lambda s, d: relational.j1_triple_assembly(
+            load(s, d, "customer"), load(s, d, "nation"), load(s, d, "region")
+        ),
+        "kg_j2_entity_linking": lambda s, d: relational.j2_entity_linking(load(s, d, "part")),
+        "kg_j3_deprecated_redirect": lambda s, d: relational.j3_deprecated_redirect(load(s, d, "part")),
+        "kg_j4_twin_join": lambda s, d: relational.j4_twin_join(load(s, d, "orders")),
+        "kg_f2_triage": lambda s, d: relational.f2_triage(load(s, d, "orders")),
+        "kg_f6_orphan_cleanup": lambda s, d: relational.f6_orphan_cleanup(
+            load(s, d, "customer"), load(s, d, "orders")
+        ),
+        "kg_f7_stale_edge_sync": lambda s, d: relational.f7_stale_edge_sync(
+            load(s, d, "orders"), load(s, d, "lineitem")
+        ),
+        "kg_u3_delta_apply": lambda s, d: relational.u3_delta_apply(load(s, d, "orders")),
+        "kg_first_match_title": lambda s, d: relational.first_match_title(load(s, d, "part")),
+        "kg_a4_label_collision": lambda s, d: relational.a4_label_collision(load(s, d, "part")),
+        "kg_x9_normalize": lambda s, d: relational.x9_normalize(load(s, d, "part")),
+        "kg_x3_cardinality": lambda s, d: relational.x3_cardinality(load(s, d, "part")),
+        "kg_x12_literal_typing": lambda s, d: relational.x12_literal_typing(load(s, d, "events")),
+        "kg_g8_skolemize": lambda s, d: relational.g8_skolemize(load(s, d, "orders")),
+        "kg_g1_connected_components": lambda s, d: relational.g1_connected_components(
+            load(s, d, "events")
+        ),
+        # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
+        "kg_pipeline_full": _kg_pipeline_full,
+        "kg_canonical_mapping": _kg_canonical_mapping,
+        # --- dedup family ---
+        "dedup_exact": lambda s, d: dedup.exact_dedup(load(s, d, "documents")),
+        "dedup_minhash_lsh": lambda s, d: dedup.lsh_candidate_pairs(load(s, d, "documents")),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(load(s, d, "documents")),
+        "dedup_simhash": lambda s, d: dedup.simhash_signatures(load(s, d, "documents")),
+        "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(load(s, d, "documents")),
+        "dedup_embedding_cosine": lambda s, d: similarity.embedding_dup_pairs(
+            load(s, d, "embeddings"), threshold=0.3
+        ),
+        # --- similarity search ---
+        "sim_topk_bruteforce": lambda s, d: similarity.topk_bruteforce(load(s, d, "embeddings")),
+        "sim_topk_ivf": lambda s, d: similarity.topk_clustered(load(s, d, "embeddings")),
+        # --- text analysis ---
+        "text_token_stats": lambda s, d: textstats.token_stats(load(s, d, "documents")),
+        "text_quality": lambda s, d: textstats.quality_scores(load(s, d, "documents")),
+        "text_langid": lambda s, d: textstats.lang_id(load(s, d, "documents")),
+        "text_fingerprint": lambda s, d: textstats.fingerprints(load(s, d, "documents")),
+        # --- multimodal plumbing (Arrow mapInPandas; deterministic fake decode) ---
+        "multimodal_features": lambda s, d: multimodal.media_features(load(s, d, "documents")),
+        # --- analytics / window coverage ---
+        "tpch_q1": lambda s, d: relational.tpch_q1(load(s, d, "lineitem")),
+        "events_sessionize": lambda s, d: relational.sessionize(load(s, d, "events")),
+        "events_hourly_rollup": lambda s, d: relational.hourly_event_rollup(load(s, d, "events")),
+    }
+    return q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered per TESTDATA.md)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = r"""
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS r(i)
+  WHERE len(t) >= 3
+)
+"""
+
+_MINHASH_CTE = (
+    _SHINGLES_CTE
+    + r""",
+mh AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM sh, UNNEST(range(0, 16)) AS s(seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), ',')) AS band_key
+  FROM mh GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+)
+"""
+)
+
+_SIMHASH_CTE = r"""
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM tok WHERE token <> ''
+),
+sgn AS (
+  SELECT doc_id, pos, CASE WHEN (h >> pos) & 1 = 1 THEN 1 ELSE -1 END AS s
+  FROM th, UNNEST(range(0, 32)) AS p(pos)
+),
+sc AS (SELECT doc_id, pos, sum(s) AS score FROM sgn GROUP BY doc_id, pos),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN score > 0 THEN (1::BIGINT << pos) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+  FROM sc GROUP BY doc_id
+)
+"""
+
+_COS = (
+    "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 5)"
+)
+
+_X9_SQL_CHAIN = r"""
+      lower(trim(regexp_replace(
+        CASE WHEN len(string_split(c7, ',')) > 1
+             THEN trim(coalesce(
+                    list_filter(string_split(c7, ','), p -> lower(trim(p)) LIKE 'af%')[1],
+                    string_split(c7, ',')[1]))
+             ELSE c7 END, '\s+', ' ', 'g')))
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["kg_j1_triple_assembly"] = r"""
+WITH concepts AS (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS concept_id, c_name AS label FROM customer
+  UNION ALL
+  SELECT 'r:' || CAST(r_regionkey AS VARCHAR), r_name FROM region
+),
+links AS (SELECT 'l:' || CAST(n_nationkey AS VARCHAR) AS link_id, lower(n_name) AS label FROM nation),
+connections AS (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS from_id, 'l:' || CAST(c_nationkey AS VARCHAR) AS to_id FROM customer
+  UNION ALL
+  SELECT 'l:' || CAST(n_nationkey AS VARCHAR), 'r:' || CAST(n_regionkey AS VARCHAR) FROM nation
+),
+c2l AS (SELECT cn.from_id AS from_concept, l.link_id, l.label FROM connections cn JOIN links l ON cn.to_id = l.link_id),
+l2c AS (SELECT cn.from_id AS link_id_r, cn.to_id AS to_concept FROM connections cn JOIN links l ON cn.from_id = l.link_id)
+SELECT c2l.from_concept, fc.label AS from_label, c2l.label AS link_label, l2c.to_concept, tc.label AS to_label
+FROM c2l JOIN l2c ON c2l.link_id = l2c.link_id_r
+JOIN concepts fc ON fc.concept_id = c2l.from_concept
+JOIN concepts tc ON tc.concept_id = l2c.to_concept
+"""
+
+    _PART_DICT = r"""
+d AS (
+  SELECT lower(p_type) AS label_norm,
+         'urn:part:' || CAST(p_partkey AS VARCHAR) AS iri,
+         p_size % 3 AS ns_priority,
+         p_size % 5 = 0 AS is_deprecated,
+         'urn:part:replaced:' || CAST(p_partkey % 100 AS VARCHAR) AS replaced_by
+  FROM part
+),
+w AS (
+  SELECT * FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY label_norm ORDER BY ns_priority ASC, iri ASC) AS rn FROM d
+  ) WHERE rn = 1
+)
+"""
+    sql["kg_j2_entity_linking"] = (
+        "WITH "
+        + _PART_DICT
+        + r""",
+m AS (SELECT DISTINCT upper(p_type) AS surface FROM part WHERE p_partkey % 7 = 0)
+SELECT m.surface, w.iri AS resolved_iri FROM m LEFT JOIN w ON lower(m.surface) = w.label_norm
+"""
+    )
+    sql["kg_j3_deprecated_redirect"] = (
+        "WITH "
+        + _PART_DICT
+        + r"""
+SELECT label_norm, CASE WHEN is_deprecated THEN replaced_by ELSE iri END AS final_iri FROM w
+"""
+    )
+
+    sql["kg_j4_twin_join"] = r"""
+WITH i AS (
+  SELECT md5('o' || CAST(o_orderkey AS VARCHAR)) AS uuid,
+         'urn:uuid:' || md5('o' || CAST(o_orderkey AS VARCHAR)) AS inst_iri,
+         o_totalprice AS inst_price
+  FROM orders
+),
+v AS (
+  SELECT md5('o' || CAST(o_orderkey AS VARCHAR)) AS uuid,
+         'http://purl.allotrope.org/ontologies/visualization#' || md5('o' || CAST(o_orderkey AS VARCHAR)) AS viz_iri,
+         o_orderstatus AS viz_status
+  FROM orders
+)
+SELECT i.uuid, inst_iri, viz_iri, inst_price, viz_status FROM i JOIN v ON i.uuid = v.uuid
+"""
+
+    sql["kg_f2_triage"] = r"""
+SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'instance'
+            WHEN o_orderkey % 3 = 1 THEN 'visualization'
+            ELSE 'other' END AS class,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+    sql["kg_f6_orphan_cleanup"] = r"""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+    sql["kg_f7_stale_edge_sync"] = r"""
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+"""
+
+    sql["kg_u3_delta_apply"] = r"""
+SELECT o_orderkey FROM (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+  UNION
+  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+) u
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+    sql["kg_first_match_title"] = r"""
+SELECT p_brand, p_name AS title FROM (
+  SELECT p_brand, p_name, row_number() OVER (PARTITION BY p_brand ORDER BY p_name ASC, p_partkey ASC) AS rn
+  FROM part
+) WHERE rn = 1
+"""
+
+    sql["kg_a4_label_collision"] = r"""
+SELECT p_partkey,
+       CASE WHEN rn = 1 THEN p_type ELSE p_type || '_' || CAST(rn - 1 AS VARCHAR) END AS shape_label
+FROM (SELECT p_partkey, p_type, row_number() OVER (PARTITION BY p_type ORDER BY p_partkey ASC) AS rn FROM part)
+"""
+
+    sql["kg_x9_normalize"] = (
+        r"""
+WITH src AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 4 = 0 THEN p_name
+              WHEN p_partkey % 4 = 1 THEN p_name || ' (AFX_0012345)'
+              WHEN p_partkey % 4 = 2 THEN '[ ' || p_name || ' ]'
+              ELSE p_name || ', af ' || p_name END AS dirty
+  FROM part
+),
+steps AS (
+  SELECT p_partkey, dirty,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          replace(replace(
+            regexp_replace(regexp_replace(dirty, '&#10;|&#xa;', '', 'g'), '[\[\]]', '', 'g'),
+            'instance of', ''), 'NamedIndividual', ''),
+          '(?i)(instance:[a-zA-Z0-9\s]+)$', '', 'g'),
+        '\(([A-Z]+_[0-9]{5,7})\)', '', 'g'),
+      '\(([a-zA-Z\-]+:[a-zA-Z]+)\)', '', 'g')) AS c7
+  FROM src
+)
+SELECT p_partkey, dirty, """
+        + _X9_SQL_CHAIN
+        + " AS label_norm FROM steps"
+    )
+
+    sql["kg_x3_cardinality"] = r"""
+WITH src AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 7 = 0 THEN '=1'
+              WHEN p_partkey % 7 = 1 THEN '2'
+              WHEN p_partkey % 7 = 2 THEN '>3'
+              WHEN p_partkey % 7 = 3 THEN '<5'
+              WHEN p_partkey % 7 = 4 THEN '2,4'
+              WHEN p_partkey % 7 = 5 THEN '3 5'
+              ELSE '>2[' END AS card
+  FROM part
+),
+c AS (SELECT p_partkey, card, trim(replace(card, '=', '')) AS cc FROM src)
+SELECT p_partkey, card,
+  CASE WHEN cc = '' THEN 'http://purl.allotrope.org/ontologies/visualization#MinCardinality'
+       WHEN regexp_matches(cc, '[\[\]]') THEN NULL
+       WHEN regexp_matches(cc, '^[0-9]+$') THEN 'http://purl.allotrope.org/ontologies/visualization#ExactCardinality'
+       WHEN regexp_matches(cc, '^>[0-9]+$') THEN 'http://purl.allotrope.org/ontologies/visualization#MinCardinality'
+       WHEN regexp_matches(cc, '^<[0-9]+$') THEN 'http://purl.allotrope.org/ontologies/visualization#MaxCardinality'
+       WHEN regexp_matches(cc, '^[0-9]+[\s,]+[0-9]+$') THEN 'http://purl.allotrope.org/ontologies/visualization#IntervalCardinality'
+       ELSE NULL END AS card_type,
+  CASE WHEN cc = '' THEN '0'
+       WHEN regexp_matches(cc, '^[0-9]+$') THEN cc
+       WHEN regexp_matches(cc, '^>[0-9]+$') THEN regexp_extract(cc, '^>([0-9]+)$', 1)
+       WHEN regexp_matches(cc, '^[0-9]+[\s,]+[0-9]+$') AND NOT regexp_matches(cc, '[\[\]]') THEN regexp_extract(cc, '^([0-9]+)[\s,]+([0-9]+)$', 1)
+       ELSE NULL END AS card_min,
+  CASE WHEN regexp_matches(cc, '^[0-9]+$') THEN cc
+       WHEN regexp_matches(cc, '^<[0-9]+$') THEN regexp_extract(cc, '^<([0-9]+)$', 1)
+       WHEN regexp_matches(cc, '^[0-9]+[\s,]+[0-9]+$') THEN regexp_extract(cc, '^([0-9]+)[\s,]+([0-9]+)$', 2)
+       ELSE NULL END AS card_max
+FROM c
+"""
+
+    sql["kg_x12_literal_typing"] = r"""
+WITH src AS (
+  SELECT event_id, event_id % 6 AS m,
+         regexp_extract(props, '"k":\s*([0-9]+)', 1) AS k,
+         CAST(floor(value) AS BIGINT) AS fv, ts
+  FROM events
+),
+tokens AS (
+  SELECT event_id,
+    CASE WHEN m = 0 THEN CAST(fv AS VARCHAR) || '.5'
+         WHEN m = 1 THEN k
+         WHEN m = 2 THEN CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+         WHEN m = 3 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+         WHEN m = 4 THEN k
+         ELSE 'n/a' END AS lex,
+    CASE WHEN m = 0 THEN 'double' WHEN m = 1 THEN 'integer' WHEN m = 2 THEN 'boolean'
+         WHEN m = 3 THEN 'dateTime' WHEN m = 4 THEN 'float' ELSE 'double' END AS dt_local
+  FROM src
+)
+SELECT event_id,
+  '"' || lex || '"^^xsd:' || dt_local AS token,
+  lex AS obj_lexical,
+  CASE dt_local
+    WHEN 'double' THEN 'http://www.w3.org/2001/XMLSchema#double'
+    WHEN 'integer' THEN 'http://www.w3.org/2001/XMLSchema#integer'
+    WHEN 'boolean' THEN 'http://www.w3.org/2001/XMLSchema#boolean'
+    WHEN 'dateTime' THEN 'http://www.w3.org/2001/XMLSchema#dateTime'
+    WHEN 'dateTimeStamp' THEN 'http://www.w3.org/2001/XMLSchema#dateTimeStamp'
+    ELSE 'http://www.w3.org/2001/XMLSchema#string' END AS obj_datatype,
+  CASE WHEN dt_local = 'double' THEN regexp_matches(lex, '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+       WHEN dt_local = 'integer' THEN regexp_matches(lex, '^[+-]?[0-9]+$')
+       WHEN dt_local = 'boolean' THEN regexp_matches(lex, '^(true|false|True|False|TRUE|FALSE)$')
+       WHEN dt_local = 'dateTime' THEN regexp_matches(lex, '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})?$')
+       ELSE true END AS lex_valid
+FROM tokens
+"""
+
+    sql["kg_g8_skolemize"] = r"""
+SELECT 'b' || CAST(o_orderkey AS VARCHAR) AS bnode_id,
+       'urn:uuid:bnode:' || md5('skolem|' || CAST(o_orderkey AS VARCHAR)) AS skolem_iri
+FROM orders
+"""
+
+    sql["kg_g1_connected_components"] = r"""
+WITH RECURSIVE g AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, 'u' || CAST(user_id AS VARCHAR) AS node FROM events
+),
+hub AS (SELECT event_type, day, min(node) AS hub FROM g GROUP BY event_type, day),
+e0 AS (
+  SELECT DISTINCT h.hub AS src, g.node AS dst
+  FROM g JOIN hub h USING (event_type, day) WHERE g.node <> h.hub
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node, min(comp) AS comp FROM reach GROUP BY node
+"""
+
+    sql["dedup_exact"] = r"""
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+    sql["dedup_minhash_lsh"] = (
+        "WITH "
+        + _MINHASH_CTE
+        + r"""
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+WHERE l.doc_id < r.doc_id
+"""
+    )
+
+    sql["dedup_ngram_jaccard"] = (
+        "WITH "
+        + _SHINGLES_CTE
+        + r""",
+shb AS (SELECT sh.doc_id, d.lang, d.source, sh.shingle FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shb GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_inter
+  FROM shb l JOIN shb r ON l.lang = r.lang AND l.source = r.source AND l.shingle = r.shingle
+  WHERE l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT a, b, n_inter, (sa.n_sh + sb.n_sh - n_inter) AS n_union,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 5) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+"""
+    )
+
+    sql["dedup_simhash"] = "WITH " + _SIMHASH_CTE + "\nSELECT doc_id, simhash FROM sig"
+
+    sql["dedup_simhash_pairs"] = (
+        "WITH "
+        + _SIMHASH_CTE
+        + r""",
+banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS band_val
+  FROM sig, UNNEST(range(0, 4)) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+  FROM banded l JOIN banded r ON l.band = r.band AND l.band_val = r.band_val
+  WHERE l.doc_id < r.doc_id
+)
+SELECT a, b, hamming FROM cand WHERE hamming <= 6
+"""
+    )
+
+    sql["dedup_embedding_cosine"] = (
+        r"""
+SELECT l.vec_id AS a, r.vec_id AS b, """
+        + _COS.format(a="l.embedding", b="r.embedding")
+        + r""" AS cos_sim
+FROM embeddings l JOIN embeddings r ON l.label = r.label
+WHERE l.vec_id < r.vec_id AND """
+        + _COS.format(a="l.embedding", b="r.embedding")
+        + " >= 0.3"
+    )
+
+    sql["sim_topk_bruteforce"] = (
+        r"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+pairs AS (
+  SELECT query_id, neighbor_id, """
+        + _COS.format(a="qe", b="ce")
+        + r""" AS cos_sim
+  FROM c, q WHERE neighbor_id <> query_id
+),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM r WHERE rank <= 5
+"""
+    )
+
+    sql["sim_topk_ivf"] = (
+        r"""
+WITH q AS (SELECT vec_id AS query_id, label, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, label, embedding AS ce FROM embeddings),
+pairs AS (
+  SELECT query_id, neighbor_id, """
+        + _COS.format(a="qe", b="ce")
+        + r""" AS cos_sim
+  FROM c JOIN q USING (label) WHERE neighbor_id <> query_id
+),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM r WHERE rank <= 5
+"""
+    )
+
+    sql["text_token_stats"] = r"""
+SELECT doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+  round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(regexp_extract_all(text, '\S+')), 5) AS avg_token_len
+FROM documents
+"""
+
+    sql["text_quality"] = r"""
+WITH f AS (
+  SELECT doc_id, n_chars,
+    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens,
+    CAST(length(text) AS DOUBLE) AS nc,
+    CAST(len(regexp_extract_all(text, '\b(the|a|an|of|to|and|in|is|on|for)\b')) AS DOUBLE) AS n_stop,
+    CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit
+  FROM documents
+)
+SELECT doc_id,
+  round(CAST(n_stop AS DOUBLE) / n_tokens, 5) AS stopword_ratio,
+  round(CAST(n_punct AS DOUBLE) / nc, 5) AS punct_ratio,
+  round(CAST(n_digit AS DOUBLE) / nc, 5) AS digit_ratio,
+  CAST(CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 400 ELSE 0 END
+       + floor(least(300 * 5 * n_stop, 300 * n_tokens) / n_tokens)
+       + floor(300 * (nc - least(n_punct + n_digit, nc)) / nc) AS BIGINT) AS quality_score
+FROM f
+"""
+
+    _LANG_SCORES = ",\n  ".join(
+        "CAST(len(regexp_extract_all(text, '\\b(" + "|".join(words) + ")\\b')) AS BIGINT) AS score_" + lang
+        for lang, words in sorted(textstats.LANG_MARKERS.items())
+    )
+    sql["text_langid"] = (
+        "WITH s AS (\n  SELECT doc_id,\n  "
+        + _LANG_SCORES
+        + r"""
+  FROM documents
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+  CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+       WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+       WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+       WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+       WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+       ELSE 'zh' END AS lang_pred
+FROM s
+"""
+    )
+
+    sql["text_fingerprint"] = (
+        "WITH " + _SHINGLES_CTE + "\nSELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id"
+    )
+
+    sql["multimodal_features"] = r"""
+SELECT doc_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  md5(text) AS checksum,
+  CAST(strlen(text) % 640 AS INTEGER) AS width,
+  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS height,
+  CAST(1 + strlen(text) % 16 AS INTEGER) AS n_frames
+FROM documents
+"""
+
+    sql["tpch_q1"] = r"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["events_sessionize"] = r"""
+WITH x AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS pt
+  FROM events
+)
+SELECT user_id,
+  CAST(sum(CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+  count(*) AS n_events
+FROM x GROUP BY user_id
+"""
+
+    sql["events_hourly_rollup"] = r"""
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+    return sql

@@ -1,0 +1,205 @@
+"""Deduplication operators for the training-data pipeline.
+
+Five dedup families over the ``documents`` / ``embeddings`` tables, each a
+first-class operator with a DuckDB oracle:
+
+* :func:`exact_dedup` — hash-groupBy on the full text (md5), keep min doc_id;
+* :func:`minhash_signatures` / :func:`lsh_candidate_pairs` — banded MinHash
+  LSH: shingle -> k salted md5 min-hashes -> band keys -> bucket self-join;
+* :func:`ngram_jaccard_pairs` — exact word-n-gram Jaccard within blocking
+  groups (verification stage for LSH candidates);
+* :func:`simhash_signatures` / :func:`simhash_pairs` — 32-bit SimHash with
+  byte-band blocking + Hamming-distance verify;
+* :func:`embedding_dup_pairs` — cosine near-dup over the embedding column
+  (see :mod:`rdfcmap_spark.operators.similarity` for the math).
+
+Scale notes (the actual point):
+
+* every pairwise stage is **blocked** — LSH band buckets, SimHash byte
+  bands, or (lang, source) partitions — so the self-join is per-bucket, never
+  a global cross join; at 100 TB the candidate set stays ~linear in input;
+* hashes are md5 hex strings (identical bytes in Spark and DuckDB), min/agg
+  over them is order-insensitive -> output invariant to partitioning;
+* signatures are built by explode + two-level aggregation with map-side
+  partial combine; no Python, no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdfcmap_spark.operators.textstats import N_SHINGLE, shingles
+
+N_PERM = 16  #: minhash permutations
+N_BANDS = 4  #: LSH bands (rows per band = N_PERM / N_BANDS)
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 6
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, keep_id, n_dups).
+
+    ``keep_id`` = min doc_id (deterministic survivor). One shuffle on the
+    128-bit hash — uniformly distributed, skew-free by construction.
+    """
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """(doc_id, seed, minhash) — k salted-md5 min-hashes per document.
+
+    The k "permutations" are md5 with a seed prefix; min over a uniform hash
+    per seed is the classic MinHash estimator. explode(seeds) happens
+    *after* the per-doc distinct shingle set, so the blow-up is bounded by
+    k × shingles and partially aggregated map-side.
+    """
+    sh = shingles(docs, N_SHINGLE)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle")))).alias("minhash"))
+    )
+
+
+def lsh_band_keys(docs: DataFrame, n_perm: int = N_PERM, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, band_key) — md5 of the sorted (seed:minhash) rows of
+    each band. Equal band_key <=> equal minhash rows in that band."""
+    sig = minhash_signatures(docs, n_perm)
+    rows_per_band = n_perm // n_bands
+    return (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.collect_list(F.concat_ws(":", F.col("seed"), F.col("minhash")))
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, n_perm: int = N_PERM, n_bands: int = N_BANDS) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket.
+
+    The self-join key is (band, band_key) — each bucket joins only with
+    itself; AQE splits a pathological bucket (all-identical corpus) via
+    skew-join. Output is the candidate set for :func:`ngram_jaccard_pairs`.
+    """
+    bk = lsh_band_keys(docs, n_perm, n_bands)
+    left = bk.select("band", "band_key", F.col("doc_id").alias("a"))
+    right = bk.select("band", "band_key", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, block_cols: tuple[str, ...] = ("lang", "source"), min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for every pair within a blocking group.
+
+    (a, b, n_inter, n_union, jaccard). Blocking on (lang, source) keeps the
+    pair count per group bounded; the intersection is computed as a
+    shingle-level equi-join (never materializing token sets on the driver).
+    Jaccard is one integer division rounded to 5 dp (cross-engine stable).
+    """
+    sh = shingles(docs, N_SHINGLE).join(docs.select("doc_id", *block_cols), "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    left = sh.select(*block_cols, F.col("doc_id").alias("a"), "shingle")
+    right = sh.select(*block_cols, F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        left.join(right, [*block_cols, "shingle"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            F.round(
+                F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                5,
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0.0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash over word tokens (with
+    multiplicity). Token hash = first 8 md5 hex chars as a 32-bit int; each
+    bit contributes ±1; bit set iff the signed sum is > 0.
+
+    Layout: one row per (token occurrence) × 32 bit positions, two-level
+    aggregate. At scale the bit-position explode is a constant 32× on a
+    *token-hash* stream (ints, not text), partial-aggregated map-side.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+    bits = tok.select(
+        "doc_id",
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("pos"),
+    )
+    signed = bits.select(
+        "doc_id",
+        "pos",
+        F.when(F.expr("shiftright(h, pos)").bitwiseAND(F.lit(1)) == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    return (
+        signed.groupBy("doc_id", "pos")
+        .agg(F.sum("s").alias("score"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("score") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs by SimHash: block on any equal byte (4 bands of 8
+    bits — a pair within Hamming ≤3 of a 32-bit hash must agree on ≥1 byte),
+    verify with bit_count(xor) ≤ max_hamming.
+    """
+    sig = simhash_signatures(docs)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, band * 8)").bitwiseAND(F.lit(255)))
+    left = banded.select("band", "band_val", F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"))
+    right = banded.select("band", "band_val", F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"))
+    return (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,386 @@
+"""SURVEY.md §2 operator coverage over relational (CXL-shaped) inputs.
+
+The KG pipeline in :mod:`rdfcmap_spark.plans.pipeline` exercises these
+operators over free-text transcripts; this module exposes each operator
+family over the driver's relational testdata so every one is independently
+oracle-checkable against DuckDB (T2 strategy, SURVEY.md §5). Concepts /
+linking phrases / connections are *derived* from customer/nation/region —
+the same shape the reference unmarshals from CXL
+(`Cmap2TurtleConverter.java:1341-1858`).
+
+Each function notes the reference citation and the physical plan we want
+(broadcast vs shuffle, where the skew risk is).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rdfcmap_spark.functions.cardinality import classify_cols
+from rdfcmap_spark.functions.literals import literal_cols
+from rdfcmap_spark.functions.normalize import normalize_label
+from rdfcmap_spark.ids import VIZ_PREFIX, uuid_of_iri
+from rdfcmap_spark.operators.assembly import assemble_from_connections
+
+
+def _s(col, prefix: str):
+    return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+
+# --- J1: two-hop triple assembly (`Cmap2TurtleConverter.java:477-537`) -----
+
+
+def cxl_tables(customer: DataFrame, nation: DataFrame, region: DataFrame):
+    """Derive CXL-shaped (concepts, links, connections) from the star schema:
+    concept=customer/region, linking phrase=nation, connections wire
+    customer -> nation-link -> region."""
+    concepts = customer.select(_s("c_custkey", "c:").alias("concept_id"), F.col("c_name").alias("label")).unionByName(
+        region.select(_s("r_regionkey", "r:").alias("concept_id"), F.col("r_name").alias("label"))
+    )
+    links = nation.select(_s("n_nationkey", "l:").alias("link_id"), F.lower("n_name").alias("label"))
+    conn_in = customer.select(
+        _s("c_custkey", "cn1:").alias("conn_id"),
+        _s("c_custkey", "c:").alias("from_id"),
+        _s("c_nationkey", "l:").alias("to_id"),
+    )
+    conn_out = nation.select(
+        _s("n_nationkey", "cn2:").alias("conn_id"),
+        _s("n_nationkey", "l:").alias("from_id"),
+        _s("n_regionkey", "r:").alias("to_id"),
+    )
+    return concepts, links, conn_in.unionByName(conn_out)
+
+
+def j1_triple_assembly(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """(from_concept, from_label, link_label, to_concept, to_label) — the
+    reference's core 2-hop join as two equi-joins; links/regions are tiny →
+    AQE broadcasts them; a hyper-shared linking phrase stays shuffled on
+    link_id and is split by AQE skew-join."""
+    concepts, links, connections = cxl_tables(customer, nation, region)
+    return assemble_from_connections(concepts, links, connections)
+
+
+# --- J2/J3: label resolution + deprecated redirect (`RdfUtil.java:198-539`) --
+
+
+def _part_dict(part: DataFrame) -> DataFrame:
+    """A label->IRI dictionary derived from `part`: label = lower(p_type)
+    (ambiguous across parts — the realistic case), priority = p_size % 3,
+    deprecation flagged on p_size % 5 == 0."""
+    return part.select(
+        F.lower("p_type").alias("label_norm"),
+        _s("p_partkey", "urn:part:").alias("iri"),
+        (F.col("p_size") % 3).alias("ns_priority"),
+        (F.col("p_size") % 5 == 0).alias("is_deprecated"),
+        F.concat(F.lit("urn:part:replaced:"), (F.col("p_partkey") % 100).cast("string")).alias("replaced_by"),
+    )
+
+
+def _dict_winners(d: DataFrame) -> DataFrame:
+    """One winner per label: lowest (ns_priority, iri) — the deterministic
+    version of the reference's af*-preference scan (`RdfUtil.java:449-529`)."""
+    w = Window.partitionBy("label_norm").orderBy(F.col("ns_priority").asc(), F.col("iri").asc())
+    return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def j2_entity_linking(part: DataFrame) -> DataFrame:
+    """Case-insensitive exact label match against the dictionary winner —
+    broadcast hash join on lower(surface). Output (surface, resolved_iri)."""
+    winners = _dict_winners(_part_dict(part))
+    mentions = (
+        part.filter(F.col("p_partkey") % 7 == 0)
+        .select(F.upper("p_type").alias("surface"))
+        .distinct()
+    )
+    return (
+        mentions.join(F.broadcast(winners), F.lower(mentions.surface) == winners.label_norm, "left")
+        .select("surface", F.col("iri").alias("resolved_iri"))
+    )
+
+
+def j3_deprecated_redirect(part: DataFrame) -> DataFrame:
+    """Winner labels with owl:deprecated followed through dct:isReplacedBy
+    (single hop — the closure is precomputed driver-side in the text
+    pipeline, `linking.resolved_alias_rows`). Output (label_norm, final_iri)."""
+    winners = _dict_winners(_part_dict(part))
+    return winners.select(
+        "label_norm",
+        F.when(F.col("is_deprecated"), F.col("replaced_by")).otherwise(F.col("iri")).alias("final_iri"),
+    )
+
+
+# --- J4: twin-resource join (`Cmap2TurtleConverter.java:1258,2635`) ---------
+
+
+def j4_twin_join(orders: DataFrame) -> DataFrame:
+    """instance `urn:uuid:<id>` ⋈ viz `afv:<id>` on the derived uuid column
+    (prefix strip), carrying one payload from each side."""
+    uid = F.md5(_s("o_orderkey", "o"))
+    inst = orders.select(
+        F.concat(F.lit("urn:uuid:"), uid).alias("inst_iri"),
+        F.col("o_totalprice").alias("inst_price"),
+    )
+    viz = orders.select(
+        F.concat(F.lit(VIZ_PREFIX), uid).alias("viz_iri"),
+        F.col("o_orderstatus").alias("viz_status"),
+    )
+    i = inst.withColumn("uuid", uuid_of_iri(F.col("inst_iri")))
+    v = viz.withColumn("uuid", uuid_of_iri(F.col("viz_iri")))
+    return i.join(v, "uuid").select("uuid", "inst_iri", "viz_iri", "inst_price", "viz_status")
+
+
+# --- F2: statement triage (`prepareSeparatedModels:1929-1996`) ---------------
+
+
+def f2_triage(orders: DataFrame) -> DataFrame:
+    """3-way classify by subject prefix in ONE pass (when-ladder), then a
+    count per class — replaces the reference's three full scans."""
+    subj = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.concat(F.lit("urn:uuid:"), F.md5(_s("o_orderkey", "o"))))
+        .when(F.col("o_orderkey") % 3 == 1, F.concat(F.lit(VIZ_PREFIX), F.md5(_s("o_orderkey", "o"))))
+        .otherwise(_s("o_orderkey", "http://example.org/other/"))
+    )
+    cls = (
+        F.when(F.col("subj").startswith("urn:uuid:"), F.lit("instance"))
+        .when(F.col("subj").startswith(VIZ_PREFIX), F.lit("visualization"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        orders.select(subj.alias("subj"))
+        .select(cls.alias("class"))
+        .groupBy("class")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- F6/F7: orphan cleanup + stale-edge sync ---------------------------------
+
+
+def f6_orphan_cleanup(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti-join (`cleanModel:1220-1338`): customers whose key no longer
+    appears in orders. Shuffle on custkey; orders side pre-projected to the
+    join key only (column pruning reaches the scan)."""
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def f7_stale_edge_sync(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Semi-join (`Cmap2TurtleConverter.java:371-468`): keep orders that
+    still have a high-quantity lineitem."""
+    return orders.join(
+        lineitem.filter(F.col("l_quantity") >= 45).select(F.col("l_orderkey").alias("o_orderkey")),
+        "o_orderkey",
+        "left_semi",
+    ).select("o_orderkey", "o_orderstatus")
+
+
+# --- U1/U2/U3: model add/remove, batched delta (`StatementDelta.java`) -------
+
+
+def u3_delta_apply(orders: DataFrame) -> DataFrame:
+    """base ∪ adds (union-distinct) minus removes (anti-join) — the
+    StatementDelta pattern as one shuffle. Output the surviving key set."""
+    base = orders.filter(F.col("o_totalprice") > 100000).select("o_orderkey")
+    adds = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    removes = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return base.unionByName(adds).distinct().join(removes, "o_orderkey", "left_anti")
+
+
+# --- first-match / A4 collision counter (§2.5, ShapesCreator2.java:62) -------
+
+
+def first_match_title(part: DataFrame) -> DataFrame:
+    """First-match semantics made deterministic: first p_name per brand by
+    explicit (p_name asc) ordering — the reference's `.next()` relies on
+    Jena iteration order (`RdfUtil.getLabelForResource:541-556`)."""
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_name").asc(), F.col("p_partkey").asc())
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("p_name").alias("title"))
+    )
+
+
+def a4_label_collision(part: DataFrame) -> DataFrame:
+    """`shapelabel2counter`: repeated labels get suffixes _1, _2, … in a
+    deterministic order (partkey asc)."""
+    w = Window.partitionBy("p_type").orderBy(F.col("p_partkey").asc())
+    rn = F.row_number().over(w)
+    return part.select(
+        "p_partkey",
+        F.when(rn == 1, F.col("p_type")).otherwise(
+            F.concat(F.col("p_type"), F.lit("_"), (rn - 1).cast("string"))
+        ).alias("shape_label"),
+    )
+
+
+# --- X3/X9/X12: scalar grammars ----------------------------------------------
+
+
+def x9_normalize(part: DataFrame) -> DataFrame:
+    """The X9 label-cleanup ladder over planted dirty labels (bnode markers,
+    AID parentheticals, comma lists — `RdfUtil.java:205-318`)."""
+    dirty = (
+        F.when(F.col("p_partkey") % 4 == 0, F.col("p_name"))
+        .when(F.col("p_partkey") % 4 == 1, F.concat(F.col("p_name"), F.lit(" (AFX_0012345)")))
+        .when(F.col("p_partkey") % 4 == 2, F.concat(F.lit("[ "), F.col("p_name"), F.lit(" ]")))
+        .otherwise(F.concat(F.col("p_name"), F.lit(", af "), F.col("p_name")))
+    )
+    return part.select("p_partkey", dirty.alias("dirty"), normalize_label(dirty).alias("label_norm"))
+
+
+def x3_cardinality(part: DataFrame) -> DataFrame:
+    """The 13-pattern cardinality grammar over planted tokens
+    (`CardinalityPattern.java:19-31`); unsupported forms yield null type
+    (quarantine, not failure)."""
+    card = (
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("=1"))
+        .when(F.col("p_partkey") % 7 == 1, F.lit("2"))
+        .when(F.col("p_partkey") % 7 == 2, F.lit(">3"))
+        .when(F.col("p_partkey") % 7 == 3, F.lit("<5"))
+        .when(F.col("p_partkey") % 7 == 4, F.lit("2,4"))
+        .when(F.col("p_partkey") % 7 == 5, F.lit("3 5"))
+        .otherwise(F.lit(">2["))
+    )
+    t, lo, hi = classify_cols(card)
+    return part.select(
+        "p_partkey", card.alias("card"), t.alias("card_type"), lo.alias("card_min"), hi.alias("card_max")
+    )
+
+
+def x12_literal_typing(events: DataFrame) -> DataFrame:
+    """Typed-literal tokens `"v"^^xsd:t` parsed into (lexical, datatype IRI,
+    valid) — unknown datatypes fall back to xsd:string, invalid lexicals are
+    flagged for quarantine (`replaceLiteralNodes:2414-2463`)."""
+    m = F.col("event_id") % 6
+    k = F.regexp_extract(F.col("props"), r'"k":\s*([0-9]+)', 1)
+    # floor (not cast) — Spark's double->bigint cast truncates while DuckDB's
+    # rounds; floor() agrees in both engines
+    lex = (
+        F.when(m == 0, F.concat(F.floor(F.col("value")).cast("bigint").cast("string"), F.lit(".5")))
+        .when(m == 1, k)
+        .when(m == 2, F.when(F.col("event_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")))
+        .when(m == 3, F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .when(m == 4, k)       # unknown datatype -> string fallback
+        .otherwise(F.lit("n/a"))  # invalid double -> quarantined
+    )
+    dt_local = (
+        F.when(m == 0, F.lit("double"))
+        .when(m == 1, F.lit("integer"))
+        .when(m == 2, F.lit("boolean"))
+        .when(m == 3, F.lit("dateTime"))
+        .when(m == 4, F.lit("float"))
+        .otherwise(F.lit("double"))
+    )
+    token = F.concat(F.lit('"'), lex, F.lit('"^^xsd:'), dt_local)
+    obj_lex, obj_dt, valid = literal_cols(token)
+    return events.select(
+        "event_id",
+        token.alias("token"),
+        obj_lex.alias("obj_lexical"),
+        obj_dt.alias("obj_datatype"),
+        F.coalesce(valid, F.lit(False)).alias("lex_valid"),
+    )
+
+
+def g8_skolemize(orders: DataFrame) -> DataFrame:
+    """Deterministic bnode -> named-resource skolemization (G8,
+    `RdfUtil.convertBlankNodesToNamedResources:46-121`) — md5-keyed here so
+    the oracle can mirror it; the text pipeline uses RFC-4122 uuid5."""
+    return orders.select(
+        _s("o_orderkey", "b").alias("bnode_id"),
+        F.concat(F.lit("urn:uuid:bnode:"), F.md5(_s("o_orderkey", "skolem|"))).alias("skolem_iri"),
+    )
+
+
+# --- G1: connected components over identity edges ----------------------------
+
+
+def user_identity_edges(events: DataFrame) -> DataFrame:
+    """Star edges (G1 input shape): users co-occurring in an
+    (event_type, day) group are linked through the group's min user — k-1
+    edges per group, never k² (the hot-group skew defusal)."""
+    g = events.select(
+        F.col("event_type"),
+        F.to_date("ts").alias("day"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("node"),
+    ).distinct()
+    hub = g.groupBy("event_type", "day").agg(F.min("node").alias("hub"))
+    return (
+        g.join(hub, ["event_type", "day"])
+        .filter(F.col("node") != F.col("hub"))
+        .select(F.col("hub").alias("src"), F.col("node").alias("dst"))
+        .distinct()
+    )
+
+
+def g1_connected_components(events: DataFrame) -> DataFrame:
+    """Min-label connected components over the identity graph — the Spark
+    re-architecture of the reference's recursive DFS membership test
+    (`Turtle2CmapConverter.collectNodeIds:781-875`). Iterative frontier
+    joins with pointer jumping; see operators/canonicalize.py."""
+    from rdfcmap_spark.operators.canonicalize import connected_components
+
+    edges = user_identity_edges(events)
+    return connected_components(edges).select(
+        F.col("entity_id").alias("node"), F.col("canonical_id").alias("comp")
+    )
+
+
+# --- analytics / windows (A-ops, sessionize) ---------------------------------
+
+
+def tpch_q1(lineitem: DataFrame) -> DataFrame:
+    """Pricing summary (A-ops coverage): exact decimal partial aggregation,
+    surfaced as rounded doubles so the compare is engine-stable."""
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2024-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))).cast(
+                    "decimal(28,4)"
+                )
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session assignment via lag + cumulative sum (W-ops coverage): a new
+    session starts when the per-user gap exceeds ``gap_minutes``. Output
+    per-user session count + events. One shuffle on user_id; at scale the
+    input is pre-partitioned by user bucket so the window is co-located."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # microsecond epochs: ts has sub-second precision; a seconds cast would
+    # truncate in Spark but round in DuckDB — unix_micros/epoch_us agree.
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = t - F.lag(t).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0))
+    return (
+        events.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def hourly_event_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling-window rollup (batch twin of the streaming aggregation in
+    streaming/): counts + exact cent-sum per (event_type, hour)."""
+    return (
+        events.groupBy(F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )

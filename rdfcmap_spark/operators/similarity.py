@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths, mirroring a production ANN stack:
+
+* :func:`topk_bruteforce` — exact cosine top-k: the correctness baseline.
+  Query set × corpus join, rank per query. At 100 TB this is only run for
+  evaluation samples (the query side is small → **broadcast** the queries,
+  never shuffle the corpus).
+* :func:`topk_clustered` — IVF-style: restrict the scan to the query's
+  cluster (here the ``label`` column stands in for a nearest-centroid
+  assignment; :func:`assign_clusters` computes true centroid assignment when
+  needed). The corpus side is partition-pruned by cluster id — the scan cost
+  drops by ~n_clusters and the join key (cluster) co-locates candidates.
+
+Numeric determinism: dot products fold left-to-right over the array via
+``F.aggregate`` in **double**; ranking uses the cosine rounded to 5 dp with
+``vec_id`` as the total tie-break, so top-k is identical at any parallelism
+and bit-comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TOPK = 5
+QUERY_MOD = 50  #: vec_id % QUERY_MOD == 0 -> evaluation query vector
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as a left fold in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _ranked(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def topk_bruteforce(embeddings: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD) -> DataFrame:
+    """Exact top-k cosine neighbors for the evaluation query set.
+
+    (query_id, neighbor_id, rank, cos_sim[5dp]). The query side is tiny
+    (1/query_mod of the corpus) → broadcast; the corpus is scanned once.
+    """
+    q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    pairs = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qe"), F.col("ce")), 5).alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
+
+
+def topk_clustered(embeddings: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD) -> DataFrame:
+    """IVF-bucketed top-k: candidates restricted to the query's cluster
+    (``label``). Join key = (label) — co-located, partition-prunable; this is
+    the plan shape that survives 10^9 vectors (probe only 1/n_clusters of
+    the corpus per query).
+    """
+    q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("label"), F.col("embedding").alias("qe")
+    )
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), "label", F.col("embedding").alias("ce"))
+    pairs = (
+        c.join(F.broadcast(q), "label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qe"), F.col("ce")), 5).alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
+
+
+def centroids(embeddings: DataFrame) -> DataFrame:
+    """(label, centroid) — element-wise mean per label, computed by explode +
+    groupBy(position) + re-assemble (no Python). Small output → broadcast."""
+    dim = F.posexplode(F.col("embedding"))
+    per_pos = (
+        embeddings.select("label", dim.alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"))
+    )
+
+
+def assign_clusters(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (one IVF training sweep): broadcast the
+    centroid table, rank by cosine, keep the argmax. (vec_id, cluster)."""
+    scored = embeddings.select("vec_id", "embedding").join(
+        F.broadcast(cents.select(F.col("label").alias("cluster"), "centroid"))
+    ).select(
+        "vec_id",
+        "cluster",
+        F.round(cosine(F.col("embedding"), F.col("centroid")), 5).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("cluster").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+        "vec_id", "cluster"
+    )
+
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicates: pairs (a < b) within the same label
+    cluster with cosine ≥ threshold. Cluster blocking keeps the self-join
+    per-bucket (same scale argument as LSH banding).
+    """
+    left = embeddings.select("label", F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    right = embeddings.select("label", F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        left.join(right, "label")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("ea"), F.col("eb")), 5).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,148 @@
+"""Text-analysis operators for the large-scale training-data pipeline.
+
+These run over the ``documents`` table (``doc_id, text, lang, source,
+n_chars``) and are the text-QA counterpart of the KG pipeline's mention
+normalization (SURVEY.md X1/X9): token counting, quality scoring, language
+identification, and document fingerprinting.
+
+Design rules (100 TB posture):
+
+* every operator is a **narrow projection** — pure built-in expressions
+  (``regexp_count`` / ``length`` / ``md5``), one codegen'd pass over the
+  text column, zero shuffles except the final aggregate where one exists;
+* no Python in the hot path (BASELINE.json input_hint: no per-row Python);
+* all derived floats are single divisions of integer counts rounded to a
+  fixed precision, so output is bit-stable across engines, partitionings and
+  cluster sizes (the two-cluster-size invariant).
+
+Every function has an exact ANSI-SQL mirror in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: token = maximal run of non-whitespace (identical in Java regex and RE2)
+TOKEN_RE = r"\S+"
+
+#: English-ish stopwords for the quality score (word-boundary matched).
+STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "on", "for"]
+
+#: tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic. Deterministic argmax with alphabetical-language tie-break.
+LANG_MARKERS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it"],
+    "es": ["el", "la", "los", "las", "es", "y", "que", "de"],
+    "fr": ["le", "la", "les", "et", "est", "que", "des", "une"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+N_SHINGLE = 3  #: word n-gram size for fingerprint / jaccard / minhash
+
+
+def _word_re(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counts + average token length.
+
+    ``avg_token_len`` = non-whitespace chars / tokens — a single integer
+    division rounded to 5 dp (cross-engine stable).
+    """
+    n_tokens = F.regexp_count(F.col("text"), F.lit(TOKEN_RE))
+    n_nonws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(n_nonws.cast("double") / n_tokens, 5).alias("avg_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic document-quality features + combined score.
+
+    stopword / punctuation / digit ratios and a weighted score; the exact
+    feature set mirrors common pretraining-corpus filters (length bounds,
+    symbol ratios, stopword presence). Ratios are single int/int divisions
+    rounded to 5 dp; the combined score is **pure integer arithmetic**
+    (per-mille 0..1000) — a weighted sum of rounded doubles lands exactly on
+    round-half boundaries, which Spark (BigDecimal HALF_UP on the binary
+    expansion) and other engines break differently.
+    """
+    n_tokens = F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    n_stop = F.regexp_count(F.col("text"), F.lit(_word_re(STOPWORDS))).cast("bigint")
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]")).cast("bigint")
+    n_digit = F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("bigint")
+    stop_r = F.round(n_stop.cast("double") / n_tokens, 5)
+    punct_r = F.round(n_punct.cast("double") / n_chars, 5)
+    digit_r = F.round(n_digit.cast("double") / n_chars, 5)
+    len_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 20000)
+    # floor(a/b) on bigints is engine-stable: exact when b|a, else ≥1/b from
+    # the boundary (≫ double ulp)
+    score = (
+        F.when(len_ok, F.lit(400)).otherwise(F.lit(0))
+        + F.floor(F.least(F.lit(300) * 5 * n_stop, F.lit(300) * n_tokens) / n_tokens)
+        + F.floor(
+            F.lit(300) * (n_chars - F.least(n_punct + n_digit, n_chars)) / n_chars
+        )
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        stop_r.alias("stopword_ratio"),
+        punct_r.alias("punct_ratio"),
+        digit_r.alias("digit_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID (deterministic argmax, ties -> first
+    language in alphabetical order). A real system would use char n-gram
+    profiles; the *plumbing* (per-doc vectorized scoring + argmax ladder) is
+    the part that must scale, and it is one codegen pass.
+    """
+    scores = {
+        lang: F.regexp_count(F.col("text"), F.lit(_word_re(words)))
+        for lang, words in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        *[scores[lang].cast("bigint").alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def shingles(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document.
+
+    Built entirely from array functions: ``split`` -> ``sequence``/
+    ``transform`` -> ``explode``. One narrow pass; the distinct is per-doc
+    and partial-aggregated map-side.
+    """
+    with_toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")).filter(
+        F.size("t") >= n
+    )
+    idx = F.sequence(F.lit(0), F.size("t") - n)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)))
+    return (
+        with_toks.select("doc_id", F.explode(sh).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def fingerprints(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
+    """Document fingerprint = min md5 over word n-gram shingles (bottom-1
+    MinHash / winnowing-lite). Used as a cheap near-dup blocker and as the
+    rolling-hash fingerprint of SURVEY.md's text-analysis inventory.
+    """
+    return shingles(docs, n).groupBy("doc_id").agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
