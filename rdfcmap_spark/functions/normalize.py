@@ -69,13 +69,17 @@ def normalize_label(col: Column) -> Column:
     # comma-list: prefer the first element starting with 'af' (case-insens.),
     # else keep the first element (RdfUtil.java:249-260 keeps the last probed,
     # which is the first when no af* match exists and the loop breaks early —
-    # we pin "first" as the deterministic choice, see SURVEY.md §2.5)
+    # we pin "first" as the deterministic choice, see SURVEY.md §2.5).
+    # Pure-regex (no higher-order array functions): array lambdas fall out of
+    # whole-stage codegen AND defeat common-subexpression elimination, which
+    # re-evaluates the whole regexp chain per reference (~10x stage cost
+    # measured at 1M sentences).
     c = F.trim(c)
-    parts = F.split(c, ",")
-    af = F.filter(parts, lambda p: F.lower(F.trim(p)).startswith("af"))
+    af_elem = F.regexp_extract(c, r"(?i)(?:^|,)\s*(af[^,]*)", 1)
+    first_elem = F.regexp_extract(c, r"^([^,]*)", 1)
     c = F.when(
-        F.size(parts) > 1,
-        F.trim(F.coalesce(F.get(af, 0), F.get(parts, 0))),
+        F.instr(c, ",") > 0,
+        F.trim(F.when(af_elem != "", af_elem).otherwise(first_elem)),
     ).otherwise(c)
     c = F.lower(F.trim(F.regexp_replace(c, "\\s+", " ")))
     return c

@@ -41,24 +41,82 @@ def identity_edges(sameas: DataFrame, idents: DataFrame) -> DataFrame:
     return sameas.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(star)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def _driver_cc(und: DataFrame) -> DataFrame:
+    """Union-find fixed point on the collected edge list (min representative
+    — identical semantics to the distributed loop, asserted by tests).
+
+    The identity graph (sameAs + shared-identifier stars) is orders of
+    magnitude smaller than the triple stream — at 10^12 turns the *triples*
+    need a cluster, the *identity edges* usually fit one node. Below the
+    threshold the driver fixed point replaces ~10 latency-bound Spark jobs
+    per iteration with one collect.
+    """
+    import pandas as pd
+
+    spark = und.sparkSession
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # Arrow-batched toPandas (one job, columnar transfer) — row collect()
+    # pickles row-by-row and toLocalIterator schedules a job per partition;
+    # both anti-scale
+    pdf = und.select("src", "dst").toPandas()
+    for src, dst in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    out = pd.DataFrame(
+        {"entity_id": list(parent.keys()), "canonical_id": [find(n) for n in parent]}
+    )
+    return spark.createDataFrame(out, "entity_id string, canonical_id string")
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 500_000
+) -> DataFrame:
     """edges(src, dst) -> mapping(entity_id, canonical_id).
 
     Only nodes that appear in an edge are returned (isolated entities are
     their own representative by definition and need no mapping row — keeps
     the rewrite join small).
+
+    Two physical strategies behind one semantic contract:
+
+    * ``n_edges <= driver_threshold`` — collect + union-find on the driver
+      (see :func:`_driver_cc`);
+    * else — distributed min-label propagation with pointer jumping,
+      ``localCheckpoint`` per iteration (lineage truncation), convergence
+      detected by an order-insensitive state hash.
     """
     spark = edges.sparkSession
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     und = und.localCheckpoint()
+    if driver_threshold and und.count() <= driver_threshold:
+        return _driver_cc(und)
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    def state_hash(lbl: DataFrame) -> int:
+        # order-insensitive content hash of the full label state — one cheap
+        # scan of a checkpointed frame; replaces a join-based changed-count
+        # (min-label propagation converges iff the state stops changing)
+        row = lbl.agg(F.sum(F.xxhash64("node", "comp").cast("decimal(38,0)")).alias("h")).collect()[0]
+        return int(row["h"]) if row["h"] is not None else 0
+
+    prev_hash = state_hash(labels)
     for _ in range(max_iter):
         nbr = (
             und.join(labels.withColumnRenamed("node", "src"), "src")
@@ -68,6 +126,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         prop = (
             labels.join(nbr, "node", "left")
             .select("node", F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"))
+            .localCheckpoint()  # jump self-joins prop: materialize once
         )
         # pointer jumping: comp <- comp(comp)  (path halving)
         jump = (
@@ -75,17 +134,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .join(prop.select(F.col("node").alias("comp"), F.col("comp").alias("comp2")).alias("r"), "comp", "left")
             .select(F.col("node"), F.least(F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))).alias("comp"))
         )
-        new_labels = jump.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = jump.localCheckpoint()
+        h = state_hash(labels)
+        if h == prev_hash:
             break
+        prev_hash = h
     return labels.select(F.col("node").alias("entity_id"), F.col("comp").alias("canonical_id"))
 
 
@@ -98,11 +151,21 @@ def rewrite_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
     far smaller than the triples side (only merged entities), so AQE
     broadcast-converts it when it fits.
     """
-    m_subj = mapping.withColumnRenamed("entity_id", "subj").withColumnRenamed("canonical_id", "subj_canon")
-    m_obj = mapping.withColumnRenamed("entity_id", "obj_iri").withColumnRenamed("canonical_id", "obj_canon")
+    # explicit broadcast: the mapping (merged entities only) is ~2 string
+    # cols and sits right at the 10MB auto-threshold — without the hint AQE
+    # falls back to two full sort-merge shuffles of the triples table.
+    # Both joins probe the SAME broadcast subplan (only the join condition
+    # differs) so ReuseExchange builds it once, halving driver-serial
+    # broadcast-build time.
+    m = F.broadcast(mapping)
+    ms, mo = m.alias("ms"), m.alias("mo")
     out = (
-        triples.join(m_subj, "subj", "left")
-        .join(m_obj, "obj_iri", "left")
+        triples.join(ms, F.col("subj") == F.col("ms.entity_id"), "left")
+        .withColumn("subj_canon", F.col("ms.canonical_id"))
+        .drop("entity_id", "canonical_id")
+        .join(mo, F.col("obj_iri") == F.col("mo.entity_id"), "left")
+        .withColumn("obj_canon", F.col("mo.canonical_id"))
+        .drop("entity_id", "canonical_id")
         .select(
             F.coalesce("subj_canon", "subj").alias("subj"),
             "pred",

@@ -93,18 +93,54 @@ def run_pipeline(
     transcripts: DataFrame,
     alias: DataFrame | None = None,
     with_canonicalization: bool = True,
+    checkpoint: bool = True,
 ) -> PipelineResult:
     spark = transcripts.sparkSession
     alias = alias if alias is not None else linking.resolved_alias_df(spark)
 
     sent = linked_sentences(transcripts, alias)
+    if checkpoint:
+        # Materialize the linked-sentence stream ONCE: every downstream
+        # triple family (entities, relations, literals, cardinality,
+        # identity edges) branches off it, and without a checkpoint each
+        # branch would re-run scan -> extract -> broadcast-link from the
+        # source (~9x recompute). This is also the stage boundary the
+        # resume machinery records (SURVEY.md §4 iteration/lineage row).
+        sent = sent.localCheckpoint()
 
-    # --- entities (distinct per conv + surface; individuals excluded)
-    ment = mentions.mention_surfaces(
-        sent.select("conv_id", "turn_idx", "sent_idx", "form", "subj", "obj", "obj_bnode")
+    # --- entities (distinct per conv + surface; individuals excluded).
+    # Built directly off the checkpointed linked-sentence stream: the
+    # normalization and dictionary probes are ALREADY materialized in
+    # subj_norm/subj_res/obj_norm/obj_res — re-running mention_surfaces +
+    # link_mentions here would repeat both over 2x sentence rows (measured
+    # ~25% of total pipeline time at 0.5M turns).
+    subj_m = sent.select(
+        "conv_id",
+        F.col("subj_norm").alias("surface_norm"),
+        F.col("subj").alias("surface"),
+        F.col("subj_res").alias("resolved_iri"),
+        F.col("subj_kind").alias("term_kind"),
+        F.col("subj_entity").alias("entity_id"),
     )
-    ment_linked = linking.link_mentions(ment, alias)
-    entities = linking.build_entities(ment_linked)
+    obj_m = sent.filter((F.col("form") == "relation") & F.col("obj_norm").isNotNull()).select(
+        "conv_id",
+        F.col("obj_norm").alias("surface_norm"),
+        F.col("obj").alias("surface"),
+        F.col("obj_res").alias("resolved_iri"),
+        F.col("obj_kind_term").alias("term_kind"),
+        F.col("obj_entity").alias("entity_id"),
+    )
+    entities = (
+        subj_m.unionByName(obj_m)
+        .filter(F.col("surface_norm") != "")
+        .filter(F.col("term_kind").isNull() | (F.col("term_kind") != "individual"))
+        .groupBy("conv_id", "surface_norm")
+        .agg(
+            F.first("entity_id").alias("entity_id"),
+            F.sort_array(F.collect_set(F.trim(F.col("surface")))).alias("titles"),
+            F.first("resolved_iri").alias("canonical_iri"),
+        )
+    )
 
     ent_t = assembly.entity_triples(entities)
 

@@ -33,7 +33,10 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # 16g default: measured on this box, >24g heaps produce erratic
+        # 2-3x wall-time swings (kernel page-fault storms, 86% system time);
+        # 12-16g is flat run-to-run and ample for local-mode state
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # deterministic-output requirement (SURVEY.md §4 determinism row):
         # never let partial-aggregation push nondeterminism into floats we hash
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
