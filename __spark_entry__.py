@@ -75,6 +75,61 @@ def _kg_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize.connected_components(edges)
 
 
+def _kg_staged_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged pipeline run twice in a fresh workdir — the second run must
+    resume every stage from its snapshot (asserted) and reproduce the same
+    triples (returned)."""
+    import tempfile
+
+    from rdfcmap_spark.plans.staged import run_staged
+
+    tr = _synth_transcripts(spark, sf_dir).localCheckpoint()
+    wd = tempfile.mkdtemp(prefix="kg_staged_")
+    run_staged(spark, tr, wd, "driver-check")
+    df, run2 = run_staged(spark, tr, wd, "driver-check")
+    assert run2.ran == [], f"resume recomputed stages: {run2.ran}"
+    return df
+
+
+def _kg_ttl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline triples -> distributed TTL write -> distributed TTL read;
+    returns the parsed-back triples (losslessness is pytest-asserted)."""
+    import tempfile
+
+    from rdfcmap_spark.sources.ttl import read_ttl, write_ttl
+
+    triples = _kg_pipeline_full(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kg_ttl_") + "/out.ttl"
+    write_ttl(triples, path)
+    return read_ttl(spark, path)
+
+
+def _events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_hourly_rollup: file-source stream
+    over the same parquet, watermarked tumbling window, memory sink; the
+    result table must match the batch/DuckDB oracle exactly."""
+    from rdfcmap_spark.streaming.stream import streaming_hourly_rollup
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file source needs a directory; glob-filter down to the events table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = "events_stream_rollup_result"
+    q = (
+        streaming_hourly_rollup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction (extract -> link -> assemble ->
     canonicalize) over deterministic synthetic transcripts at sf0.001 scale,
@@ -131,6 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_canonical_mapping": _kg_canonical_mapping,
+        "kg_staged_resume": _kg_staged_resume,
+        "kg_ttl_roundtrip": _kg_ttl_roundtrip,
+        # --- streaming (oracle-checked against the batch SQL) ---
+        "events_stream_rollup": _events_stream_rollup,
         # --- dedup family ---
         "dedup_exact": lambda s, d: dedup.exact_dedup(load(s, d, "documents")),
         "dedup_minhash_lsh": lambda s, d: dedup.lsh_candidate_pairs(load(s, d, "documents")),
@@ -639,6 +698,12 @@ SELECT user_id,
   CAST(sum(CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
   count(*) AS n_events
 FROM x GROUP BY user_id
+"""
+
+    sql["events_stream_rollup"] = r"""
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
     sql["events_hourly_rollup"] = r"""

@@ -1,0 +1,151 @@
+"""TTL/N-Triples source + sink (SURVEY.md S3/S4/S7).
+
+The reference reads vocabularies with Jena (`Turtle2CmapConverter.java:
+87-108`) and writes its output model as Turtle with a version-signature
+comment line (`CmapUtil.appendSignature:1016-1030`). Here:
+
+* :func:`write_ttl` — triples DataFrame -> line-oriented Turtle (one triple
+  per line, prefixed names where possible, ``# created with`` signature).
+  Rendering is pure column expressions; the write is a distributed text
+  sink (one shard per partition, exactly how a 100 TB dump must leave the
+  cluster — never a driver collect).
+* :func:`read_ttl` — the inverse: distributed line parser (regexp) for the
+  line-oriented subset we emit + full N-Triples. Vocabulary files are tiny
+  (driver-side broadcast path, S4); instance dumps are huge (this path).
+
+Round-trip (write -> read) is asserted lossless by tests for every
+obj_kind / datatype / escaping case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdfcmap_spark import vocab
+from rdfcmap_spark.schemas import TRIPLES
+
+SIGNATURE = "# created with rdfcmap-spark"
+
+#: longest-namespace-first so e.g. afv# wins over af-x# if nested
+_PREFIXES = sorted(vocab.NS_PREFIX_MAP.items(), key=lambda kv: -len(kv[1]))
+
+
+def _to_prefixed(iri_col):
+    """IRI -> prefix:local when a namespace matches and the local name is
+    PN_LOCAL-safe, else <iri>."""
+    out = None
+    for prefix, ns in _PREFIXES:
+        local = F.substring(iri_col, len(ns) + 1, 10_000)
+        ok = iri_col.startswith(ns) & local.rlike(r"^[A-Za-z0-9_\-]+$")
+        expr = F.concat(F.lit(prefix + ":"), local)
+        out = F.when(ok, expr).otherwise(out) if out is not None else F.when(ok, expr)
+    return F.coalesce(out, F.concat(F.lit("<"), iri_col, F.lit(">")))
+
+
+def _esc_literal(lex):
+    c = F.regexp_replace(lex, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', '\\\\"')
+    c = F.regexp_replace(c, "\n", "\\\\n")
+    c = F.regexp_replace(c, "\r", "\\\\r")
+    c = F.regexp_replace(c, "\t", "\\\\t")
+    return c
+
+
+def triples_to_ttl_lines(triples: DataFrame) -> DataFrame:
+    """(line: string) — one rendered triple per row (deterministic content;
+    ordering is up to the writer)."""
+    subj = F.when(
+        F.col("subj").startswith("_:"), F.col("subj")
+    ).otherwise(_to_prefixed(F.col("subj")))
+    pred = F.when(F.col("pred") == vocab.RDF_TYPE, F.lit("a")).otherwise(_to_prefixed(F.col("pred")))
+    lit = F.concat(
+        F.lit('"'),
+        _esc_literal(F.col("obj_lexical")),
+        F.lit('"'),
+        F.when(
+            F.col("obj_datatype").isNotNull() & (F.col("obj_datatype") != vocab.XSD_STRING),
+            F.concat(F.lit("^^"), _to_prefixed(F.col("obj_datatype"))),
+        ).otherwise(F.lit("")),
+    )
+    # bnode-kind objects carry skolem IRIs (G8) — render as _:b<uuid> labels
+    # so kind survives the round trip; read_ttl re-skolemizes
+    bnode_label = F.concat(F.lit("_:b"), F.regexp_replace(F.col("obj_iri"), "^urn:uuid:", ""))
+    obj = (
+        F.when(F.col("obj_kind") == "literal", lit)
+        .when(F.col("obj_kind") == "bnode", bnode_label)
+        .otherwise(_to_prefixed(F.col("obj_iri")))
+    )
+    return triples.select(F.concat_ws(" ", subj, pred, obj, F.lit(".")).alias("line"))
+
+
+def prefix_header() -> list[str]:
+    return [f"@prefix {p}: <{ns}> ." for p, ns in sorted(vocab.NS_PREFIX_MAP.items())]
+
+
+def write_ttl(triples: DataFrame, path: str) -> None:
+    """Distributed text write: header+signature as one tiny shard, body as
+    one shard per partition."""
+    spark = triples.sparkSession
+    header = spark.createDataFrame(
+        [(l,) for l in [SIGNATURE, *prefix_header()]], "line string"
+    ).coalesce(1)
+    header.unionByName(triples_to_ttl_lines(triples)).write.mode("overwrite").text(path)
+
+
+_PN = r"[A-Za-z0-9_\-]+"
+_TERM = rf"(<[^>]*>|{_PN}:{_PN}|_:{_PN}|a)"
+_LIT = r'"((?:[^"\\]|\\.)*)"(?:\^\^(<[^>]*>|[A-Za-z0-9_\-]+:[A-Za-z0-9_\-]+))?'
+TRIPLE_RE = rf"^\s*{_TERM}\s+{_TERM}\s+(?:{_LIT}|{_TERM})\s*\.\s*$"
+
+
+def read_ttl(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed parse of the line-oriented TTL subset back into the
+    triples schema. Prefix expansion is a broadcast-free when-ladder over
+    the static prefix map; comment/@prefix lines are filtered out by one
+    pushed-down predicate."""
+    lines = spark.read.text(path).filter(
+        ~F.col("value").startswith("#") & ~F.col("value").startswith("@prefix")
+        & (F.length(F.trim(F.col("value"))) > 0)
+    )
+    g = lambda i: F.regexp_extract(F.col("value"), TRIPLE_RE, i)
+
+    def expand(col):
+        bare = F.regexp_replace(col, r"^<|>$", "")
+        out = bare
+        for prefix, ns in _PREFIXES:
+            out = F.when(
+                col.startswith(prefix + ":"),
+                F.concat(F.lit(ns), F.substring(col, len(prefix) + 2, 10_000)),
+            ).otherwise(out)
+        return out
+
+    def unesc(col):
+        c = F.regexp_replace(col, r"\\t", "\t")
+        c = F.regexp_replace(c, r"\\r", "\r")
+        c = F.regexp_replace(c, r"\\n", "\n")
+        c = F.regexp_replace(c, r'\\"', '"')
+        c = F.regexp_replace(c, r"\\\\", r"\\")
+        return c
+
+    subj_t, pred_t, lit_lex, lit_dt, obj_t = g(1), g(2), g(3), g(4), g(5)
+    is_lit = F.col("value").rlike(r'"') & (obj_t == "")
+    pred = F.when(pred_t == "a", F.lit(vocab.RDF_TYPE)).otherwise(expand(pred_t))
+    parsed = lines.filter(F.col("value").rlike(TRIPLE_RE)).select(
+        expand(subj_t).alias("subj"),
+        pred.alias("pred"),
+        F.when(is_lit, F.lit("literal"))
+        .when(obj_t.startswith("_:"), F.lit("bnode"))
+        .otherwise(F.lit("iri"))
+        .alias("obj_kind"),
+        F.when(obj_t.startswith("_:b"), F.concat(F.lit("urn:uuid:"), F.substring(obj_t, 4, 10_000)))
+        .when(~is_lit, expand(obj_t))
+        .alias("obj_iri"),
+        F.when(is_lit, unesc(lit_lex)).alias("obj_lexical"),
+        F.when(
+            is_lit, F.when(lit_dt != "", expand(lit_dt)).otherwise(F.lit(vocab.XSD_STRING))
+        ).alias("obj_datatype"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+    )
+    return parsed.select(*[F.col(f.name).cast(f.dataType) for f in TRIPLES.fields])

@@ -1,0 +1,119 @@
+"""Structured Streaming variants of the pipeline (SURVEY.md §2.9).
+
+The reference is a single-shot CLI with no streaming; the north rule is
+batch at 10^12-turn scale. These operators exist because a transcript KG at
+that scale is fed *continuously*: the same extraction plan runs over
+``readStream`` unchanged (Catalyst treats it as an incremental query), and
+late/duplicate turns are governed by watermarks + deterministic IDs +
+dropDuplicates — exactly the invariants the batch pipeline already has.
+
+* :func:`streaming_triples` — transcripts stream -> per-microbatch triple
+  extraction (stateless: extraction/linking/minting are pure row maps +
+  broadcast probes; canonicalization stays a batch/compaction job, the
+  standard lambda split for CC at scale);
+* :func:`streaming_turn_dedup` — watermarked dropDuplicates on
+  (conv_id, turn_idx) — the late/duplicate-turn policy;
+* :func:`streaming_hourly_rollup` — watermarked tumbling window over
+  events (the streaming twin of relational.hourly_event_rollup).
+
+Tests drive these with a memory sink + processAllAvailable (no wall-clock
+dependence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdfcmap_spark.plans.pipeline import linked_sentences
+
+
+def streaming_turn_dedup(transcripts_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Drop duplicate (conv_id, turn_idx) deliveries within the watermark —
+    deterministic IDs make re-delivered turns byte-identical, so 'first
+    wins' is exact, not approximate. ``dropDuplicatesWithinWatermark`` (not
+    plain dropDuplicates) so the dedup state store is GC'd as the watermark
+    advances — unbounded state would OOM a 10^12-turn stream."""
+    # parquet TIMESTAMP_NTZ -> TIMESTAMP (watermarks require an instant
+    # type; session timezone is pinned UTC so the wall-clock is unchanged)
+    return (
+        transcripts_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    )
+
+
+def streaming_triples(transcripts_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stream -> raw triples (pre-canonicalization). The whole plan is
+    stateless map-side work (split/regex/broadcast-probe/uuid5), so Spark
+    runs it per microbatch with no state store; dedup + CC run as the
+    periodic batch compaction over the sink table."""
+    deduped = streaming_turn_dedup(transcripts_stream, watermark)
+    sent = linked_sentences(deduped, None)
+    return _stream_raw_triples(sent)
+
+
+def _stream_raw_triples(sent: DataFrame) -> DataFrame:
+    """Per-sentence triple families without the per-conversation entity
+    aggregation (that groupBy is the batch compaction's job; streaming emits
+    the per-mention entity triples directly — same set semantics after the
+    sink-side dropDuplicates because IDs are deterministic)."""
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.functions.literals import literal_cols
+    from rdfcmap_spark.operators import assembly
+
+    ent_subj = sent.select(
+        F.col("subj_entity").alias("subj"),
+        F.lit(vocab.RDF_TYPE).alias("pred"),
+        F.lit("iri").alias("obj_kind"),
+        F.lit(vocab.OWL_NAMED_INDIVIDUAL).alias("obj_iri"),
+        F.lit(None).cast("string").alias("obj_lexical"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        "conv_id",
+        "turn_idx",
+    )
+    titles = sent.select(
+        F.col("subj_entity").alias("subj"),
+        F.lit(vocab.DCT_TITLE).alias("pred"),
+        F.lit("literal").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_iri"),
+        F.trim(F.col("subj")).alias("obj_lexical"),
+        F.lit(vocab.XSD_STRING).alias("obj_datatype"),
+        "conv_id",
+        "turn_idx",
+    )
+    rel = sent.filter(
+        (F.col("form") == "relation")
+        & F.col("obj_entity").isNotNull()
+        & (F.col("pred_iri").isNull() | (F.col("pred_iri") != vocab.OWL_SAME_AS))
+    )
+    rel_t = assembly.relation_triples(
+        rel.select("conv_id", "turn_idx", "sent_idx", "subj_entity", "pred_iri", "obj_entity", "obj_kind", "card")
+    )
+    lit_token = F.concat(F.lit('"'), F.col("lex"), F.lit('"^^xsd:'), F.col("dt_local"))
+    obj_lex, obj_dt, lex_valid = literal_cols(lit_token)
+    lit = (
+        sent.filter(F.col("form") == "literal")
+        .withColumn("obj_lexical", obj_lex)
+        .withColumn("obj_datatype", obj_dt)
+        .withColumn("lex_valid", F.coalesce(lex_valid, F.lit(False)))
+        .withColumn("pred_iri", F.coalesce(F.col("pred_iri"), F.lit(vocab.SKOS_RELATED)))
+    )
+    lit_t = assembly.literal_triples(lit)
+    return ent_subj.unionByName(titles).unionByName(rel_t).unionByName(lit_t)
+
+
+def streaming_hourly_rollup(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregate — late events inside the
+    watermark update their window; beyond it they're dropped (documented
+    late-data policy)."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "value_sum")
+    )

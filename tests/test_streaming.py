@@ -1,0 +1,87 @@
+"""Structured Streaming: stream==batch equivalence, duplicate-turn policy,
+watermarked window rollup (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfcmap_spark.schemas import TRANSCRIPTS
+from rdfcmap_spark.streaming.stream import (
+    _stream_raw_triples,
+    streaming_hourly_rollup,
+    streaming_triples,
+    streaming_turn_dedup,
+)
+from rdfcmap_spark.plans.pipeline import linked_sentences
+from rdfcmap_spark.synth import transcripts_df
+
+KEY = ["subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"]
+
+
+def _run_stream(spark, stream_df, name):
+    q = stream_df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def _complete_stream(spark, stream_df, name):
+    q = stream_df.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+@pytest.fixture(scope="module")
+def transcripts_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_in"))
+    transcripts_df(spark, n_convs=6, turns_per_conv=5).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_triples_equal_batch(spark, transcripts_dir):
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(transcripts_dir)
+    got = _run_stream(spark, streaming_triples(stream), "t_stream_triples")
+    batch = _stream_raw_triples(linked_sentences(spark.read.parquet(transcripts_dir), None))
+    assert {tuple(r) for r in got.select(*KEY).distinct().collect()} == {
+        tuple(r) for r in batch.select(*KEY).distinct().collect()
+    }
+    assert got.count() > 0
+
+
+def test_duplicate_turn_delivery_dropped(spark, tmp_path):
+    d = str(tmp_path / "dup_in")
+    t = transcripts_df(spark, n_convs=3, turns_per_conv=4)
+    t.write.mode("overwrite").parquet(d)
+    # re-deliver every turn a second time (new files, same logical rows)
+    t.write.mode("append").parquet(d)
+    assert spark.read.parquet(d).count() == 24
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(d)
+    got = _run_stream(spark, streaming_turn_dedup(stream), "t_dedup")
+    assert got.count() == 12
+    assert got.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, tmp_path):
+    d = str(tmp_path / "ev_in")
+    events = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + (F.col("id") * 97).cast("int").cast("string").cast("interval second")).alias("ts"),
+        (F.col("id") % 7).alias("user_id"),
+        F.when(F.col("id") % 2 == 0, "click").otherwise("view").alias("event_type"),
+        (F.col("id") % 50 / 7.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    events.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    got = _complete_stream(spark, streaming_hourly_rollup(stream), "t_rollup")
+    batch = (
+        spark.read.parquet(d)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}

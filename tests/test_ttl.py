@@ -1,0 +1,66 @@
+"""S3/S7: TTL sink + source round-trip losslessness."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdfcmap_spark import vocab
+from rdfcmap_spark.schemas import TRIPLES
+from rdfcmap_spark.sources.ttl import SIGNATURE, read_ttl, write_ttl
+from rdfcmap_spark.plans.pipeline import run_pipeline
+from rdfcmap_spark.synth import transcripts_df
+
+KEY = ["subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"]
+
+
+def _key_set(df):
+    return {tuple(r) for r in df.select(*KEY).collect()}
+
+
+CASES = [
+    # iri object, prefixable pred
+    ("urn:uuid:s1", vocab.AFX + "AFX_0000141", "iri", vocab.AFE + "AFE_0000354", None, None),
+    # rdf:type -> 'a' keyword
+    ("urn:uuid:s1", vocab.RDF_TYPE, "iri", vocab.OWL_NAMED_INDIVIDUAL, None, None),
+    # plain string literal (datatype suppressed on write, restored on read)
+    ("urn:uuid:s2", vocab.DCT_TITLE, "literal", None, "hello world", vocab.XSD_STRING),
+    # typed literals
+    ("urn:uuid:s2", vocab.AFX + "AFX_0000690", "literal", None, "7.5", vocab.XSD_DOUBLE),
+    ("urn:uuid:s2", vocab.AFX + "AFX_0000690", "literal", None, "42", vocab.XSD_INTEGER),
+    ("urn:uuid:s3", vocab.DCT + "identifier", "literal", None, "ID-0001", vocab.XSD_STRING),
+    # literal needing escapes
+    ("urn:uuid:s3", vocab.DCT_TITLE, "literal", None, 'say "hi"\nnow', vocab.XSD_STRING),
+    # non-prefixable IRIs stay <wrapped>
+    ("http://example.org/x y", "http://example.org/p", "iri", "http://example.org/o#1", None, None),
+]
+
+
+@pytest.fixture()
+def tdf(spark):
+    rows = [(s, p, k, oi, ol, od, None, None) for s, p, k, oi, ol, od in CASES]
+    return spark.createDataFrame(rows, TRIPLES)
+
+
+def test_roundtrip_lossless(spark, tdf, tmp_path):
+    path = str(tmp_path / "out.ttl")
+    write_ttl(tdf, path)
+    back = read_ttl(spark, path)
+    assert _key_set(back) == _key_set(tdf)
+
+
+def test_signature_and_prefix_header(spark, tdf, tmp_path):
+    path = str(tmp_path / "out.ttl")
+    write_ttl(tdf, path)
+    lines = [r["value"] for r in spark.read.text(path).collect()]
+    assert any(l.startswith(SIGNATURE) for l in lines)
+    assert any(l.startswith("@prefix afe:") for l in lines)
+    # rdf:type rendered as 'a' (reference-style turtle)
+    assert any(" a owl:NamedIndividual ." in l for l in lines)
+
+
+def test_pipeline_output_roundtrips(spark, tmp_path):
+    triples = run_pipeline(transcripts_df(spark, 6, 4).localCheckpoint()).triples
+    path = str(tmp_path / "pipe.ttl")
+    write_ttl(triples, path)
+    back = read_ttl(spark, path)
+    assert _key_set(back) == _key_set(triples)
