@@ -183,6 +183,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_g1_connected_components": lambda s, d: relational.g1_connected_components(
             load(s, d, "events")
         ),
+        "kg_g2_shortest_path": lambda s, d: relational.g2_shortest_paths(load(s, d, "events")),
+        "kg_g4_hierarchy_level": lambda s, d: relational.g4_hierarchy_levels(s),
+        "kg_x4_long_comments": lambda s, d: relational.x4_long_comments(load(s, d, "part")),
+        "kg_shacl_shapes": lambda s, d: relational.shacl_shape_summary(
+            load(s, d, "customer"), load(s, d, "orders"), load(s, d, "nation")
+        ),
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_canonical_mapping": _kg_canonical_mapping,
@@ -514,6 +520,88 @@ reach(node, comp) AS (
   SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
 )
 SELECT node, min(comp) AS comp FROM reach GROUP BY node
+"""
+
+    sql["kg_g2_shortest_path"] = r"""
+WITH RECURSIVE g AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, 'u' || CAST(user_id AS VARCHAR) AS node FROM events
+),
+hub AS (SELECT event_type, day, min(node) AS hub FROM g GROUP BY event_type, day),
+e0 AS (
+  SELECT DISTINCT h.hub AS src, g.node AS dst
+  FROM g JOIN hub h USING (event_type, day) WHERE g.node <> h.hub
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+seeds AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS node FROM events WHERE user_id < 5),
+reach(node, hops) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, r.hops + 1 FROM reach r JOIN edges e ON e.src = r.node WHERE r.hops < 20
+)
+SELECT node, CAST(min(hops) AS INTEGER) AS hops FROM reach GROUP BY node
+"""
+
+    from rdfcmap_spark import vocab as _vocab
+
+    _sc_values = ", ".join(f"('{c}', '{p}')" for c, p in _vocab.SUBCLASS_EDGES)
+    sql["kg_g4_hierarchy_level"] = (
+        "WITH RECURSIVE sc(child, parent) AS (VALUES "
+        + _sc_values
+        + r"""),
+closure(node, anc) AS (
+  SELECT child, parent FROM sc
+  UNION
+  SELECT c.node, s.parent FROM closure c JOIN sc s ON s.child = c.anc
+)
+SELECT node, CAST(count(DISTINCT anc) AS BIGINT) AS level FROM closure GROUP BY node
+"""
+    )
+
+    sql["kg_x4_long_comments"] = r"""
+WITH src AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 3 = 0 THEN 'note <<af-x:hasPart =1>> on ' || p_name
+              WHEN p_partkey % 3 = 1 THEN 'pre <<af-x:contains >2>> mid <<obo:precedes 2,4>> post ' || p_name
+              ELSE p_name END AS comment
+  FROM part
+),
+ex AS (
+  SELECT p_partkey, comment,
+         CASE WHEN len(regexp_extract_all(comment, '<<([^>]*)>>', 1)) = 0
+              THEN [NULL]
+              ELSE regexp_extract_all(comment, '<<([^>]*)>>', 1) END AS toks
+  FROM src
+),
+flat AS (
+  SELECT p_partkey, comment,
+         generate_subscripts(toks, 1) - 1 AS pos0,
+         unnest(toks) AS tok
+  FROM ex
+)
+SELECT p_partkey, CAST(CASE WHEN tok IS NULL THEN NULL ELSE pos0 END AS INTEGER) AS pos,
+       CASE WHEN tok IS NULL THEN NULL ELSE regexp_extract(tok, '^([a-zA-Z\-]+:[A-Za-z]+)', 1) END AS prop,
+       CASE WHEN tok IS NULL THEN NULL ELSE trim(regexp_extract(tok, '^[a-zA-Z\-]+:[A-Za-z]+\s+(.*)$', 1)) END AS card
+FROM flat
+"""
+
+    sql["kg_shacl_shapes"] = r"""
+WITH t AS (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS subj, 'ex:Customer' AS rdf_type, 'ex:locatedIn' AS pred FROM customer
+  UNION ALL
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR), 'ex:Customer', 'ex:hasName' FROM customer
+  UNION ALL
+  SELECT 'c:' || CAST(o_custkey AS VARCHAR), 'ex:Customer', 'ex:hasOrder' FROM orders
+  UNION ALL
+  SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'ex:Nation', 'ex:inRegion' FROM nation
+),
+per_subj AS (SELECT rdf_type, pred, subj, count(*) AS n FROM t GROUP BY rdf_type, pred, subj),
+totals AS (SELECT rdf_type, count(*) AS n_subjects FROM (SELECT DISTINCT rdf_type, subj FROM t) GROUP BY rdf_type)
+SELECT p.rdf_type, p.pred,
+  CAST(CASE WHEN count(*) < t2.n_subjects THEN 0 ELSE min(p.n) END AS BIGINT) AS min_count,
+  CAST(max(p.n) AS BIGINT) AS max_count,
+  CAST(count(*) AS BIGINT) AS n_subjects_with_pred
+FROM per_subj p JOIN totals t2 USING (rdf_type)
+GROUP BY p.rdf_type, p.pred, t2.n_subjects
 """
 
     sql["dedup_exact"] = r"""

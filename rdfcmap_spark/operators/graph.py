@@ -1,0 +1,102 @@
+"""Graph operators beyond connected components (SURVEY.md G2-G5).
+
+* :func:`bfs_hops` — unweighted shortest-path distances from a seed set via
+  iterative frontier joins (G2, `path/PathFinder.java:94`; the reference
+  runs Jena's single-threaded OntTools.findShortestPath per target). The
+  frontier is the only shuffled data; visited nodes drop out, so per-round
+  cost shrinks; ``localCheckpoint`` per round truncates lineage.
+* :func:`hierarchy_levels` — count of distinct transitive ancestors per
+  node over an rdfs:subClassOf edge list (G4/G5,
+  `VisualizationInfoBuilder.determineClassHierarchyLevel:1155-1208`).
+  Ontology hierarchies are tiny → the closure is computed by iterative
+  joins on a broadcast-sized frame, exactly the "precompute closure on
+  driver" disposition of SURVEY §2.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 20) -> DataFrame:
+    """edges(src, dst) directed, seeds(node) -> (node, hops) minimal hop
+    counts for every node reachable from any seed (seeds at 0)."""
+    known = seeds.select("node").distinct().withColumn("hops", F.lit(0)).localCheckpoint()
+    frontier = known
+    for depth in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges.withColumnRenamed("src", "node"), "node")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(known.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(depth))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        known = known.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return known
+
+
+def hierarchy_levels(subclass_edges: DataFrame, max_depth: int = 15) -> DataFrame:
+    """subclass_edges(child, parent) -> (node, level) where level = number
+    of distinct transitive ancestors (the reference's label-size driver).
+
+    Closure by repeated self-join with dedup; cycle-safe because the
+    ancestor set is monotone and bounded.
+    """
+    closure = subclass_edges.select(
+        F.col("child").alias("node"), F.col("parent").alias("anc")
+    ).distinct().localCheckpoint()
+    for _ in range(max_depth):
+        step = (
+            closure.alias("c")
+            .join(
+                subclass_edges.select(F.col("child").alias("anc"), F.col("parent").alias("anc2")).alias("e"),
+                "anc",
+            )
+            .select("node", F.col("anc2").alias("anc"))
+            .distinct()
+            .join(closure, ["node", "anc"], "left_anti")
+        )
+        step = step.localCheckpoint()
+        if step.isEmpty():
+            break
+        closure = closure.unionByName(step).localCheckpoint()
+    return closure.groupBy("node").agg(F.count_distinct("anc").cast("bigint").alias("level"))
+
+
+def shacl_shapes(typed_triples: DataFrame) -> DataFrame:
+    """Shape summarization (§7.9, `ShapesCreatorPath.java:632-711`): for
+    each (rdf_type, pred), the observed per-subject cardinality bounds ->
+    sh:minCount / sh:maxCount, plus how many subjects carry the property.
+
+    Input: (subj, rdf_type, pred). One narrow two-level aggregation — the
+    natural Spark re-expression of the reference's per-instance shape scan.
+    sh:minCount is 0 when some subject of the type lacks the property.
+    """
+    per_subj = typed_triples.groupBy("rdf_type", "pred", "subj").agg(F.count("*").alias("n"))
+    subj_totals = typed_triples.select("rdf_type", "subj").distinct().groupBy("rdf_type").agg(
+        F.count("*").alias("n_subjects")
+    )
+    return (
+        per_subj.groupBy("rdf_type", "pred")
+        .agg(
+            F.count("*").alias("n_subjects_with_pred"),
+            F.min("n").alias("observed_min"),
+            F.max("n").alias("max_count"),
+        )
+        .join(subj_totals, "rdf_type")
+        .select(
+            "rdf_type",
+            "pred",
+            F.when(F.col("n_subjects_with_pred") < F.col("n_subjects"), F.lit(0))
+            .otherwise(F.col("observed_min"))
+            .cast("bigint")
+            .alias("min_count"),
+            F.col("max_count").cast("bigint"),
+            F.col("n_subjects_with_pred").cast("bigint").alias("n_subjects_with_pred"),
+        )
+    )

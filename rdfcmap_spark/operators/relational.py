@@ -330,6 +330,79 @@ def g1_connected_components(events: DataFrame) -> DataFrame:
     )
 
 
+# --- G2/G4/X4/shapes coverage ------------------------------------------------
+
+
+def g2_shortest_paths(events: DataFrame) -> DataFrame:
+    """G2: min-hop distances from a seed set over the (undirected) user
+    identity graph — iterative frontier BFS (`PathFinder.java:94` ran one
+    Jena DFS per target node, single-threaded)."""
+    from rdfcmap_spark.operators.graph import bfs_hops
+
+    e0 = user_identity_edges(events)
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    seeds = (
+        events.filter(F.col("user_id") < 5)
+        .select(F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("node"))
+        .distinct()
+    )
+    return bfs_hops(edges, seeds).select("node", F.col("hops").cast("int").alias("hops"))
+
+
+def g4_hierarchy_levels(spark) -> DataFrame:
+    """G4/G5: transitive-ancestor counts over the built-in rdfs:subClassOf
+    edge list (`determineClassHierarchyLevel:1155-1208`)."""
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.operators.graph import hierarchy_levels
+
+    edges = spark.createDataFrame(vocab.SUBCLASS_EDGES, "child string, parent string")
+    return hierarchy_levels(edges)
+
+
+def x4_long_comments(part: DataFrame) -> DataFrame:
+    """X4: ``<<prefix:label card>>`` long-comment token extraction
+    (`extractAndReplacePropertiesWithCardinality:748-817`) over planted
+    comment text — regexp_extract_all + posexplode, one codegen pass."""
+    text = (
+        F.when(F.col("p_partkey") % 3 == 0, F.concat(F.lit("note <<af-x:hasPart =1>> on "), F.col("p_name")))
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(
+                F.lit("pre <<af-x:contains >2>> mid <<obo:precedes 2,4>> post "), F.col("p_name")
+            ),
+        )
+        .otherwise(F.col("p_name"))
+    )
+    toks = F.regexp_extract_all(text, F.lit(r"<<([^>]*)>>"), 1)
+    exploded = part.select("p_partkey", text.alias("comment"), F.posexplode_outer(toks).alias("pos", "tok"))
+    return exploded.select(
+        "p_partkey",
+        F.col("pos").cast("int").alias("pos"),
+        F.regexp_extract(F.col("tok"), r"^([a-zA-Z\-]+:[A-Za-z]+)", 1).alias("prop"),
+        F.trim(F.regexp_extract(F.col("tok"), r"^[a-zA-Z\-]+:[A-Za-z]+\s+(.*)$", 1)).alias("card"),
+    )
+
+
+def shacl_shape_summary(customer: DataFrame, orders: DataFrame, nation: DataFrame) -> DataFrame:
+    """§7.9: observed-cardinality shape aggregation over typed triples
+    lifted from the relational tables (sh:minCount=0 when some subject of
+    the type lacks the property — `ShapesCreatorPath.java:632-711`)."""
+    from rdfcmap_spark.operators.graph import shacl_shapes
+
+    c = _s("c_custkey", "c:")
+    t1 = customer.select(c.alias("subj"), F.lit("ex:Customer").alias("rdf_type"), F.lit("ex:locatedIn").alias("pred"))
+    t2 = customer.select(c.alias("subj"), F.lit("ex:Customer").alias("rdf_type"), F.lit("ex:hasName").alias("pred"))
+    t3 = orders.select(
+        _s("o_custkey", "c:").alias("subj"),
+        F.lit("ex:Customer").alias("rdf_type"),
+        F.lit("ex:hasOrder").alias("pred"),
+    )
+    t4 = nation.select(
+        _s("n_nationkey", "n:").alias("subj"), F.lit("ex:Nation").alias("rdf_type"), F.lit("ex:inRegion").alias("pred")
+    )
+    return shacl_shapes(t1.unionByName(t2).unionByName(t3).unionByName(t4))
+
+
 # --- analytics / windows (A-ops, sessionize) ---------------------------------
 
 
