@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_g2_shortest_path": lambda s, d: relational.g2_shortest_paths(load(s, d, "events")),
         "kg_g4_hierarchy_level": lambda s, d: relational.g4_hierarchy_levels(s),
         "kg_x4_long_comments": lambda s, d: relational.x4_long_comments(load(s, d, "part")),
+        "kg_x6_prefix_compact": lambda s, d: relational.x6_prefix_compact(load(s, d, "part")),
         "kg_shacl_shapes": lambda s, d: relational.shacl_shape_summary(
             load(s, d, "customer"), load(s, d, "orders"), load(s, d, "nation")
         ),
@@ -582,6 +583,26 @@ SELECT p_partkey, CAST(CASE WHEN tok IS NULL THEN NULL ELSE pos0 END AS INTEGER)
        CASE WHEN tok IS NULL THEN NULL ELSE regexp_extract(tok, '^([a-zA-Z\-]+:[A-Za-z]+)', 1) END AS prop,
        CASE WHEN tok IS NULL THEN NULL ELSE trim(regexp_extract(tok, '^[a-zA-Z\-]+:[A-Za-z]+\s+(.*)$', 1)) END AS card
 FROM flat
+"""
+
+    sql["kg_x6_prefix_compact"] = r"""
+WITH src AS (
+  SELECT p_partkey,
+    CASE WHEN p_partkey % 4 = 0 THEN 'http://purl.allotrope.org/ontologies/equipment#AFE_' || CAST(p_partkey AS VARCHAR)
+         WHEN p_partkey % 4 = 1 THEN 'http://purl.obolibrary.org/obo/CHEBI_' || CAST(p_partkey AS VARCHAR)
+         WHEN p_partkey % 4 = 2 THEN 'http://www.w3.org/2001/XMLSchema#string'
+         ELSE 'http://example.org/thing/' || CAST(p_partkey AS VARCHAR) END AS iri
+  FROM part
+)
+SELECT p_partkey, iri,
+  CASE WHEN iri LIKE 'http://purl.allotrope.org/ontologies/equipment#%'
+       THEN 'afe:' || substr(iri, strlen('http://purl.allotrope.org/ontologies/equipment#') + 1)
+       WHEN iri LIKE 'http://purl.obolibrary.org/obo/%'
+       THEN 'obo:' || substr(iri, strlen('http://purl.obolibrary.org/obo/') + 1)
+       WHEN iri LIKE 'http://www.w3.org/2001/XMLSchema#%'
+       THEN 'xsd:' || substr(iri, strlen('http://www.w3.org/2001/XMLSchema#') + 1)
+       ELSE '<' || iri || '>' END AS qname
+FROM src
 """
 
     sql["kg_shacl_shapes"] = r"""

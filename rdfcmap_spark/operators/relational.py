@@ -330,6 +330,22 @@ def g1_connected_components(events: DataFrame) -> DataFrame:
     )
 
 
+def x6_prefix_compact(part: DataFrame) -> DataFrame:
+    """X6: namespace->prefix compaction (`CmapUtil.replacePrefixesWithNamespaces:
+    892-941` and inverse) over planted IRIs — the TTL sink's qname logic as a
+    standalone operator. Non-prefixable IRIs stay <wrapped>."""
+    from rdfcmap_spark.sources.ttl import _to_prefixed
+    from rdfcmap_spark import vocab
+
+    iri = (
+        F.when(F.col("p_partkey") % 4 == 0, F.concat(F.lit(vocab.AFE + "AFE_"), F.col("p_partkey").cast("string")))
+        .when(F.col("p_partkey") % 4 == 1, F.concat(F.lit(vocab.OBO + "CHEBI_"), F.col("p_partkey").cast("string")))
+        .when(F.col("p_partkey") % 4 == 2, F.concat(F.lit(vocab.XSD), F.lit("string")))
+        .otherwise(_s("p_partkey", "http://example.org/thing/"))
+    )
+    return part.select("p_partkey", iri.alias("iri"), _to_prefixed(iri).alias("qname"))
+
+
 # --- G2/G4/X4/shapes coverage ------------------------------------------------
 
 

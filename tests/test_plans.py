@@ -1,0 +1,98 @@
+"""Physical-plan audit: the plans we *want*, not just plans that pass.
+
+Asserts predicate pushdown into the parquet scan, broadcast joins for
+dictionary/dimension sides, anti/semi join strategies, map-side partial
+aggregation, absence of cartesian products, and salted-join key spreading.
+(Whole-stage codegen is applied by AQE at runtime; `isFinalPlan=false`
+plans don't print the markers, so we assert the structural properties that
+survive planning.)
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfcmap_spark.operators import dedup, relational, similarity
+from rdfcmap_spark.operators.salting import salted_join
+from rdfcmap_spark.plans.pipeline import linked_sentences
+from rdfcmap_spark.sources.tables import load
+from rdfcmap_spark.synth import transcripts_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan_of(relational.tpch_q1(load(spark, SF, "lineitem")))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert "partial_sum" in plan_of(relational.tpch_q1(load(spark, SF, "lineitem")), "simple")
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = relational.f6_orphan_cleanup(load(spark, SF, "customer"), load(spark, SF, "orders"))
+    p = plan_of(df)
+    # orders side must scan ONLY the join key
+    assert "ReadSchema: struct<o_custkey:bigint>" in p
+
+
+def test_dictionary_joins_are_broadcast(spark):
+    p = plan_of(linked_sentences(transcripts_df(spark, 4, 3), None))
+    assert p.count("BroadcastHashJoin") >= 3  # subj, obj, phrase probes
+    assert "SortMergeJoin" not in p
+
+
+def test_anti_and_semi_strategies(spark):
+    assert "LeftAnti" in plan_of(
+        relational.f6_orphan_cleanup(load(spark, SF, "customer"), load(spark, SF, "orders"))
+    )
+    assert "LeftSemi" in plan_of(
+        relational.f7_stale_edge_sync(load(spark, SF, "orders"), load(spark, SF, "lineitem"))
+    )
+
+
+def test_no_cartesian_products(spark):
+    dfs = [
+        relational.j1_triple_assembly(
+            load(spark, SF, "customer"), load(spark, SF, "nation"), load(spark, SF, "region")
+        ),
+        dedup.lsh_candidate_pairs(load(spark, SF, "documents")),
+        dedup.simhash_pairs(load(spark, SF, "documents")),
+        similarity.topk_clustered(load(spark, SF, "embeddings")),
+    ]
+    for df in dfs:
+        assert "CartesianProduct" not in plan_of(df)
+
+
+def test_topk_broadcasts_query_side(spark):
+    # brute-force scan: corpus stays un-shuffled, tiny query side broadcast
+    p = plan_of(similarity.topk_bruteforce(load(spark, SF, "embeddings")))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_salted_join_correct_and_spread(spark):
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, payload int")
+    out = salted_join(big, small, "k", n_salt=8)
+    plain = big.join(small, "k")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    # the hot key's rows really carry >1 distinct salt (load actually spreads)
+    from rdfcmap_spark.operators.salting import SALT_COL
+
+    salted = big.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8)).cast("int")
+    )
+    n_salts = salted.filter(F.col("k") == "hot").select(SALT_COL).distinct().count()
+    assert n_salts == 8
