@@ -167,6 +167,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_j3_deprecated_redirect": lambda s, d: relational.j3_deprecated_redirect(load(s, d, "part")),
         "kg_j4_twin_join": lambda s, d: relational.j4_twin_join(load(s, d, "orders")),
         "kg_f2_triage": lambda s, d: relational.f2_triage(load(s, d, "orders")),
+        "kg_f3_property_skiplist": lambda s, d: relational.f3_property_skiplist(load(s, d, "orders")),
+        "kg_j5_endpoint_typing": lambda s, d: relational.j5_endpoint_typing(
+            load(s, d, "orders"), load(s, d, "customer")
+        ),
+        "kg_j8_cardinality_match": lambda s, d: relational.j8_cardinality_match(load(s, d, "part")),
+        "kg_a2_instance_assembly": lambda s, d: relational.a2_instance_assembly(
+            load(s, d, "customer"), load(s, d, "nation"), load(s, d, "region")
+        ),
+        "kg_x7_obo_prefix": lambda s, d: relational.x7_obo_prefix(load(s, d, "part")),
+        "kg_x8_camel_case": lambda s, d: relational.x8_qudt_camel_case(load(s, d, "part")),
+        "kg_x13_comments": lambda s, d: relational.x13_comment_annotation(load(s, d, "part")),
         "kg_f6_orphan_cleanup": lambda s, d: relational.f6_orphan_cleanup(
             load(s, d, "customer"), load(s, d, "orders")
         ),
@@ -209,6 +220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "sim_topk_bruteforce": lambda s, d: similarity.topk_bruteforce(load(s, d, "embeddings")),
         "sim_topk_ivf": lambda s, d: similarity.topk_clustered(load(s, d, "embeddings")),
+        "sim_cluster_assign": lambda s, d: similarity.assign_clusters(
+            load(s, d, "embeddings"), similarity.centroids(load(s, d, "embeddings"))
+        ),
         # --- text analysis ---
         "text_token_stats": lambda s, d: textstats.token_stats(load(s, d, "documents")),
         "text_quality": lambda s, d: textstats.quality_scores(load(s, d, "documents")),
@@ -425,7 +439,9 @@ steps AS (
 )
 SELECT p_partkey, dirty, """
         + _X9_SQL_CHAIN
-        + " AS label_norm FROM steps"
+        + r""" AS label_norm,
+      lower(regexp_replace(trim(dirty), '[^A-Za-z0-9]+', '-', 'g')) AS slug
+FROM steps"""
     )
 
     sql["kg_x3_cardinality"] = r"""
@@ -584,6 +600,104 @@ SELECT p_partkey, CAST(CASE WHEN tok IS NULL THEN NULL ELSE pos0 END AS INTEGER)
        CASE WHEN tok IS NULL THEN NULL ELSE trim(regexp_extract(tok, '^[a-zA-Z\-]+:[A-Za-z]+\s+(.*)$', 1)) END AS card
 FROM flat
 """
+
+    sql["kg_f3_property_skiplist"] = r"""
+WITH e AS (
+  SELECT 'e' || CAST(o_orderkey AS VARCHAR) AS edge_id,
+    CASE WHEN o_orderkey % 5 = 0 THEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+         WHEN o_orderkey % 5 = 1 THEN 'http://www.w3.org/2000/01/rdf-schema#subClassOf'
+         WHEN o_orderkey % 5 = 2 THEN 'http://www.w3.org/2002/07/owl#disjointWith'
+         WHEN o_orderkey % 5 = 3 THEN 'http://purl.allotrope.org/ontologies/property#AFX_0000141'
+         ELSE 'http://www.w3.org/2004/02/skos/core#related' END AS pred
+  FROM orders
+)
+SELECT edge_id, pred FROM e
+WHERE NOT (pred LIKE 'http://www.w3.org/1999/02/22-rdf-syntax-ns#%'
+        OR pred LIKE 'http://www.w3.org/2000/01/rdf-schema#%'
+        OR pred LIKE 'http://www.w3.org/2002/07/owl#%')
+"""
+
+    sql["kg_j5_endpoint_typing"] = r"""
+SELECT o_orderkey,
+       CASE WHEN c_nationkey % 2 = 0 THEN 'concept' ELSE 'link' END AS endpoint_type
+FROM orders JOIN customer ON c_custkey = o_custkey
+"""
+
+    sql["kg_j8_cardinality_match"] = r"""
+WITH ann AS (SELECT DISTINCT substr(p_name, 1, 4) AS frag FROM part WHERE p_partkey % 13 = 0)
+SELECT p.p_partkey, a.frag FROM part p JOIN ann a ON strpos(p.p_name, a.frag) > 0
+"""
+
+    sql["kg_a2_instance_assembly"] = r"""
+SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS subj,
+       array_to_string(list_sort(list(lower(n_name) || '=' || 'r:' || CAST(n_regionkey AS VARCHAR))), ';') AS sub_model
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+GROUP BY c_custkey
+"""
+
+    sql["kg_x7_obo_prefix"] = r"""
+WITH src AS (
+  SELECT p_partkey,
+    CASE WHEN p_partkey % 5 = 0 THEN 'BFO_' || CAST(p_partkey AS VARCHAR)
+         WHEN p_partkey % 5 = 1 THEN 'CHEBI_' || CAST(p_partkey AS VARCHAR)
+         WHEN p_partkey % 5 = 2 THEN 'PATO_' || CAST(p_partkey AS VARCHAR)
+         WHEN p_partkey % 5 = 3 THEN 'IAO_' || CAST(p_partkey AS VARCHAR)
+         ELSE p_name END AS local_name
+  FROM part
+)
+SELECT p_partkey, local_name,
+  CASE WHEN local_name LIKE 'BFO\_%' ESCAPE '\' THEN 'bfo'
+       WHEN local_name LIKE 'CHEBI\_%' ESCAPE '\' THEN 'chebi'
+       WHEN local_name LIKE 'PATO\_%' ESCAPE '\' THEN 'pato'
+       WHEN local_name LIKE 'IAO\_%' ESCAPE '\' THEN 'iao'
+       ELSE NULL END AS obo_prefix
+FROM src
+"""
+
+    sql["kg_x8_camel_case"] = r"""
+WITH s AS (
+  SELECT p_partkey, lower(p_name) AS label,
+         regexp_replace(
+           list_aggr(list_transform(string_split(lower(p_name), ' '),
+                                    w -> upper(substr(w,1,1)) || substr(w,2)), 'string_agg', ' '),
+           '\s+', '', 'g') AS camel
+  FROM part
+)
+SELECT p_partkey, label, camel AS class_name,
+       lower(substr(camel,1,1)) || substr(camel,2) AS property_name
+FROM s
+"""
+
+    sql["kg_x13_comments"] = r"""
+SELECT p_partkey,
+       rpad('afe:AFE_' || CAST(p_partkey AS VARCHAR), 40, ' ') || '# ' || lower(p_name) AS annotated
+FROM part
+"""
+
+    sql["sim_cluster_assign"] = (
+        r"""
+WITH pos AS (
+  SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cluster, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS m FROM pos GROUP BY label, pos)
+  GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, c.cluster, """
+        + _COS.format(a="e.embedding", b="c.centroid")
+        + r""" AS cos_sim
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, cluster ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+    )
 
     sql["kg_x6_prefix_compact"] = r"""
 WITH src AS (

@@ -229,7 +229,14 @@ def x9_normalize(part: DataFrame) -> DataFrame:
         .when(F.col("p_partkey") % 4 == 2, F.concat(F.lit("[ "), F.col("p_name"), F.lit(" ]")))
         .otherwise(F.concat(F.col("p_name"), F.lit(", af "), F.col("p_name")))
     )
-    return part.select("p_partkey", dirty.alias("dirty"), normalize_label(dirty).alias("label_norm"))
+    from rdfcmap_spark.functions.normalize import slugify
+
+    return part.select(
+        "p_partkey",
+        dirty.alias("dirty"),
+        normalize_label(dirty).alias("label_norm"),
+        slugify(dirty).alias("slug"),  # X10 filename slugs, same pass
+    )
 
 
 def x3_cardinality(part: DataFrame) -> DataFrame:
@@ -327,6 +334,115 @@ def g1_connected_components(events: DataFrame) -> DataFrame:
     edges = user_identity_edges(events)
     return connected_components(edges).select(
         F.col("entity_id").alias("node"), F.col("canonical_id").alias("comp")
+    )
+
+
+def f3_property_skiplist(orders: DataFrame) -> DataFrame:
+    """F3: drop schema-level predicates before graph traversal
+    (`Turtle2CmapConverter.isPropertyToSkip:1120-1158`) — planted edge
+    stream, one pushed-down disjunction filter."""
+    from rdfcmap_spark import vocab
+
+    pred = (
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(vocab.RDF_TYPE))
+        .when(F.col("o_orderkey") % 5 == 1, F.lit(vocab.RDFS_SUBCLASS_OF))
+        .when(F.col("o_orderkey") % 5 == 2, F.lit(vocab.OWL + "disjointWith"))
+        .when(F.col("o_orderkey") % 5 == 3, F.lit(vocab.AFX + "AFX_0000141"))
+        .otherwise(F.lit(vocab.SKOS_RELATED))
+    )
+    df = orders.select(_s("o_orderkey", "e").alias("edge_id"), pred.alias("pred"))
+    keep = ~(
+        F.col("pred").startswith(vocab.RDF)
+        | F.col("pred").startswith(vocab.RDFS)
+        | F.col("pred").startswith(vocab.OWL)
+    )
+    return df.filter(keep)
+
+
+def j5_endpoint_typing(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """J5: connection-endpoint typing (`RdfUtil.determineConceptRelations:
+    123-180`) — each connection's from-endpoint classified concept-vs-link
+    by ONE join against an aggregated node-type dim (the reference re-looks
+    up rdf:type per connection row)."""
+    types = customer.select(
+        F.col("c_custkey"),
+        F.when(F.col("c_nationkey") % 2 == 0, F.lit("concept")).otherwise(F.lit("link")).alias("node_type"),
+    )
+    return (
+        orders.select("o_orderkey", F.col("o_custkey").alias("c_custkey"))
+        .join(F.broadcast(types), "c_custkey")
+        .select("o_orderkey", F.col("node_type").alias("endpoint_type"))
+    )
+
+
+def j8_cardinality_match(part: DataFrame) -> DataFrame:
+    """J8: the reference's fuzzy cardinality<->statement matching
+    (`updateModel:604-684`) is a contains θ-join; the annotation side is
+    tiny -> broadcast nested-loop, exactly SURVEY §2.3's disposition."""
+    ann = (
+        part.filter(F.col("p_partkey") % 13 == 0)
+        .select(F.substring(F.col("p_name"), 1, 4).alias("frag"))
+        .distinct()
+    )
+    return (
+        part.select("p_partkey", "p_name")
+        .join(F.broadcast(ann), F.instr(F.col("p_name"), F.col("frag")) > 0)
+        .select("p_partkey", "frag")
+    )
+
+
+def a2_instance_assembly(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """A2: group-by-subject instance assembly (`prepareSeparatedModels:
+    2003-2043`) — all statements of a subject collected into one sorted,
+    concatenated sub-model string (deterministic at any parallelism)."""
+    t = j1_triple_assembly(customer, nation, region)
+    stmt = F.concat_ws("=", F.col("link_label"), F.col("to_concept"))
+    return (
+        t.groupBy(F.col("from_concept").alias("subj"))
+        .agg(F.concat_ws(";", F.array_sort(F.collect_list(stmt))).alias("sub_model"))
+    )
+
+
+def x7_obo_prefix(part: DataFrame) -> DataFrame:
+    """X7: OBO prefix inference from the term-local name
+    (`getPrefixForOboTermLabel:835-871`) — a when-ladder."""
+    local = (
+        F.when(F.col("p_partkey") % 5 == 0, F.concat(F.lit("BFO_"), F.col("p_partkey").cast("string")))
+        .when(F.col("p_partkey") % 5 == 1, F.concat(F.lit("CHEBI_"), F.col("p_partkey").cast("string")))
+        .when(F.col("p_partkey") % 5 == 2, F.concat(F.lit("PATO_"), F.col("p_partkey").cast("string")))
+        .when(F.col("p_partkey") % 5 == 3, F.concat(F.lit("IAO_"), F.col("p_partkey").cast("string")))
+        .otherwise(F.col("p_name"))
+    )
+    prefix = (
+        F.when(local.startswith("BFO_"), F.lit("bfo"))
+        .when(local.startswith("CHEBI_"), F.lit("chebi"))
+        .when(local.startswith("PATO_"), F.lit("pato"))
+        .when(local.startswith("IAO_"), F.lit("iao"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return part.select("p_partkey", local.alias("local_name"), prefix.alias("obo_prefix"))
+
+
+def x8_qudt_camel_case(part: DataFrame) -> DataFrame:
+    """X8: qudt label camel-casing (`RdfUtil.java:375-389`): "volume unit"
+    -> class ``VolumeUnit``, property ``volumeUnit``."""
+    label = F.lower(F.col("p_name"))
+    camel = F.regexp_replace(F.initcap(label), r"\s+", "")
+    prop = F.concat(F.lower(F.substring(camel, 1, 1)), F.substring(camel, 2, 10_000))
+    return part.select("p_partkey", label.alias("label"), camel.alias("class_name"), prop.alias("property_name"))
+
+
+def x13_comment_annotation(part: DataFrame) -> DataFrame:
+    """X13: human-readable ``# prefix:prefLabel`` comments appended to ID
+    tokens, padded to a fixed column (`addCommentsWithHumanReadableIds:
+    2248-2317`) — broadcast token->label join + rpad."""
+    ids = part.select(
+        "p_partkey", F.concat(F.lit("afe:AFE_"), F.col("p_partkey").cast("string")).alias("token")
+    )
+    labels = part.select("p_partkey", F.lower(F.col("p_name")).alias("pref_label"))
+    return ids.join(F.broadcast(labels), "p_partkey").select(
+        "p_partkey",
+        F.concat(F.rpad(F.col("token"), 40, " "), F.lit("# "), F.col("pref_label")).alias("annotated"),
     )
 
 
