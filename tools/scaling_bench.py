@@ -49,6 +49,10 @@ def _run_once(cpus: int, parquet: str) -> dict:
         SPARK_GRAFT_PIPELINE_ONLY="1",
         SPARK_GRAFT_TRANSCRIPTS_PARQUET=parquet,
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        # honest N-core simulation: without ActiveProcessorCount the JVM
+        # sizes GC/IO thread pools from the 32 host cores even at local[2],
+        # letting the "small cluster" borrow the big one's cores
+        SPARK_DRIVER_JAVA_OPTIONS=f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus}",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
