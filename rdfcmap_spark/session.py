@@ -22,7 +22,11 @@ def build_session(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cpus, 8)
+        # 4x cores: memory-heavy hash aggregations (the 15M-key triple
+        # dedup) spill with one fat partition per core (measured 54s -> 35s
+        # at 8 cores); AQE coalescePartitions shrinks small stages back, so
+        # the higher initial count costs nothing elsewhere
+        shuffle_partitions = max(4 * cpus, 16)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -1,0 +1,58 @@
+"""Seeded fuzz: the Column implementations must match their Python mirrors
+byte-for-byte on adversarial inputs (the pure-regex comma-list rewrite of
+normalize_label is only valid if it IS normalize_label_py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+from rdfcmap_spark.functions.cardinality import classify_cols, classify_py
+from rdfcmap_spark.functions.normalize import normalize_label, normalize_label_py
+
+_ATOMS = [
+    "af", "AF x", "afx", " af-term", "reactor", "peak area", ",", ", ,", "[", "]",
+    "(CHEBI_15377)", "(AFX_0012345)", "(afe:Stirrer)", "(bad", "instance of",
+    "instance:thing 9", "NamedIndividual", "&#10;", "&#xa;", "  ", "é", "x,y,z",
+    "AF", "a f", "0", "café, AFFE", "instance:", "()",
+]
+
+
+def _fuzz_strings(n: int = 400) -> list[str]:
+    rng = random.Random(20260817)
+    out = []
+    for i in range(n):
+        k = rng.randint(1, 6)
+        out.append("".join(rng.choice(_ATOMS) for _ in range(k)))
+    # hash-derived ascii soup too
+    for i in range(100):
+        h = hashlib.md5(f"fuzz|{i}".encode()).hexdigest()
+        out.append(",".join(h[j : j + 4] for j in range(0, 16, 4)))
+    return out
+
+
+def test_normalize_column_equals_python(spark):
+    cases = _fuzz_strings()
+    df = spark.createDataFrame([(c,) for c in cases], "label string")
+    rows = df.select("label", normalize_label(F.col("label")).alias("norm")).collect()
+    for r in rows:
+        assert r["norm"] == normalize_label_py(r["label"]), repr(r["label"])
+
+
+_CARD_ATOMS = ["=", "1", "23", ">", "<", ",", " ", "[", "]", "5 7", "=2", "x"]
+
+
+def test_cardinality_column_equals_python(spark):
+    rng = random.Random(99)
+    cases = ["".join(rng.choice(_CARD_ATOMS) for _ in range(rng.randint(0, 4))) for _ in range(300)]
+    t, mn, mx = classify_cols(F.col("card"))
+    df = spark.createDataFrame([(c,) for c in cases], "card string")
+    rows = df.select("card", t.alias("t"), mn.alias("mn"), mx.alias("mx")).collect()
+    for r in rows:
+        exp = classify_py(r["card"])
+        got = None if r["t"] is None else (r["t"], r["mn"], r["mx"])
+        want = None if exp is None else (exp.card_type, exp.card_min, exp.card_max)
+        assert got == want, repr(r["card"])
