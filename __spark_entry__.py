@@ -212,6 +212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dedup.exact_dedup(load(s, d, "documents")),
         "dedup_minhash_lsh": lambda s, d: dedup.lsh_candidate_pairs(load(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(load(s, d, "documents")),
+        "dedup_lsh_verified": lambda s, d: dedup.ngram_jaccard_verify(
+            load(s, d, "documents"), dedup.lsh_candidate_pairs(load(s, d, "documents"))
+        ),
         "dedup_simhash": lambda s, d: dedup.simhash_signatures(load(s, d, "documents")),
         "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(load(s, d, "documents")),
         "dedup_embedding_cosine": lambda s, d: similarity.embedding_dup_pairs(
@@ -772,6 +775,34 @@ FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 """
     )
 
+    sql["dedup_lsh_verified"] = (
+        "WITH "
+        + _MINHASH_CTE
+        + r""",
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+allc AS (
+  SELECT c.a, c.b, coalesce(i.n_inter, 0) AS n_inter
+  FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+)
+SELECT allc.a, allc.b, allc.n_inter,
+       (sa.n_sh + sb.n_sh - allc.n_inter) AS n_union,
+       round(CAST(allc.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - allc.n_inter), 5) AS jaccard
+FROM allc JOIN sizes sa ON sa.doc_id = allc.a JOIN sizes sb ON sb.doc_id = allc.b
+"""
+    )
+
     sql["dedup_simhash"] = "WITH " + _SIMHASH_CTE + "\nSELECT doc_id, simhash FROM sig"
 
     sql["dedup_simhash_pairs"] = (
@@ -788,7 +819,7 @@ cand AS (
   FROM banded l JOIN banded r ON l.band = r.band AND l.band_val = r.band_val
   WHERE l.doc_id < r.doc_id
 )
-SELECT a, b, hamming FROM cand WHERE hamming <= 6
+SELECT a, b, hamming FROM cand WHERE hamming <= 3
 """
     )
 
@@ -865,8 +896,12 @@ SELECT doc_id,
 FROM f
 """
 
+    # \b is ASCII-only in RE2 too — non-ASCII marker sets (zh) use a plain
+    # alternation, mirroring textstats._word_re exactly
     _LANG_SCORES = ",\n  ".join(
-        "CAST(len(regexp_extract_all(text, '\\b(" + "|".join(words) + ")\\b')) AS BIGINT) AS score_" + lang
+        "CAST(len(regexp_extract_all(text, '"
+        + textstats._word_re(words)
+        + "')) AS BIGINT) AS score_" + lang
         for lang, words in sorted(textstats.LANG_MARKERS.items())
     )
     sql["text_langid"] = (
@@ -895,7 +930,7 @@ SELECT doc_id,
   CAST(strlen(text) AS BIGINT) AS n_bytes,
   md5(text) AS checksum,
   CAST(strlen(text) % 640 AS INTEGER) AS width,
-  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS height,
+  CAST(strlen(text) % 480 AS INTEGER) AS height,
   CAST(1 + strlen(text) % 16 AS INTEGER) AS n_frames
 FROM documents
 """

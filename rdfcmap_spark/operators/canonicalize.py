@@ -79,8 +79,20 @@ def _driver_cc(und: DataFrame) -> DataFrame:
     return spark.createDataFrame(out, "entity_id string, canonical_id string")
 
 
+#: ~500k edges × 2 string cols ≈ tens of MB pandas on the driver — safely
+#: inside a 16g driver heap. (5M was ~10× too brave: multi-GB toPandas plus a
+#: Python dict union-find over 10M strings.)
+DRIVER_CC_MAX_EDGES = 500_000
+
+#: rewrite_triples broadcasts the canonical mapping only below this row count
+#: (~2 short string cols ≈ 100 bytes/row → ~100 MB executor-resident). Above
+#: it the hint is dropped and AQE/SMJ decides — a too-big forced broadcast
+#: fails the job instead of degrading.
+BROADCAST_MAPPING_MAX_ROWS = 1_000_000
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 5_000_000
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int = DRIVER_CC_MAX_EDGES
 ) -> DataFrame:
     """edges(src, dst) -> mapping(entity_id, canonical_id).
 
@@ -142,22 +154,32 @@ def connected_components(
     return labels.select(F.col("node").alias("entity_id"), F.col("comp").alias("canonical_id"))
 
 
-def rewrite_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+def rewrite_triples(
+    triples: DataFrame, mapping: DataFrame, n_mapping: int | None = None
+) -> DataFrame:
     """Rewrite subj and obj_iri through the canonical mapping, then enforce
     RDF set semantics (dropDuplicates on the triple key, keeping the min
     provenance — deterministic).
 
-    Two shuffle joins on (subj) and (obj_iri); the mapping side is usually
-    far smaller than the triples side (only merged entities), so AQE
-    broadcast-converts it when it fits.
+    The mapping (merged entities only) usually sits right at the 10MB
+    auto-broadcast threshold, where AQE would fall back to two full
+    sort-merge shuffles of the triples table — so we hint ``broadcast`` when
+    the mapping is measured small. But the hint is a hard commitment (a
+    forced broadcast that no longer fits OOMs executors instead of degrading)
+    and identity-merge volume grows with data, so it is **size-gated**: above
+    :data:`BROADCAST_MAPPING_MAX_ROWS` the hint is dropped and Catalyst/AQE
+    pick the physical join. Pass ``n_mapping`` if the row count is already
+    known (the CC loop materializes the mapping) to skip the extra count job.
+
+    Both joins probe the SAME broadcast subplan (only the join condition
+    differs) so ReuseExchange builds it once, halving driver-serial
+    broadcast-build time.
     """
-    # explicit broadcast: the mapping (merged entities only) is ~2 string
-    # cols and sits right at the 10MB auto-threshold — without the hint AQE
-    # falls back to two full sort-merge shuffles of the triples table.
-    # Both joins probe the SAME broadcast subplan (only the join condition
-    # differs) so ReuseExchange builds it once, halving driver-serial
-    # broadcast-build time.
-    m = F.broadcast(mapping)
+    if n_mapping is None:
+        # mapping comes out of connected_components checkpointed/materialized
+        # — one cheap count job over a tiny frame
+        n_mapping = mapping.count()
+    m = F.broadcast(mapping) if n_mapping <= BROADCAST_MAPPING_MAX_ROWS else mapping
     ms, mo = m.alias("ms"), m.alias("mo")
     out = (
         triples.join(ms, F.col("subj") == F.col("ms.entity_id"), "left")

@@ -34,7 +34,10 @@ from rdfcmap_spark.operators.textstats import N_SHINGLE, shingles
 N_PERM = 16  #: minhash permutations
 N_BANDS = 4  #: LSH bands (rows per band = N_PERM / N_BANDS)
 SIMHASH_BITS = 32
-SIMHASH_MAX_HAMMING = 6
+#: 4 bands of 8 bits guarantee a shared band only for Hamming <= 3 (pigeonhole:
+#: 4+ differing bits can spread over all four bytes). The verify threshold must
+#: not exceed the blocking guarantee or pairs are silently missed.
+SIMHASH_MAX_HAMMING = 3
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -105,26 +108,10 @@ def lsh_candidate_pairs(docs: DataFrame, n_perm: int = N_PERM, n_bands: int = N_
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, block_cols: tuple[str, ...] = ("lang", "source"), min_jaccard: float = 0.0
-) -> DataFrame:
-    """Exact word-n-gram Jaccard for every pair within a blocking group.
-
-    (a, b, n_inter, n_union, jaccard). Blocking on (lang, source) keeps the
-    pair count per group bounded; the intersection is computed as a
-    shingle-level equi-join (never materializing token sets on the driver).
-    Jaccard is one integer division rounded to 5 dp (cross-engine stable).
-    """
-    sh = shingles(docs, N_SHINGLE).join(docs.select("doc_id", *block_cols), "doc_id")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    left = sh.select(*block_cols, F.col("doc_id").alias("a"), "shingle")
-    right = sh.select(*block_cols, F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        left.join(right, [*block_cols, "shingle"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, min_jaccard: float) -> DataFrame:
+    """(a, b, n_inter) ⋈ per-doc shingle counts -> (a, b, n_inter, n_union,
+    jaccard[5dp]). Jaccard is one integer division rounded to 5 dp
+    (cross-engine stable)."""
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
         .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
@@ -144,29 +131,90 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_jaccard_verify(
+    docs: DataFrame, candidates: DataFrame, min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for a **given candidate pair set** — the
+    verification stage behind :func:`lsh_candidate_pairs`.
+
+    (a, b, n_inter, n_union, jaccard). Cost is O(|candidates| × shingles per
+    doc), never quadratic in any block: the candidate list is joined to the
+    a-side shingles on ``doc_id`` (an equi-join that fans each pair out by
+    a's shingle count — linear), then semi-matched against the b-side
+    shingles on ``(doc_id, shingle)``. This is the shape that survives
+    100 TB: total work tracks the LSH candidate volume, which banding keeps
+    ~linear in corpus size.
+    """
+    sh = shingles(docs, N_SHINGLE)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cand = candidates.select("a", "b").distinct()
+    a_sh = cand.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+    inter = (
+        a_sh.join(sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    # candidates with zero shingle overlap still get a row (jaccard 0) so the
+    # verify output covers the full candidate set
+    zero = cand.join(inter.select("a", "b"), ["a", "b"], "left_anti").select(
+        "a", "b", F.lit(0).cast("bigint").alias("n_inter")
+    )
+    return _jaccard_from_inter(inter.unionByName(zero), sizes, min_jaccard)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, block_cols: tuple[str, ...] = ("lang", "source"), min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for every pair within a blocking group.
+
+    (a, b, n_inter, n_union, jaccard). **Small-block fallback only** — the
+    intersection is a shingle-level equi-join computing ALL pairs within a
+    (lang, source) block, which is quadratic in block size; at corpus scale
+    use :func:`ngram_jaccard_verify` over :func:`lsh_candidate_pairs`
+    output instead (the ``dedup_lsh_verified`` driver query).
+    """
+    sh = shingles(docs, N_SHINGLE).join(docs.select("doc_id", *block_cols), "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    left = sh.select(*block_cols, F.col("doc_id").alias("a"), "shingle")
+    right = sh.select(*block_cols, F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        left.join(right, [*block_cols, "shingle"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, min_jaccard)
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash over word tokens (with
     multiplicity). Token hash = first 8 md5 hex chars as a 32-bit int; each
     bit contributes ±1; bit set iff the signed sum is > 0.
 
-    Layout: one row per (token occurrence) × 32 bit positions, two-level
-    aggregate. At scale the bit-position explode is a constant 32× on a
-    *token-hash* stream (ints, not text), partial-aggregated map-side.
+    Layout: token occurrences are first collapsed to (doc_id, token_hash,
+    count) — a map-side-combined aggregate on ints — and only *distinct*
+    hashes are exploded 32×, contributing ±count per bit. Same signed sums as
+    per-occurrence ±1, but the 32× blow-up rides on the distinct-hash stream
+    instead of the raw token stream (~corpus-redundancy× less shuffle input).
     """
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
     h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
-    bits = tok.select(
+    hashed = tok.select("doc_id", h.alias("h")).groupBy("doc_id", "h").agg(
+        F.count("*").alias("w")
+    )
+    bits = hashed.select(
         "doc_id",
-        h.alias("h"),
+        "h",
+        "w",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("pos"),
     )
     signed = bits.select(
         "doc_id",
         "pos",
-        F.when(F.expr("shiftright(h, pos)").bitwiseAND(F.lit(1)) == 1, F.lit(1))
-        .otherwise(F.lit(-1))
+        F.when(F.expr("shiftright(h, pos)").bitwiseAND(F.lit(1)) == 1, F.col("w"))
+        .otherwise(-F.col("w"))
         .alias("s"),
     )
     return (
@@ -186,7 +234,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
     """Near-dup pairs by SimHash: block on any equal byte (4 bands of 8
     bits — a pair within Hamming ≤3 of a 32-bit hash must agree on ≥1 byte),
-    verify with bit_count(xor) ≤ max_hamming.
+    verify with bit_count(xor) ≤ max_hamming. ``max_hamming`` must stay ≤ 3
+    or the banding no longer guarantees candidate recall (see
+    :data:`SIMHASH_MAX_HAMMING`).
     """
     sig = simhash_signatures(docs)
     banded = sig.select(

@@ -59,10 +59,14 @@ def ingest_media(docs: DataFrame) -> DataFrame:
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for the real decoder. Replace body with e.g.
-    ``PIL.Image.open(io.BytesIO(payload)).size`` on a cluster with codecs."""
+    ``PIL.Image.open(io.BytesIO(payload)).size`` on a cluster with codecs.
+
+    All three dims derive from the byte *length* only — a content-byte peek
+    (payload[0]) and the oracle's codepoint peek (ascii(substr(...))) diverge
+    on non-ASCII-leading payloads, so both engines use the same quantity by
+    construction."""
     n = len(payload)
-    first = payload[0] if n else 0
-    return n % 640, first, 1 + n % 16
+    return n % 640, n % 480, 1 + n % 16
 
 
 def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:

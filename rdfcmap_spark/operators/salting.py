@@ -23,12 +23,27 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+#: join types whose output is correct under n_salt-way small-side replication
+#: (the big side is preserved / probed; the small side only matches). 'right'/
+#: 'full' would duplicate unmatched small-side rows n_salt times.
+_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+
+
 def salted_join(
     big: DataFrame, small: DataFrame, key: str, n_salt: int = 16, how: str = "inner"
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``key`` with the hot-key load spread over
     ``n_salt`` reducers. Deterministic (salt is a hash of the big row, not
-    rand()) so output is invariant to partitioning and resumable."""
+    rand()) so output is invariant to partitioning and resumable.
+
+    Only big-side-preserving join types are allowed — small-side-preserving
+    semantics ('right'/'full') would emit each unmatched small-side row once
+    per salt replica."""
+    if how not in _SAFE_HOW:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — the small side is replicated "
+            f"{n_salt}x; use one of {sorted(_SAFE_HOW)}"
+        )
     big_s = big.withColumn(
         SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salt)).cast("int")
     )

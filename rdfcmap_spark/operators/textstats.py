@@ -43,7 +43,12 @@ N_SHINGLE = 3  #: word n-gram size for fingerprint / jaccard / minhash
 
 
 def _word_re(words: list[str]) -> str:
-    return r"\b(" + "|".join(words) + r")\b"
+    """Alternation over marker words. ``\\b`` is an **ASCII** word boundary in
+    both Java regex and RE2 — wrapping CJK characters in it matches nothing —
+    so non-ASCII marker sets get a plain (unanchored) alternation instead."""
+    if all(w.isascii() for w in words):
+        return r"\b(" + "|".join(words) + r")\b"
+    return "(" + "|".join(words) + ")"
 
 
 def token_stats(docs: DataFrame) -> DataFrame:

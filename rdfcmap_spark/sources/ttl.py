@@ -44,7 +44,10 @@ def _to_prefixed(iri_col):
 
 
 def _esc_literal(lex):
-    c = F.regexp_replace(lex, r"\\", r"\\\\")
+    # NUL is forbidden in Turtle literals and doubles as read_ttl's unescape
+    # sentinel — strip it before escaping
+    c = F.regexp_replace(lex, "\x00", "")
+    c = F.regexp_replace(c, r"\\", r"\\\\")
     c = F.regexp_replace(c, '"', '\\\\"')
     c = F.regexp_replace(c, "\n", "\\\\n")
     c = F.regexp_replace(c, "\r", "\\\\r")
@@ -121,11 +124,16 @@ def read_ttl(spark: SparkSession, path: str) -> DataFrame:
         return out
 
     def unesc(col):
-        c = F.regexp_replace(col, r"\\t", "\t")
+        # `\\` FIRST (via a NUL sentinel, stripped on write) so a literal
+        # backslash followed by t/n/r/" — e.g. 'C:\new' escaped to 'C:\\new'
+        # — is not mis-decoded by the char escapes; mirrors the write-side
+        # order (backslash first).
+        c = F.regexp_replace(col, r"\\\\", "\x00")
+        c = F.regexp_replace(c, r"\\t", "\t")
         c = F.regexp_replace(c, r"\\r", "\r")
         c = F.regexp_replace(c, r"\\n", "\n")
         c = F.regexp_replace(c, r'\\"', '"')
-        c = F.regexp_replace(c, r"\\\\", r"\\")
+        c = F.regexp_replace(c, "\x00", r"\\")  # replaceAll: `\\` -> one backslash
         return c
 
     subj_t, pred_t, lit_lex, lit_dt, obj_t = g(1), g(2), g(3), g(4), g(5)

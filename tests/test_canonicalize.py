@@ -8,7 +8,12 @@ import hashlib
 import pytest
 from pyspark.sql import functions as F
 
-from rdfcmap_spark.operators.canonicalize import connected_components, identity_edges
+from rdfcmap_spark.operators.canonicalize import (
+    BROADCAST_MAPPING_MAX_ROWS,
+    connected_components,
+    identity_edges,
+    rewrite_triples,
+)
 
 
 def _random_edges(n_nodes: int, n_edges: int, seed: str) -> list[tuple[str, str]]:
@@ -55,6 +60,52 @@ def test_identity_edges_star_not_quadratic(spark):
     mapping = connected_components(edges)
     comps = {r["canonical_id"] for r in mapping.collect()}
     assert comps == {"e0", "e900"}
+
+
+def _mini_triples(spark):
+    rows = [
+        ("e1", "p:knows", "iri", "e2", None, None, "c1", 0),
+        ("e2", "p:knows", "iri", "e3", None, None, "c1", 1),
+        ("e3", "p:title", "literal", None, "three", "xsd:string", "c2", 0),
+        ("e9", "p:knows", "iri", "e1", None, None, "c2", 1),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind string, obj_iri string, "
+        "obj_lexical string, obj_datatype string, conv_id string, turn_idx int",
+    )
+
+
+def test_rewrite_broadcast_gate_paths_equal(spark):
+    """The size-gated broadcast in rewrite_triples: hinted (small mapping)
+    and unhinted (mapping declared above the gate, auto-broadcast disabled so
+    the join really runs as SMJ) produce identical triples."""
+    triples = _mini_triples(spark)
+    mapping = spark.createDataFrame(
+        [("e2", "e1"), ("e3", "e1")], "entity_id string, canonical_id string"
+    )
+    hinted = rewrite_triples(triples, mapping, n_mapping=2)
+    assert "broadcast" in hinted._jdf.queryExecution().optimizedPlan().toString().lower()
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        unhinted = rewrite_triples(triples, mapping, n_mapping=BROADCAST_MAPPING_MAX_ROWS + 1)
+        plan = unhinted._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "broadcast" not in plan  # gate really dropped the hint
+        got = sorted(map(tuple, unhinted.collect()))
+    finally:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+    assert got == sorted(map(tuple, hinted.collect()))
+    # e2/e3 rewritten to e1 on both sides; self-loops collapse under set semantics
+    subjects = {r[0] for r in got}
+    assert "e2" not in subjects and "e3" not in subjects
 
 
 def test_mapping_invariant_to_partitioning(spark):

@@ -79,6 +79,28 @@ def test_topk_broadcasts_query_side(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_lsh_verify_consumes_candidates(spark):
+    """The Jaccard verify stage must be keyed on the LSH candidate pairs —
+    never a (lang, source) block-wide all-pairs join (the round-1 scale
+    hazard). Structural check: the plan reads only doc_id/text (no blocking
+    columns) and contains the band-bucket join that produces candidates."""
+    docs = load(spark, SF, "documents")
+    df = dedup.ngram_jaccard_verify(docs, dedup.lsh_candidate_pairs(docs))
+    p = plan_of(df)
+    assert "band_key" in p
+    assert "lang:string" not in p and "source:string" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    big = spark.createDataFrame([("k", 1)], "k string, v int")
+    small = spark.createDataFrame([("k", 2)], "k string, w int")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(big, small, "k", n_salt=4, how="right")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(big, small, "k", n_salt=4, how="full")
+
+
 def test_salted_join_correct_and_spread(spark):
     big = spark.range(0, 2000).select(
         F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),

@@ -30,6 +30,10 @@ CASES = [
     ("urn:uuid:s3", vocab.DCT + "identifier", "literal", None, "ID-0001", vocab.XSD_STRING),
     # literal needing escapes
     ("urn:uuid:s3", vocab.DCT_TITLE, "literal", None, 'say "hi"\nnow', vocab.XSD_STRING),
+    # literal BACKSLASH followed by t/n/r/" — the single-pass unescape
+    # regression (a char-escape-first decoder turns 'C:\new' into 'C:'+\n)
+    ("urn:uuid:s3", vocab.DCT_TITLE, "literal", None, r"C:\new\target", vocab.XSD_STRING),
+    ("urn:uuid:s3", vocab.DCT_TITLE, "literal", None, "back\\\\slash \\\" mix\tand\\ttab", vocab.XSD_STRING),
     # non-prefixable IRIs stay <wrapped>
     ("http://example.org/x y", "http://example.org/p", "iri", "http://example.org/o#1", None, None),
 ]
