@@ -37,11 +37,18 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic transcripts, ALSO persisted to the fixed
+    parquet location the DuckDB pipeline oracle reads
+    (rdfcmap_spark.oracle.TRANSCRIPTS_ORACLE_PATH) — this is what upgrades
+    the four pipeline-level queries from rows-only to hash-checked."""
+    from rdfcmap_spark.oracle import TRANSCRIPTS_ORACLE_PATH
     from rdfcmap_spark.synth import transcripts_df
 
     sf = _sf_of(sf_dir)
     n_convs = max(8, int(400 * sf))
-    return transcripts_df(spark, n_convs=n_convs, turns_per_conv=8)
+    tr = transcripts_df(spark, n_convs=n_convs, turns_per_conv=8)
+    tr.write.mode("overwrite").parquet(TRANSCRIPTS_ORACLE_PATH)
+    return spark.read.parquet(TRANSCRIPTS_ORACLE_PATH)
 
 
 def _kg_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,6 +748,17 @@ SELECT p.rdf_type, p.pred,
 FROM per_subj p JOIN totals t2 USING (rdf_type)
 GROUP BY p.rdf_type, p.pred, t2.n_subjects
 """
+
+    # --- the four pipeline-level queries: full-pipeline SQL re-implementation
+    # (sentence split -> regex extract -> normalize -> link -> mint uuid3 ->
+    # assemble -> recursive-CTE union-find -> set semantics) over the
+    # transcripts parquet written by _synth_transcripts
+    from rdfcmap_spark import oracle as _oracle
+
+    sql["kg_pipeline_full"] = _oracle.pipeline_full_sql()
+    sql["kg_staged_resume"] = _oracle.pipeline_full_sql()
+    sql["kg_ttl_roundtrip"] = _oracle.ttl_roundtrip_sql()
+    sql["kg_canonical_mapping"] = _oracle.canonical_mapping_sql()
 
     sql["dedup_exact"] = r"""
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -1,0 +1,319 @@
+"""DuckDB oracle SQL for the full text->KG pipeline.
+
+Round 1 left the four pipeline-level driver queries (``kg_pipeline_full``,
+``kg_canonical_mapping``, ``kg_staged_resume``, ``kg_ttl_roundtrip``)
+rows-only; this module closes that gap by re-implementing the *entire*
+pipeline — sentence split, mention regexes, X9 normalization, alias
+resolution, UUIDv3 entity minting, cardinality grammar, literal typing and
+quarantine, identity edges, union-find canonicalization (recursive CTE), and
+RDF set semantics with min-provenance — as one self-contained DuckDB query
+over the transcripts parquet the Spark query writes to
+:data:`TRANSCRIPTS_ORACLE_PATH`.
+
+Everything here is *generated from the same Python constants the Spark
+pipeline uses* (regexes, alias rows, unit map, datatype map), so the two
+engines cannot silently drift: change a constant and both sides change.
+"""
+
+from __future__ import annotations
+
+from rdfcmap_spark import vocab
+from rdfcmap_spark.functions.literals import _VALID_LEX
+from rdfcmap_spark.ids import uuid_sql
+from rdfcmap_spark.operators.linking import resolved_alias_rows
+from rdfcmap_spark.operators.mentions import LIT_RE, REL_RE, SENT_SPLIT_RE
+
+#: fixed location the pipeline driver queries write the synthesized
+#: transcripts to (overwrite per run), so the oracle reads the same input
+TRANSCRIPTS_ORACLE_PATH = "/tmp/rdfcmap_spark_oracle/transcripts"
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _norm_sql(expr: str) -> str:
+    """The X9 normalization ladder (normalize_label) over a SQL expression.
+
+    Mirrors `rdfcmap_spark.functions.normalize.normalize_label` step for
+    step: entity-escape strip, bracket strip, 'instance of'/'NamedIndividual'
+    removal, trailing instance:… strip, (AFX_1234567)/(prefix:Term)
+    extraction, comma-list disambiguation preferring af* elements, then
+    whitespace collapse + lower.
+    """
+    c7 = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        "replace(replace("
+        f"regexp_replace(regexp_replace({expr}, '&#10;|&#xa;', '', 'g'), '[\\[\\]]', '', 'g'),"
+        " 'instance of', ''), 'NamedIndividual', ''),"
+        " '(?i)(instance:[a-zA-Z0-9\\s]+)$', '', 'g'),"
+        " '\\(([A-Z]+_[0-9]{5,7})\\)', '', 'g'),"
+        " '\\(([a-zA-Z\\-]+:[a-zA-Z]+)\\)', '', 'g'))"
+    )
+    return (
+        "lower(trim(regexp_replace("
+        f"CASE WHEN len(string_split({c7}, ',')) > 1 "
+        f"THEN trim(coalesce("
+        f"list_filter(string_split({c7}, ','), p -> lower(trim(p)) LIKE 'af%')[1], "
+        f"string_split({c7}, ',')[1])) "
+        f"ELSE {c7} END, '\\s+', ' ', 'g')))"
+    )
+
+
+def _dict_values() -> str:
+    rows = ", ".join(
+        f"('{_sq(label)}', '{_sq(iri)}', '{kind}')" for label, iri, kind in resolved_alias_rows()
+    )
+    return f"(VALUES {rows}) AS adict(label_norm, resolved_iri, term_kind)"
+
+
+def _unit_rewrite_sql(obj: str, pred: str) -> str:
+    cases = " ".join(
+        f"WHEN '{_sq(ind)}' THEN '{_sq(cls)}'"
+        for ind, cls in vocab.UNIT_INDIVIDUAL_TO_CLASS.items()
+    )
+    return (
+        f"CASE WHEN {pred} = '{vocab.QUDT_UNIT}' "
+        f"THEN (CASE {obj} {cases} ELSE {obj} END) ELSE {obj} END"
+    )
+
+
+def _dt_map_sql(local: str) -> str:
+    cases = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in vocab.KNOWN_DATATYPES.items())
+    return f"(CASE {local} {cases} ELSE '{vocab.XSD_STRING}' END)"
+
+
+def _lex_valid_sql(local: str, lex: str) -> str:
+    cases = " ".join(
+        f"WHEN {local} = '{k}' THEN regexp_matches({lex}, '{rx}')"
+        for k, rx in _VALID_LEX.items()
+    )
+    return f"(CASE {cases} ELSE true END)"
+
+
+def _ent_uuid(conv: str, norm: str) -> str:
+    return "'urn:uuid:' || " + uuid_sql(f"'ent|' || {conv} || '|' || {norm}")
+
+
+def _base_ctes() -> str:
+    """CTE chain from the transcripts parquet to all_triples + mapping."""
+    dict_values = _dict_values()
+    subj_ent = (
+        "CASE WHEN sd.term_kind = 'individual' THEN sd.resolved_iri "
+        f"ELSE {_ent_uuid('p.conv_id', 'p.subj_norm')} END"
+    )
+    obj_ent = (
+        "CASE WHEN p.obj_norm IS NULL THEN NULL "
+        "WHEN od.term_kind = 'individual' THEN od.resolved_iri "
+        f"ELSE {_ent_uuid('p.conv_id', 'p.obj_norm')} END"
+    )
+    card_node = "'urn:uuid:' || " + uuid_sql(
+        "'card|' || conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|' || CAST(sent_idx AS VARCHAR)"
+    )
+    return f"""
+tr AS (SELECT * FROM read_parquet('{TRANSCRIPTS_ORACLE_PATH}/*.parquet')),
+sent0 AS (
+  SELECT conv_id, turn_idx, generate_subscripts(parts, 1) - 1 AS sent_idx, unnest(parts) AS sentence
+  FROM (SELECT conv_id, turn_idx, string_split_regex(text, '{SENT_SPLIT_RE}') AS parts FROM tr)
+),
+sent AS (SELECT * FROM sent0 WHERE trim(sentence) <> ''),
+raw AS (
+  SELECT conv_id, turn_idx, sent_idx, sentence,
+    regexp_extract(sentence, '{LIT_RE}', 1) AS lit_subj,
+    regexp_extract(sentence, '{REL_RE}', 1) AS rel_subj
+  FROM sent
+),
+parsed0 AS (
+  SELECT conv_id, turn_idx, sent_idx, sentence,
+    CASE WHEN lit_subj <> '' THEN 'literal'
+         WHEN rel_subj <> '' THEN 'relation'
+         ELSE 'none' END AS form,
+    CASE WHEN lit_subj <> '' THEN lit_subj
+         WHEN rel_subj <> '' THEN rel_subj END AS subj,
+    CASE WHEN lit_subj <> '' THEN regexp_extract(sentence, '{LIT_RE}', 2)
+         WHEN rel_subj <> '' THEN regexp_extract(sentence, '{REL_RE}', 2) END AS phrase,
+    CASE WHEN lit_subj = '' AND rel_subj <> '' THEN regexp_extract(sentence, '{REL_RE}', 3) END AS card,
+    CASE WHEN lit_subj = '' AND rel_subj <> ''
+         THEN trim(regexp_replace(regexp_extract(sentence, '{REL_RE}', 4), '^\\[\\s*|\\s*\\]$', '', 'g')) END AS obj,
+    CASE WHEN lit_subj = '' AND rel_subj <> ''
+         THEN starts_with(regexp_extract(sentence, '{REL_RE}', 4), '[') ELSE false END AS obj_bnode,
+    CASE WHEN lit_subj <> '' THEN regexp_extract(sentence, '{LIT_RE}', 3) END AS lex,
+    CASE WHEN lit_subj <> '' THEN regexp_extract(sentence, '{LIT_RE}', 4) END AS dt_local
+  FROM raw
+),
+parsed AS (
+  SELECT *, {_norm_sql('subj')} AS subj_norm, {_norm_sql('obj')} AS obj_norm,
+         {_norm_sql('phrase')} AS phrase_norm
+  FROM parsed0 WHERE form <> 'none'
+),
+adict AS (SELECT * FROM {dict_values}),
+linked AS (
+  SELECT p.*,
+    sd.resolved_iri AS subj_res, sd.term_kind AS subj_kind,
+    od.resolved_iri AS obj_res, od.term_kind AS obj_kind_term,
+    pd.resolved_iri AS pred_iri,
+    {subj_ent} AS subj_entity,
+    {obj_ent} AS obj_entity,
+    CASE WHEN od.term_kind = 'individual' THEN 'iri'
+         WHEN p.obj_bnode THEN 'bnode' ELSE 'iri' END AS obj_kind
+  FROM parsed p
+  LEFT JOIN adict sd ON sd.label_norm = p.subj_norm
+  LEFT JOIN adict od ON od.label_norm = p.obj_norm
+  LEFT JOIN (SELECT * FROM adict WHERE term_kind IN ('objectProperty', 'datatypeProperty')) pd
+    ON pd.label_norm = p.phrase_norm
+),
+ment AS (
+  SELECT conv_id, subj_norm AS norm, subj AS surface, subj_res AS res,
+         subj_kind AS kind, subj_entity AS eid FROM linked
+  UNION ALL
+  SELECT conv_id, obj_norm, obj, obj_res, obj_kind_term, obj_entity
+  FROM linked WHERE form = 'relation' AND obj_norm IS NOT NULL
+),
+ement AS (SELECT * FROM ment WHERE norm <> '' AND (kind IS NULL OR kind <> 'individual')),
+ent_triples AS (
+  SELECT eid AS subj, '{vocab.RDF_TYPE}' AS pred, 'iri' AS obj_kind,
+         '{vocab.OWL_NAMED_INDIVIDUAL}' AS obj_iri, CAST(NULL AS VARCHAR) AS obj_lexical,
+         CAST(NULL AS VARCHAR) AS obj_datatype, conv_id, CAST(NULL AS INTEGER) AS turn_idx
+  FROM ement
+  UNION ALL
+  SELECT eid, '{vocab.DCT_TITLE}', 'literal', NULL, trim(surface), '{vocab.XSD_STRING}',
+         conv_id, NULL FROM ement
+  UNION ALL
+  SELECT eid, '{vocab.RDF_TYPE}', 'iri', res, NULL, NULL, conv_id, NULL
+  FROM ement WHERE res IS NOT NULL
+),
+rel AS (SELECT * FROM linked WHERE form = 'relation' AND obj_entity IS NOT NULL),
+sameas AS (
+  SELECT subj_entity AS a, obj_entity AS b FROM rel WHERE pred_iri = '{vocab.OWL_SAME_AS}'
+),
+rel_main AS (SELECT * FROM rel WHERE pred_iri IS NULL OR pred_iri <> '{vocab.OWL_SAME_AS}'),
+rel_triples AS (
+  SELECT subj_entity AS subj, coalesce(pred_iri, '{vocab.SKOS_RELATED}') AS pred,
+         obj_kind, {_unit_rewrite_sql('obj_entity', 'pred_iri')} AS obj_iri,
+         CAST(NULL AS VARCHAR) AS obj_lexical, CAST(NULL AS VARCHAR) AS obj_datatype,
+         conv_id, turn_idx
+  FROM rel_main
+),
+with_card0 AS (
+  SELECT *, trim(replace(card, '=', '')) AS cc
+  FROM rel_main WHERE card IS NOT NULL AND card <> '' AND pred_iri IS NOT NULL
+),
+with_card AS (
+  SELECT *,
+    CASE WHEN regexp_matches(cc, '[\\[\\]]') THEN NULL
+         WHEN regexp_matches(cc, '^[0-9]+$') THEN '{vocab.AFV_EXACT_CARDINALITY}'
+         WHEN regexp_matches(cc, '^>[0-9]+$') THEN '{vocab.AFV_MIN_CARDINALITY}'
+         WHEN regexp_matches(cc, '^<[0-9]+$') THEN '{vocab.AFV_MAX_CARDINALITY}'
+         WHEN regexp_matches(cc, '^[0-9]+[\\s,]+[0-9]+$') THEN '{vocab.AFV_INTERVAL_CARDINALITY}'
+         ELSE NULL END AS card_type,
+    CASE WHEN regexp_matches(cc, '[\\[\\]]') THEN NULL
+         WHEN regexp_matches(cc, '^[0-9]+$') THEN cc
+         WHEN regexp_matches(cc, '^>[0-9]+$') THEN regexp_extract(cc, '^>([0-9]+)$', 1)
+         WHEN regexp_matches(cc, '^[0-9]+[\\s,]+[0-9]+$') THEN regexp_extract(cc, '^([0-9]+)[\\s,]+([0-9]+)$', 1)
+         ELSE NULL END AS card_min,
+    CASE WHEN regexp_matches(cc, '[\\[\\]]') THEN NULL
+         WHEN regexp_matches(cc, '^[0-9]+$') THEN cc
+         WHEN regexp_matches(cc, '^<[0-9]+$') THEN regexp_extract(cc, '^<([0-9]+)$', 1)
+         WHEN regexp_matches(cc, '^[0-9]+[\\s,]+[0-9]+$') THEN regexp_extract(cc, '^([0-9]+)[\\s,]+([0-9]+)$', 2)
+         ELSE NULL END AS card_max,
+    {card_node} AS card_node
+  FROM with_card0
+),
+card_ok AS (SELECT * FROM with_card WHERE card_type IS NOT NULL),
+card_triples AS (
+  SELECT card_node AS subj, '{vocab.RDF_TYPE}' AS pred, 'iri' AS obj_kind, card_type AS obj_iri,
+         CAST(NULL AS VARCHAR) AS obj_lexical, CAST(NULL AS VARCHAR) AS obj_datatype, conv_id, turn_idx
+  FROM card_ok
+  UNION ALL
+  SELECT card_node, '{vocab.AFV_ON_PROPERTY}', 'iri', pred_iri, NULL, NULL, conv_id, turn_idx FROM card_ok
+  UNION ALL
+  SELECT subj_entity, '{vocab.AFV}hasCardinality', 'bnode', card_node, NULL, NULL, conv_id, turn_idx FROM card_ok
+  UNION ALL
+  SELECT card_node, '{vocab.AFV_MIN_VALUE}', 'literal', NULL, card_min, '{vocab.XSD_INTEGER}', conv_id, turn_idx
+  FROM card_ok WHERE card_min IS NOT NULL
+  UNION ALL
+  SELECT card_node, '{vocab.AFV_MAX_VALUE}', 'literal', NULL, card_max, '{vocab.XSD_INTEGER}', conv_id, turn_idx
+  FROM card_ok WHERE card_max IS NOT NULL
+),
+lit AS (
+  SELECT *, coalesce(pred_iri, '{vocab.SKOS_RELATED}') AS lpred,
+         {_dt_map_sql('dt_local')} AS obj_datatype,
+         {_lex_valid_sql('dt_local', 'lex')} AS lex_valid
+  FROM linked WHERE form = 'literal'
+),
+lit_triples AS (
+  SELECT subj_entity AS subj, lpred AS pred, 'literal' AS obj_kind,
+         CAST(NULL AS VARCHAR) AS obj_iri, lex AS obj_lexical, obj_datatype, conv_id, turn_idx
+  FROM lit WHERE lex_valid
+),
+idents AS (
+  SELECT subj_entity AS entity_id, lex AS value
+  FROM lit WHERE lpred = '{vocab.DCT}identifier' AND lex_valid
+),
+ihub AS (SELECT value, min(entity_id) AS hub FROM idents GROUP BY value),
+star AS (
+  SELECT h.hub AS src, i.entity_id AS dst
+  FROM idents i JOIN ihub h USING (value) WHERE i.entity_id <> h.hub
+),
+edges0 AS (SELECT a AS src, b AS dst FROM sameas UNION ALL SELECT src, dst FROM star),
+und AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+cnodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, comp) AS (
+  SELECT node, node FROM cnodes
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN und e ON e.src = r.node
+),
+mapping AS (SELECT node AS entity_id, min(comp) AS canonical_id FROM reach GROUP BY node),
+all_triples AS (
+  SELECT * FROM ent_triples
+  UNION ALL SELECT * FROM rel_triples
+  UNION ALL SELECT * FROM card_triples
+  UNION ALL SELECT * FROM lit_triples
+),
+rew AS (
+  SELECT coalesce(ms.canonical_id, t.subj) AS subj, t.pred, t.obj_kind,
+         coalesce(mo.canonical_id, t.obj_iri) AS obj_iri, t.obj_lexical, t.obj_datatype,
+         t.conv_id, t.turn_idx
+  FROM all_triples t
+  LEFT JOIN mapping ms ON ms.entity_id = t.subj
+  LEFT JOIN mapping mo ON mo.entity_id = t.obj_iri
+),
+final AS (
+  SELECT subj, pred, obj_kind, obj_iri, obj_lexical, obj_datatype, conv_id, turn_idx
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY subj, pred, obj_kind, obj_iri, obj_lexical, obj_datatype
+      ORDER BY conv_id ASC NULLS FIRST, turn_idx ASC NULLS FIRST
+    ) AS rn
+    FROM rew
+  ) WHERE rn = 1
+)"""
+
+
+def pipeline_full_sql() -> str:
+    """Oracle for kg_pipeline_full / kg_staged_resume (full triples table
+    with min-provenance columns)."""
+    return "WITH RECURSIVE " + _base_ctes() + "\nSELECT * FROM final"
+
+
+def ttl_roundtrip_sql() -> str:
+    """Oracle for kg_ttl_roundtrip: the same triple set with provenance
+    nulled (write_ttl does not serialize conv_id/turn_idx; read_ttl restores
+    them as NULL). Losslessness of the 6-column key is the pytest's job;
+    here we assert the *parsed-back content* equals the pipeline's output."""
+    return (
+        "WITH RECURSIVE "
+        + _base_ctes()
+        + "\nSELECT subj, pred, obj_kind, obj_iri, obj_lexical, obj_datatype, "
+        "CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INTEGER) AS turn_idx FROM final"
+    )
+
+
+def canonical_mapping_sql() -> str:
+    """Oracle for kg_canonical_mapping: the union-find fixed point over
+    sameAs + shared-identifier star edges, as a recursive CTE."""
+    return (
+        "WITH RECURSIVE "
+        + _base_ctes()
+        + "\nSELECT entity_id, canonical_id FROM mapping"
+    )

@@ -39,7 +39,7 @@ import pandas as pd
 from rdfcmap_spark import vocab
 from rdfcmap_spark.functions.cardinality import classify_py
 from rdfcmap_spark.functions.normalize import normalize_label_py
-from rdfcmap_spark.ids import uuid5
+from rdfcmap_spark.ids import name_uuid
 
 SEED = 42
 BASE_TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
@@ -262,7 +262,7 @@ def expected_triples(n_convs: int, turns_per_conv: int) -> Golden:
         if res and res[1] == "individual":
             # J7: named individuals of the ontology use their real IRI
             return res[0], "iri"
-        eid = "urn:uuid:" + uuid5(f"ent|{conv_id}|{norm}")
+        eid = "urn:uuid:" + name_uuid(f"ent|{conv_id}|{norm}")
         kind = "bnode" if bnode else "iri"
         title = surface.strip()
         ent_triples.add((eid, vocab.RDF_TYPE, "iri", vocab.OWL_NAMED_INDIVIDUAL, None, None))
@@ -314,7 +314,7 @@ def expected_triples(n_convs: int, turns_per_conv: int) -> Golden:
                     if card is None:
                         g.quarantined += 1
                     else:
-                        cnode = "urn:uuid:" + uuid5(f"card|{conv_id}|{t}|{si}")
+                        cnode = "urn:uuid:" + name_uuid(f"card|{conv_id}|{t}|{si}")
                         rel_triples.append((cnode, vocab.RDF_TYPE, "iri", card.card_type, None, None))
                         rel_triples.append((cnode, vocab.AFV_ON_PROPERTY, "iri", pred, None, None))
                         rel_triples.append((subj, vocab.AFV + "hasCardinality", "bnode", cnode, None, None))

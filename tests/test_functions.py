@@ -18,7 +18,7 @@ from rdfcmap_spark.functions.normalize import (
     slugify_py,
     unbreak_py,
 )
-from rdfcmap_spark.ids import NAMESPACE, uuid5, uuid5_col
+from rdfcmap_spark.ids import NAMESPACE, name_uuid, name_uuid_col, uuid_sql
 
 
 # --- X3 cardinality (CardinalityPattern.java:19-31, CmapUtil.java:809-876) ---
@@ -123,15 +123,22 @@ def test_literal_spark(spark):
     assert rows['"9"^^xsd:float']["dt"] == vocab.XSD_STRING  # fallback
 
 
-# --- deterministic uuid5 (replaces UUID.randomUUID, VisualizationInfoBuilder.java:70)
+# --- deterministic name-uuid (replaces UUID.randomUUID, VisualizationInfoBuilder.java:70)
 
 
-def test_uuid5_spark_matches_python(spark):
+def test_name_uuid_spark_matches_python_and_sql(spark):
     import uuid as _uuid
+
+    import duckdb
 
     names = ["ent|conv-000001|reactor", "card|c|1|2", "", "äöü unicode"]
     df = spark.createDataFrame([(n,) for n in names], "name string")
-    rows = df.select("name", uuid5_col(F.col("name")).alias("u")).collect()
+    rows = df.select("name", name_uuid_col(F.col("name")).alias("u")).collect()
+    con = duckdb.connect()
     for r in rows:
-        assert r["u"] == str(_uuid.uuid5(NAMESPACE, r["name"])), r["name"]
-    assert uuid5("x") == str(_uuid.uuid5(NAMESPACE, "x"))
+        expect = str(_uuid.uuid3(NAMESPACE, r["name"]))
+        assert r["u"] == expect, r["name"]
+        lit = "'" + r["name"].replace("'", "''") + "'"
+        got_sql = con.sql("SELECT " + uuid_sql(lit)).fetchone()[0]
+        assert got_sql == expect, r["name"]
+    assert name_uuid("x") == str(_uuid.uuid3(NAMESPACE, "x"))
