@@ -137,6 +137,88 @@ def _events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _kg_sparql_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 product: BFS path from a marked source to its target over a
+    relational entity graph, emitted as SPARQL BGP statement rows
+    (`SparqlCreator.findNeighbour:537-664` re-architected as frontier
+    joins; see operators/sparql.py)."""
+    from rdfcmap_spark.operators.sparql import path_statements
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    o = orders.select(
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.lit("ex:by").alias("pred"),
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    c = customer.select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.lit("ex:inNation").alias("pred"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    n = nation.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.lit("ex:inRegion").alias("pred"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    edges = o.unionByName(c).unionByName(n)
+    k = orders.agg(F.min("o_orderkey").alias("k")).collect()[0]["k"]
+    chain = (
+        orders.filter(F.col("o_orderkey") == k)
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("n_regionkey")
+        .collect()[0]
+    )
+    return path_statements(edges, f"o:{k}", f"r:{chain['n_regionkey']}")
+
+
+def _kg_title_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 title-priority ladder (`Turtle2CmapConverter.createTitle:
+    2049-2130`): dct:title ▷ skos:prefLabel ▷ dct:identifier ▷ rdfs:label ▷
+    type-label ▷ "instance", over a label fixture planted on `part`."""
+    from rdfcmap_spark.operators.reverse import title_ladder
+    from rdfcmap_spark import vocab as V
+
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    m, tk = k % 6, k % 7
+    subj = F.concat(F.lit("s:"), k.cast("string"))
+    tsub = F.concat(F.lit("t:"), tk.cast("string"))
+
+    def lit_t(s, pred, lex):
+        return F.struct(
+            s.cast("string").alias("subj"), F.lit(pred).alias("pred"),
+            F.lit("literal").alias("obj_kind"), F.lit(None).cast("string").alias("obj_iri"),
+            lex.cast("string").alias("obj_lexical"), F.lit(V.XSD_STRING).alias("obj_datatype"),
+            F.lit(None).cast("string").alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    def iri_t(s, pred, obj):
+        return F.struct(
+            s.cast("string").alias("subj"), F.lit(pred).alias("pred"),
+            F.lit("iri").alias("obj_kind"), obj.cast("string").alias("obj_iri"),
+            F.lit(None).cast("string").alias("obj_lexical"), F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    name = F.col("p_name")
+    arr = F.array(
+        F.when(m == 0, lit_t(subj, V.DCT_TITLE, F.concat(F.lit("T "), name))),
+        F.when((m == 0) | (m == 2) | (m == 3), lit_t(subj, V.RDFS_LABEL, F.concat(F.lit("L "), name))),
+        F.when(m == 1, lit_t(subj, V.SKOS_PREF_LABEL, F.concat(F.lit("P "), name))),
+        F.when(m == 2, lit_t(subj, V.DCT + "identifier", F.concat(F.lit("I "), name))),
+        F.when(m == 4, iri_t(subj, V.RDF_TYPE, tsub)),
+        F.when((m == 4) & (tk % 2 == 0), lit_t(tsub, V.DCT_TITLE, F.concat(F.lit("TY"), tk.cast("string")))),
+        F.when(m == 5, iri_t(subj, "ex:related", F.lit("x:1"))),
+    )
+    triples = (
+        part.select(F.explode(arr).alias("t")).filter(F.col("t").isNotNull()).select("t.*")
+    )
+    return title_ladder(triples)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction (extract -> link -> assemble ->
     canonicalize) over deterministic synthetic transcripts at sf0.001 scale,
@@ -205,6 +287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_g4_hierarchy_level": lambda s, d: relational.g4_hierarchy_levels(s),
         "kg_x4_long_comments": lambda s, d: relational.x4_long_comments(load(s, d, "part")),
         "kg_x6_prefix_compact": lambda s, d: relational.x6_prefix_compact(load(s, d, "part")),
+        "kg_sparql_body": _kg_sparql_body,
+        "kg_title_ladder": _kg_title_ladder,
         "kg_shacl_shapes": lambda s, d: relational.shacl_shape_summary(
             load(s, d, "customer"), load(s, d, "orders"), load(s, d, "nation")
         ),
@@ -229,7 +313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- similarity search ---
         "sim_topk_bruteforce": lambda s, d: similarity.topk_bruteforce(load(s, d, "embeddings")),
-        "sim_topk_ivf": lambda s, d: similarity.topk_clustered(load(s, d, "embeddings")),
+        "sim_topk_ivf": lambda s, d: similarity.topk_ivf(load(s, d, "embeddings")),
+        "sim_topk_bucketed": lambda s, d: similarity.topk_clustered(load(s, d, "embeddings")),
         "sim_cluster_assign": lambda s, d: similarity.assign_clusters(
             load(s, d, "embeddings"), similarity.centroids(load(s, d, "embeddings"))
         ),
@@ -424,6 +509,8 @@ SELECT p_partkey,
 FROM (SELECT p_partkey, p_type, row_number() OVER (PARTITION BY p_type ORDER BY p_partkey ASC) AS rn FROM part)
 """
 
+    from rdfcmap_spark.oracle import norm_c7_sql as _norm_c7
+
     sql["kg_x9_normalize"] = (
         r"""
 WITH src AS (
@@ -435,16 +522,9 @@ WITH src AS (
   FROM part
 ),
 steps AS (
-  SELECT p_partkey, dirty,
-    trim(regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          replace(replace(
-            regexp_replace(regexp_replace(dirty, '&#10;|&#xa;', '', 'g'), '[\[\]]', '', 'g'),
-            'instance of', ''), 'NamedIndividual', ''),
-          '(?i)(instance:[a-zA-Z0-9\s]+)$', '', 'g'),
-        '\(([A-Z]+_[0-9]{5,7})\)', '', 'g'),
-      '\(([a-zA-Z\-]+:[a-zA-Z]+)\)', '', 'g')) AS c7
+  SELECT p_partkey, dirty, """
+        + _norm_c7("dirty")
+        + r""" AS c7
   FROM src
 )
 SELECT p_partkey, dirty, """
@@ -656,11 +736,14 @@ WITH src AS (
   FROM part
 )
 SELECT p_partkey, local_name,
-  CASE WHEN local_name LIKE 'BFO\_%' ESCAPE '\' THEN 'bfo'
-       WHEN local_name LIKE 'CHEBI\_%' ESCAPE '\' THEN 'chebi'
-       WHEN local_name LIKE 'PATO\_%' ESCAPE '\' THEN 'pato'
-       WHEN local_name LIKE 'IAO\_%' ESCAPE '\' THEN 'iao'
-       ELSE NULL END AS obo_prefix
+  CASE WHEN starts_with(local_name, 'BFO') THEN 'bfo'
+       WHEN starts_with(local_name, 'IAO') THEN 'iao'
+       WHEN starts_with(local_name, 'OBI') THEN 'obi'
+       WHEN starts_with(local_name, 'RO') THEN 'ro'
+       WHEN starts_with(local_name, 'CHEBI') THEN 'chebi'
+       WHEN starts_with(local_name, 'PATO') THEN 'pato'
+       WHEN contains(local_name, '_') THEN lower(string_split(local_name, '_')[1])
+       ELSE 'obo' END AS obo_prefix
 FROM src
 """
 
@@ -709,7 +792,20 @@ SELECT vec_id, cluster FROM (
 """
     )
 
-    sql["kg_x6_prefix_compact"] = r"""
+    # qname ladder generated from vocab.NS_PREFIX_MAP, longest namespace
+    # first (mirrors ttl._to_prefixed exactly, full Prefixes.java breadth)
+    _qname_ladder = (
+        "CASE "
+        + " ".join(
+            f"WHEN starts_with(iri, '{ns}') AND regexp_matches(substr(iri, {len(ns) + 1}), "
+            r"'^[A-Za-z0-9_\-]+$') "
+            f"THEN '{p}:' || substr(iri, {len(ns) + 1})"
+            for p, ns in sorted(_vocab.NS_PREFIX_MAP.items(), key=lambda kv: -len(kv[1]))
+        )
+        + " ELSE '<' || iri || '>' END"
+    )
+    sql["kg_x6_prefix_compact"] = (
+        r"""
 WITH src AS (
   SELECT p_partkey,
     CASE WHEN p_partkey % 4 = 0 THEN 'http://purl.allotrope.org/ontologies/equipment#AFE_' || CAST(p_partkey AS VARCHAR)
@@ -718,15 +814,51 @@ WITH src AS (
          ELSE 'http://example.org/thing/' || CAST(p_partkey AS VARCHAR) END AS iri
   FROM part
 )
-SELECT p_partkey, iri,
-  CASE WHEN iri LIKE 'http://purl.allotrope.org/ontologies/equipment#%'
-       THEN 'afe:' || substr(iri, strlen('http://purl.allotrope.org/ontologies/equipment#') + 1)
-       WHEN iri LIKE 'http://purl.obolibrary.org/obo/%'
-       THEN 'obo:' || substr(iri, strlen('http://purl.obolibrary.org/obo/') + 1)
-       WHEN iri LIKE 'http://www.w3.org/2001/XMLSchema#%'
-       THEN 'xsd:' || substr(iri, strlen('http://www.w3.org/2001/XMLSchema#') + 1)
-       ELSE '<' || iri || '>' END AS qname
+SELECT p_partkey, iri, """
+        + _qname_ladder
+        + """ AS qname
 FROM src
+"""
+    )
+
+    sql["kg_sparql_body"] = r"""
+WITH k AS (SELECT min(o_orderkey) AS k FROM orders),
+chain AS (
+  SELECT o.o_orderkey, c.c_custkey, n.n_nationkey, n.n_regionkey
+  FROM k JOIN orders o ON o.o_orderkey = k.k
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT CAST(step AS INTEGER) AS step, subj, pred, obj, direction FROM (
+  SELECT 0 AS step, 'o:' || o_orderkey AS subj, 'ex:by' AS pred, 'c:' || c_custkey AS obj, 'forward' AS direction FROM chain
+  UNION ALL
+  SELECT 1, 'c:' || c_custkey, 'ex:inNation', 'n:' || n_nationkey, 'forward' FROM chain
+  UNION ALL
+  SELECT 2, 'n:' || n_nationkey, 'ex:inRegion', 'r:' || n_regionkey, 'forward' FROM chain
+)
+"""
+
+    sql["kg_title_ladder"] = r"""
+WITH p AS (SELECT p_partkey AS k, p_partkey % 6 AS m, p_partkey % 7 AS tk, p_name FROM part),
+s_rows AS (
+  SELECT 's:' || k AS subj,
+    CASE WHEN m = 0 THEN 'T ' || p_name
+         WHEN m = 1 THEN 'P ' || p_name
+         WHEN m = 2 THEN 'I ' || p_name
+         WHEN m = 3 THEN 'L ' || p_name
+         WHEN m = 4 THEN CASE WHEN tk % 2 = 0 THEN 'TY' || tk ELSE 't:' || tk END
+         ELSE 'instance' END AS title,
+    CASE WHEN m = 0 THEN 'title' WHEN m = 1 THEN 'prefLabel' WHEN m = 2 THEN 'identifier'
+         WHEN m = 3 THEN 'label' WHEN m = 4 THEN 'type' ELSE 'instance' END AS title_source
+  FROM p
+),
+t_rows AS (
+  SELECT DISTINCT 't:' || tk AS subj, 'TY' || tk AS title, 'title' AS title_source
+  FROM p WHERE m = 4 AND tk % 2 = 0
+)
+SELECT subj, title, title_source FROM s_rows
+UNION ALL
+SELECT subj, title, title_source FROM t_rows
 """
 
     sql["kg_shacl_shapes"] = r"""
@@ -869,7 +1001,7 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM r WHER
 """
     )
 
-    sql["sim_topk_ivf"] = (
+    sql["sim_topk_bucketed"] = (
         r"""
 WITH q AS (SELECT vec_id AS query_id, label, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
 c AS (SELECT vec_id AS neighbor_id, label, embedding AS ce FROM embeddings),
@@ -878,6 +1010,63 @@ pairs AS (
         + _COS.format(a="qe", b="ce")
         + r""" AS cos_sim
   FROM c JOIN q USING (label) WHERE neighbor_id <> query_id
+),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM r WHERE rank <= 5
+"""
+    )
+
+    # true IVF: centroid training + nearest-centroid assignment + nprobe=2
+    # multi-probe (mirrors similarity.topk_ivf exactly)
+    sql["sim_topk_ivf"] = (
+        r"""
+WITH pos AS (
+  SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cluster, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS m FROM pos GROUP BY label, pos)
+  GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, c.cluster, """
+        + _COS.format(a="e.embedding", b="c.centroid")
+        + r""" AS a_sim
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY a_sim DESC, cluster ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+corpus AS (
+  SELECT e.vec_id AS neighbor_id, a.cluster, e.embedding AS ce
+  FROM embeddings e JOIN assigned a USING (vec_id)
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+qc AS (
+  SELECT q.query_id, c.cluster, q.qe, """
+        + _COS.format(a="q.qe", b="c.centroid")
+        + r""" AS c_sim
+  FROM q CROSS JOIN cent c
+),
+probes AS (
+  SELECT query_id, cluster, qe FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_sim DESC, cluster ASC) AS pr
+    FROM qc
+  ) WHERE pr <= 2
+),
+pairs AS (
+  SELECT p.query_id, c.neighbor_id, """
+        + _COS.format(a="p.qe", b="c.ce")
+        + r""" AS cos_sim
+  FROM corpus c JOIN probes p USING (cluster)
+  WHERE c.neighbor_id <> p.query_id
 ),
 r AS (SELECT query_id, neighbor_id, cos_sim,
              row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank

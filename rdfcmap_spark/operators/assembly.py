@@ -46,42 +46,69 @@ def _as_triples(df: DataFrame) -> DataFrame:
     return df.select(*[F.col(f.name).cast(f.dataType) for f in TRIPLES.fields])
 
 
+def _tstruct(subj, pred, obj_kind, obj_iri, obj_lexical, obj_datatype, conv_id, turn_idx):
+    """Triple as a uniformly-typed struct (for array-explode emission)."""
+    return F.struct(
+        subj.cast("string").alias("subj"),
+        pred.cast("string").alias("pred"),
+        obj_kind.cast("string").alias("obj_kind"),
+        obj_iri.cast("string").alias("obj_iri"),
+        obj_lexical.cast("string").alias("obj_lexical"),
+        obj_datatype.cast("string").alias("obj_datatype"),
+        conv_id.cast("string").alias("conv_id"),
+        turn_idx.cast("int").alias("turn_idx"),
+    )
+
+
+def _explode_triples(df: DataFrame, arr) -> DataFrame:
+    """Explode an array<triple-struct> column; null elements are dropped.
+
+    This is the single-scan emission shape: one pass over the input produces
+    EVERY triple family at once, instead of one union branch (= one full
+    re-scan of the checkpointed sentence stream) per family — the round-1
+    plan re-read the checkpoint ~9x, which was the measured bandwidth
+    bottleneck of the materialization phase.
+    """
+    return (
+        df.select(F.explode(arr).alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .select("_t.*")
+        .select(*[F.col(f.name).cast(f.dataType) for f in TRIPLES.fields])
+    )
+
+
+def _null_s():
+    return F.lit(None).cast("string")
+
+
+def _null_i():
+    return F.lit(None).cast("int")
+
+
 def entity_triples(entities: DataFrame) -> DataFrame:
-    """NamedIndividual + title + resolved-type triples per entity."""
-    base = entities.select(
-        "entity_id", "titles", "canonical_iri", "conv_id",
+    """NamedIndividual + title + resolved-type triples per entity — ONE scan
+    of the aggregated entity table (explode of a per-entity triple array)."""
+    eid = F.col("entity_id")
+    conv = F.col("conv_id")
+    named = _tstruct(
+        eid, F.lit(vocab.RDF_TYPE), F.lit("iri"), F.lit(vocab.OWL_NAMED_INDIVIDUAL),
+        _null_s(), _null_s(), conv, _null_i(),
     )
-    named = base.select(
-        F.col("entity_id").alias("subj"),
-        F.lit(vocab.RDF_TYPE).alias("pred"),
-        F.lit("iri").alias("obj_kind"),
-        F.lit(vocab.OWL_NAMED_INDIVIDUAL).alias("obj_iri"),
-        F.lit(None).alias("obj_lexical"),
-        F.lit(None).alias("obj_datatype"),
-        "conv_id",
-        F.lit(None).alias("turn_idx"),
+    typed = F.when(
+        F.col("canonical_iri").isNotNull(),
+        _tstruct(
+            eid, F.lit(vocab.RDF_TYPE), F.lit("iri"), F.col("canonical_iri"),
+            _null_s(), _null_s(), conv, _null_i(),
+        ),
     )
-    titles = base.select(
-        F.col("entity_id").alias("subj"),
-        F.lit(vocab.DCT_TITLE).alias("pred"),
-        F.lit("literal").alias("obj_kind"),
-        F.lit(None).alias("obj_iri"),
-        F.explode("titles").alias("obj_lexical"),
-        F.lit(vocab.XSD_STRING).alias("obj_datatype"),
-        "conv_id",
-        F.lit(None).alias("turn_idx"),
+    titles = F.transform(
+        F.col("titles"),
+        lambda t: _tstruct(
+            eid, F.lit(vocab.DCT_TITLE), F.lit("literal"), _null_s(),
+            t, F.lit(vocab.XSD_STRING), conv, _null_i(),
+        ),
     )
-    typed = base.filter(F.col("canonical_iri").isNotNull()).select(
-        F.col("entity_id").alias("subj"),
-        F.lit(vocab.RDF_TYPE).alias("pred"),
-        F.lit("iri").alias("obj_kind"),
-        F.col("canonical_iri").alias("obj_iri"),
-        F.lit(None).alias("obj_lexical"),
-        F.lit(None).alias("obj_datatype"),
-        "conv_id",
-        F.lit(None).alias("turn_idx"),
-    )
-    return _as_triples(named).unionByName(_as_triples(titles)).unionByName(_as_triples(typed))
+    return _explode_triples(entities, F.concat(F.array(named, typed), titles))
 
 
 def relation_triples(rel: DataFrame) -> DataFrame:
@@ -98,59 +125,44 @@ def relation_triples(rel: DataFrame) -> DataFrame:
         F.col("pred_iri") == vocab.QUDT_UNIT,
         F.coalesce(unit_map[F.col("obj_entity")], F.col("obj_entity")),
     ).otherwise(F.col("obj_entity"))
-    main = rel.select(
-        F.col("subj_entity").alias("subj"),
-        pred.alias("pred"),
-        F.col("obj_kind"),
-        obj.alias("obj_iri"),
-        F.lit(None).alias("obj_lexical"),
-        F.lit(None).alias("obj_datatype"),
-        "conv_id",
-        "turn_idx",
+    conv, turn = F.col("conv_id"), F.col("turn_idx")
+
+    main = _tstruct(
+        F.col("subj_entity"), pred, F.col("obj_kind"), obj, _null_s(), _null_s(), conv, turn
     )
 
-    card_type, card_min, card_max = classify_cols(F.col("card"))
-    with_card = (
-        rel.filter(F.col("card").isNotNull() & (F.col("card") != "") & F.col("pred_iri").isNotNull())
-        .withColumn("card_type", card_type)
-        .withColumn("card_min", card_min)
-        .withColumn("card_max", card_max)
-        .filter(F.col("card_type").isNotNull())  # unsupported grammar -> quarantined
-        .withColumn(
-            "card_node",
-            instance_iri_col(
-                F.concat_ws("|", F.lit("card"), F.col("conv_id"), F.col("turn_idx"), F.col("sent_idx"))
-            ),
-        )
+    raw_type, raw_min, raw_max = classify_cols(F.col("card"))
+    has_card = (
+        F.col("card").isNotNull() & (F.col("card") != "") & F.col("pred_iri").isNotNull()
+        & raw_type.isNotNull()  # unsupported grammar -> quarantined, not fatal
     )
-    card_rows = []
-    card_rows.append(with_card.select(
-        F.col("card_node").alias("subj"), F.lit(vocab.RDF_TYPE).alias("pred"),
-        F.lit("iri").alias("obj_kind"), F.col("card_type").alias("obj_iri"),
-        F.lit(None).alias("obj_lexical"), F.lit(None).alias("obj_datatype"), "conv_id", "turn_idx"))
-    card_rows.append(with_card.select(
-        F.col("card_node").alias("subj"), F.lit(vocab.AFV_ON_PROPERTY).alias("pred"),
-        F.lit("iri").alias("obj_kind"), F.col("pred_iri").alias("obj_iri"),
-        F.lit(None).alias("obj_lexical"), F.lit(None).alias("obj_datatype"), "conv_id", "turn_idx"))
-    card_rows.append(with_card.select(
-        F.col("subj_entity").alias("subj"), F.lit(vocab.AFV + "hasCardinality").alias("pred"),
-        F.lit("bnode").alias("obj_kind"), F.col("card_node").alias("obj_iri"),
-        F.lit(None).alias("obj_lexical"), F.lit(None).alias("obj_datatype"), "conv_id", "turn_idx"))
-    card_rows.append(with_card.filter(F.col("card_min").isNotNull()).select(
-        F.col("card_node").alias("subj"), F.lit(vocab.AFV_MIN_VALUE).alias("pred"),
-        F.lit("literal").alias("obj_kind"), F.lit(None).alias("obj_iri"),
-        F.col("card_min").alias("obj_lexical"), F.lit(vocab.XSD_INTEGER).alias("obj_datatype"),
-        "conv_id", "turn_idx"))
-    card_rows.append(with_card.filter(F.col("card_max").isNotNull()).select(
-        F.col("card_node").alias("subj"), F.lit(vocab.AFV_MAX_VALUE).alias("pred"),
-        F.lit("literal").alias("obj_kind"), F.lit(None).alias("obj_iri"),
-        F.col("card_max").alias("obj_lexical"), F.lit(vocab.XSD_INTEGER).alias("obj_datatype"),
-        "conv_id", "turn_idx"))
-
-    out = _as_triples(main)
-    for c in card_rows:
-        out = out.unionByName(_as_triples(c))
-    return out
+    card_type = F.when(has_card, raw_type)
+    card_min = F.when(has_card, raw_min)
+    card_max = F.when(has_card, raw_max)
+    card_node = F.when(
+        has_card,
+        instance_iri_col(
+            F.concat_ws("|", F.lit("card"), conv, turn, F.col("sent_idx"))
+        ),
+    )
+    cardinal = [
+        F.when(has_card, _tstruct(
+            card_node, F.lit(vocab.RDF_TYPE), F.lit("iri"), card_type,
+            _null_s(), _null_s(), conv, turn)),
+        F.when(has_card, _tstruct(
+            card_node, F.lit(vocab.AFV_ON_PROPERTY), F.lit("iri"), F.col("pred_iri"),
+            _null_s(), _null_s(), conv, turn)),
+        F.when(has_card, _tstruct(
+            F.col("subj_entity"), F.lit(vocab.AFV + "hasCardinality"), F.lit("bnode"), card_node,
+            _null_s(), _null_s(), conv, turn)),
+        F.when(has_card & card_min.isNotNull(), _tstruct(
+            card_node, F.lit(vocab.AFV_MIN_VALUE), F.lit("literal"), _null_s(),
+            card_min, F.lit(vocab.XSD_INTEGER), conv, turn)),
+        F.when(has_card & card_max.isNotNull(), _tstruct(
+            card_node, F.lit(vocab.AFV_MAX_VALUE), F.lit("literal"), _null_s(),
+            card_max, F.lit(vocab.XSD_INTEGER), conv, turn)),
+    ]
+    return _explode_triples(rel, F.array(main, *cardinal))
 
 
 def literal_triples(lit: DataFrame) -> DataFrame:

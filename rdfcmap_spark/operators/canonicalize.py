@@ -41,19 +41,22 @@ def identity_edges(sameas: DataFrame, idents: DataFrame) -> DataFrame:
     return sameas.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(star)
 
 
-def _driver_cc(und: DataFrame) -> DataFrame:
+def _driver_cc(edges: DataFrame) -> tuple[DataFrame, int]:
     """Union-find fixed point on the collected edge list (min representative
     — identical semantics to the distributed loop, asserted by tests).
+    Returns (mapping, n_mapping_rows).
 
     The identity graph (sameAs + shared-identifier stars) is orders of
     magnitude smaller than the triple stream — at 10^12 turns the *triples*
     need a cluster, the *identity edges* usually fit one node. Below the
     threshold the driver fixed point replaces ~10 latency-bound Spark jobs
-    per iteration with one collect.
+    per iteration with one collect. Union-find needs neither deduplication
+    nor the reversed-direction union, so the raw directed edge list is
+    collected as-is — no shuffle at all on this path.
     """
     import pandas as pd
 
-    spark = und.sparkSession
+    spark = edges.sparkSession
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -66,7 +69,7 @@ def _driver_cc(und: DataFrame) -> DataFrame:
     # Arrow-batched toPandas (one job, columnar transfer) — row collect()
     # pickles row-by-row and toLocalIterator schedules a job per partition;
     # both anti-scale
-    pdf = und.select("src", "dst").toPandas()
+    pdf = edges.select("src", "dst").toPandas()
     for src, dst in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
         ra, rb = find(src), find(dst)
         if ra != rb:
@@ -76,7 +79,10 @@ def _driver_cc(und: DataFrame) -> DataFrame:
     out = pd.DataFrame(
         {"entity_id": list(parent.keys()), "canonical_id": [find(n) for n in parent]}
     )
-    return spark.createDataFrame(out, "entity_id string, canonical_id string")
+    return (
+        spark.createDataFrame(out, "entity_id string, canonical_id string"),
+        len(out),
+    )
 
 
 #: ~500k edges × 2 string cols ≈ tens of MB pandas on the driver — safely
@@ -91,10 +97,10 @@ DRIVER_CC_MAX_EDGES = 500_000
 BROADCAST_MAPPING_MAX_ROWS = 1_000_000
 
 
-def connected_components(
+def connected_components_with_count(
     edges: DataFrame, max_iter: int = 25, driver_threshold: int = DRIVER_CC_MAX_EDGES
-) -> DataFrame:
-    """edges(src, dst) -> mapping(entity_id, canonical_id).
+) -> tuple[DataFrame, int]:
+    """edges(src, dst) -> (mapping(entity_id, canonical_id), n_rows).
 
     Only nodes that appear in an edge are returned (isolated entities are
     their own representative by definition and need no mapping row — keeps
@@ -102,19 +108,24 @@ def connected_components(
 
     Two physical strategies behind one semantic contract:
 
-    * ``n_edges <= driver_threshold`` — collect + union-find on the driver
-      (see :func:`_driver_cc`);
-    * else — distributed min-label propagation with pointer jumping,
-      ``localCheckpoint`` per iteration (lineage truncation), convergence
-      detected by an order-insensitive state hash.
+    * ``n_edges <= driver_threshold`` — checkpoint the raw edge list, count,
+      collect + union-find on the driver (see :func:`_driver_cc`). No
+      shuffle: union-find needs neither dedup nor the reversed direction.
+    * else — undirected-closure + distributed min-label propagation with
+      pointer jumping, ``localCheckpoint`` per iteration (lineage
+      truncation), convergence detected by an order-insensitive state hash.
+
+    The mapping row count rides along so callers (rewrite_triples' broadcast
+    gate) don't need an extra count job.
     """
     spark = edges.sparkSession
-    und = edges.select("src", "dst").unionByName(
+    edges = edges.select("src", "dst").localCheckpoint()
+    if driver_threshold and edges.count() <= driver_threshold:
+        return _driver_cc(edges)
+    und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     und = und.localCheckpoint()
-    if driver_threshold and und.count() <= driver_threshold:
-        return _driver_cc(und)
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
@@ -151,11 +162,22 @@ def connected_components(
         if h == prev_hash:
             break
         prev_hash = h
-    return labels.select(F.col("node").alias("entity_id"), F.col("comp").alias("canonical_id"))
+    mapping = labels.select(F.col("node").alias("entity_id"), F.col("comp").alias("canonical_id"))
+    return mapping, labels.count()  # labels is checkpointed — one cheap scan
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int = DRIVER_CC_MAX_EDGES
+) -> DataFrame:
+    """See :func:`connected_components_with_count`; mapping only."""
+    return connected_components_with_count(edges, max_iter, driver_threshold)[0]
 
 
 def rewrite_triples(
-    triples: DataFrame, mapping: DataFrame, n_mapping: int | None = None
+    triples: DataFrame,
+    mapping: DataFrame,
+    n_mapping: int | None = None,
+    compact_shuffle: bool = False,
 ) -> DataFrame:
     """Rewrite subj and obj_iri through the canonical mapping, then enforce
     RDF set semantics (dropDuplicates on the triple key, keeping the min
@@ -174,35 +196,107 @@ def rewrite_triples(
     Both joins probe the SAME broadcast subplan (only the join condition
     differs) so ReuseExchange builds it once, halving driver-serial
     broadcast-build time.
+
+    ``compact_shuffle=True`` routes IRIs/datatypes/kinds through the shuffle
+    as tagged fixed-width binaries (functions/encoding.py — ~250 B -> ~120 B
+    per row, lossless, join-equivalent). On a real cluster where the
+    set-semantics shuffle crosses the network, bytes-on-the-wire dominate
+    and this wins; on a single box with in-memory shuffle the per-row
+    encode/decode expressions cost more than they save (measured +20% at
+    0.5M turns, local[8]), hence default False — flip it on for
+    multi-executor deployments.
     """
+    from rdfcmap_spark.functions.encoding import (
+        dec_datatype,
+        dec_iri,
+        dec_kind,
+        enc_datatype,
+        enc_iri,
+        enc_kind,
+    )
+
     if n_mapping is None:
         # mapping comes out of connected_components checkpointed/materialized
         # — one cheap count job over a tiny frame
         n_mapping = mapping.count()
-    m = F.broadcast(mapping) if n_mapping <= BROADCAST_MAPPING_MAX_ROWS else mapping
+    ident = lambda c: c  # noqa: E731
+    e_iri, d_iri = (enc_iri, dec_iri) if compact_shuffle else (ident, ident)
+    e_kind, d_kind = (enc_kind, dec_kind) if compact_shuffle else (ident, ident)
+    e_dt, d_dt = (enc_datatype, dec_datatype) if compact_shuffle else (ident, ident)
+
+    menc = mapping.select(
+        e_iri(F.col("entity_id")).alias("entity_b"),
+        e_iri(F.col("canonical_id")).alias("canon_b"),
+    )
+    m = F.broadcast(menc) if n_mapping <= BROADCAST_MAPPING_MAX_ROWS else menc
     ms, mo = m.alias("ms"), m.alias("mo")
+    enc = triples.select(
+        e_iri(F.col("subj")).alias("subj_b"),
+        F.col("pred"),
+        e_kind(F.col("obj_kind")).alias("kind_t"),
+        e_iri(F.col("obj_iri")).alias("obj_b"),
+        F.col("obj_lexical"),
+        e_dt(F.col("obj_datatype")).alias("dt_b"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
     out = (
-        triples.join(ms, F.col("subj") == F.col("ms.entity_id"), "left")
-        .withColumn("subj_canon", F.col("ms.canonical_id"))
-        .drop("entity_id", "canonical_id")
-        .join(mo, F.col("obj_iri") == F.col("mo.entity_id"), "left")
-        .withColumn("obj_canon", F.col("mo.canonical_id"))
-        .drop("entity_id", "canonical_id")
+        enc.join(ms, F.col("subj_b") == F.col("ms.entity_b"), "left")
+        .withColumn("subj_c", F.coalesce(F.col("ms.canon_b"), F.col("subj_b")))
+        .drop("entity_b", "canon_b")
+        .join(mo, F.col("obj_b") == F.col("mo.entity_b"), "left")
+        .withColumn("obj_c", F.coalesce(F.col("mo.canon_b"), F.col("obj_b")))
+        .drop("entity_b", "canon_b")
         .select(
-            F.coalesce("subj_canon", "subj").alias("subj"),
+            F.col("subj_c").alias("subj_b"),
             "pred",
-            "obj_kind",
-            F.coalesce("obj_canon", "obj_iri").alias("obj_iri"),
+            "kind_t",
+            F.col("obj_c").alias("obj_b"),
             "obj_lexical",
-            "obj_datatype",
+            "dt_b",
             "conv_id",
             "turn_idx",
         )
     )
-    key = ["subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"]
-    return (
-        out.groupBy(*[F.col(c) for c in key])
-        .agg(F.min(F.struct("conv_id", "turn_idx")).alias("_prov"))
-        .select(*key, F.col("_prov.conv_id").alias("conv_id"), F.col("_prov.turn_idx").alias("turn_idx"))
-        .select(*[f.name for f in TRIPLES.fields])
+    key = ["subj_b", "pred", "kind_t", "obj_b", "obj_lexical", "dt_b"]
+    # provenance min as ONE sortable string: min(struct(...)) is not
+    # hash-aggregatable — Spark plans SortAggregate on BOTH sides of the
+    # shuffle, fully sorting the wide 6-string-column stream twice (the
+    # measured scaling killer of the materialization phase). A string key
+    # keeps the plan HashAggregate with map-side partial combine. Encoding
+    # preserves the (conv_id ASC NULLS FIRST, turn_idx ASC NULLS FIRST)
+    # order: null conv -> '' (sorts first), null turn -> no '#' suffix
+    # (prefix sorts before any extension); '#' (0x23) < any conv_id char.
+    prov_key = F.concat(
+        F.coalesce(F.col("conv_id"), F.lit("")),
+        F.when(
+            F.col("turn_idx").isNotNull(),
+            F.concat(F.lit("#"), F.lpad(F.col("turn_idx").cast("string"), 9, "0")),
+        ).otherwise(F.lit("")),
     )
+    # a string MIN buffer is not hash-aggregatable, so this aggregate plans
+    # SortAggregate regardless; prepending xxhash64(key) to the grouping key
+    # keeps grouping semantics identical (the hash is a function of the key
+    # columns, which stay in the key) while the sort compares one LONG
+    # instead of six strings — measured 2-3x on the materialization phase.
+    kh = F.xxhash64(*[F.col(c) for c in key]).alias("_kh")
+    agg = (
+        out.select(kh, *key, prov_key.alias("_pkv"))
+        .groupBy("_kh", *key)
+        .agg(F.min("_pkv").alias("_pk"))
+    )
+    conv = F.nullif(F.substring_index(F.col("_pk"), "#", 1), F.lit(""))
+    turn = F.when(
+        F.instr(F.col("_pk"), "#") > 0,
+        F.substring_index(F.col("_pk"), "#", -1).cast("int"),
+    )
+    return agg.select(
+        d_iri(F.col("subj_b")).alias("subj"),
+        F.col("pred"),
+        d_kind(F.col("kind_t")).alias("obj_kind"),
+        d_iri(F.col("obj_b")).alias("obj_iri"),
+        F.col("obj_lexical"),
+        d_dt(F.col("dt_b")).alias("obj_datatype"),
+        conv.alias("conv_id"),
+        turn.alias("turn_idx"),
+    ).select(*[f.name for f in TRIPLES.fields])

@@ -31,6 +31,31 @@ LIT_RE = r'«([^»]+)»\s+([a-z][a-z ]*?)\s+"([^"]*)"\^\^xsd:([A-Za-z]+)'
 REL_RE = r"«([^»]+)»\s+([a-z][a-z ]*?)(?:\s+([\[\]=<>]*[0-9]+(?:[\s,]+[0-9]+)?[\[\]]?))?\s+«([^»]+)»"
 
 
+#: group separator for the single-pass multi-group extract (never occurs in
+#: transcript text; a pathological \x01 in input only misparses that sentence)
+_SEP = "\x01"
+
+
+def _extract4(col, regex: str):
+    """All 4 capture groups of ``regex`` in ONE regex pass, or null if no
+    match.
+
+    ``regexp_extract(col, re, i)`` re-runs the full match per group — the
+    round-1 plan matched each sentence ~10x. Here the sentence is rewritten
+    once to ``\\x01 g1 \\x01 g2 \\x01 g3 \\x01 g4`` via a single
+    ``regexp_replace`` of ``(?s).*?RE.*`` (the lazy prefix pins RE at its
+    leftmost match, identical to find()-style extract semantics; an
+    unmatched sentence passes through unchanged and is detected by the
+    missing marker). One regex scan + one split instead of ~5 scans.
+    """
+    repl = _SEP + _SEP.join(f"${i}" for i in range(1, 5))
+    marked = F.regexp_replace(col, "(?s).*?" + regex + ".*", repl)
+    return F.when(
+        marked.startswith(_SEP),
+        F.split(F.substring(marked, 2, 2_000_000_000), _SEP),
+    )
+
+
 def extract_sentences(transcripts: DataFrame) -> DataFrame:
     """transcripts -> one row per parsed sentence with raw structure fields.
 
@@ -45,28 +70,35 @@ def extract_sentences(transcripts: DataFrame) -> DataFrame:
         )
         .filter(F.length(F.trim(F.col("sentence"))) > 0)
     )
-    lit_subj = F.regexp_extract("sentence", LIT_RE, 1)
-    rel_subj = F.regexp_extract("sentence", REL_RE, 1)
+    # arrays materialized as real columns so every derived field reads the
+    # SAME one-pass match result (never re-running the regex)
+    g = sent.select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        _extract4(F.col("sentence"), LIT_RE).alias("lg"),
+        _extract4(F.col("sentence"), REL_RE).alias("rg"),
+    )
     form = (
-        F.when(lit_subj != "", F.lit("literal"))
-        .when(rel_subj != "", F.lit("relation"))
+        F.when(F.col("lg").isNotNull(), F.lit("literal"))
+        .when(F.col("rg").isNotNull(), F.lit("relation"))
         .otherwise(F.lit("none"))
     )
-    obj_raw = F.regexp_extract("sentence", REL_RE, 4)
-    return sent.select(
+    obj_raw = F.col("rg")[3]
+    return g.select(
         "conv_id",
         "turn_idx",
         "sent_idx",
         form.alias("form"),
-        F.when(form == "literal", lit_subj).when(form == "relation", rel_subj).alias("subj"),
-        F.when(form == "literal", F.regexp_extract("sentence", LIT_RE, 2))
-        .when(form == "relation", F.regexp_extract("sentence", REL_RE, 2))
+        F.when(form == "literal", F.col("lg")[0]).when(form == "relation", F.col("rg")[0]).alias("subj"),
+        F.when(form == "literal", F.col("lg")[1])
+        .when(form == "relation", F.col("rg")[1])
         .alias("phrase"),
-        F.when(form == "relation", F.regexp_extract("sentence", REL_RE, 3)).alias("card"),
+        F.when(form == "relation", F.col("rg")[2]).alias("card"),
         F.when(form == "relation", F.trim(F.regexp_replace(obj_raw, r"^\[\s*|\s*\]$", ""))).alias("obj"),
         F.when(form == "relation", obj_raw.startswith("[")).otherwise(F.lit(False)).alias("obj_bnode"),
-        F.when(form == "literal", F.regexp_extract("sentence", LIT_RE, 3)).alias("lex"),
-        F.when(form == "literal", F.regexp_extract("sentence", LIT_RE, 4)).alias("dt_local"),
+        F.when(form == "literal", F.col("lg")[2]).alias("lex"),
+        F.when(form == "literal", F.col("lg")[3]).alias("dt_local"),
     ).filter(F.col("form") != "none")
 
 

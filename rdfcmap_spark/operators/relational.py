@@ -413,12 +413,18 @@ def x7_obo_prefix(part: DataFrame) -> DataFrame:
         .when(F.col("p_partkey") % 5 == 3, F.concat(F.lit("IAO_"), F.col("p_partkey").cast("string")))
         .otherwise(F.col("p_name"))
     )
+    # full reference ladder (`getPrefixForOboTermLabel:835-871`): six named
+    # idspaces checked in order, then generic idspace_lowercase from the text
+    # before the first underscore, else the bare 'obo' prefix
     prefix = (
-        F.when(local.startswith("BFO_"), F.lit("bfo"))
-        .when(local.startswith("CHEBI_"), F.lit("chebi"))
-        .when(local.startswith("PATO_"), F.lit("pato"))
-        .when(local.startswith("IAO_"), F.lit("iao"))
-        .otherwise(F.lit(None).cast("string"))
+        F.when(local.startswith("BFO"), F.lit("bfo"))
+        .when(local.startswith("IAO"), F.lit("iao"))
+        .when(local.startswith("OBI"), F.lit("obi"))
+        .when(local.startswith("RO"), F.lit("ro"))
+        .when(local.startswith("CHEBI"), F.lit("chebi"))
+        .when(local.startswith("PATO"), F.lit("pato"))
+        .when(F.instr(local, "_") > 0, F.lower(F.substring_index(local, "_", 1)))
+        .otherwise(F.lit("obo"))
     )
     return part.select("p_partkey", local.alias("local_name"), prefix.alias("obo_prefix"))
 

@@ -1,0 +1,185 @@
+"""Reverse mapping: triples -> cmap shape (SURVEY.md §3.2).
+
+The reference's TTL->CXL direction resolves a display title per resource via
+a fixed priority ladder (`Turtle2CmapConverter.createTitle:2049-2130`):
+
+    dct:title ▷ skos:prefLabel ▷ dct:identifier ▷ rdfs:label
+    ▷ joined labels of the rdf:type objects ▷ "instance"
+
+with *first-match* semantics per tier (Jena ``.next()`` — incidental
+iteration order, pinned here as the lexicographic min, SURVEY §2.5), and
+reconstructs (concepts, links, connections) from the instance triples
+(`Turtle2CmapConverter.java:142-314`). Minted link ids use fresh UUIDs in
+the reference; here they are deterministic uuid3 of (subj, pred, obj) so the
+round trip is stable under resume and cluster size.
+
+Everything is DataFrame-native: conditional aggregation for the ladder (one
+shuffle on subj), a broadcast-sized self-join for type labels, and a single
+explode for the connection pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdfcmap_spark import vocab
+from rdfcmap_spark.ids import name_uuid_col
+
+#: label tiers for the subject itself, in ladder priority order
+_SUBJ_TIERS = [
+    ("title", vocab.DCT_TITLE),
+    ("prefLabel", vocab.SKOS_PREF_LABEL),
+    ("identifier", vocab.DCT + "identifier"),
+    ("label", vocab.RDFS_LABEL),
+]
+
+#: label tiers for a TYPE resource (the reference's type branch probes
+#: title ▷ identifier ▷ label ▷ prefLabel — a different order than the
+#: subject ladder; mirrored faithfully)
+_TYPE_TIERS = [vocab.DCT_TITLE, vocab.DCT + "identifier", vocab.RDFS_LABEL, vocab.SKOS_PREF_LABEL]
+
+
+def _local_name(iri):
+    return F.regexp_extract(iri, r"([^#/]+)$", 1)
+
+
+def _label_pivot(triples: DataFrame, preds: list[str]) -> DataFrame:
+    """(subj, one min-lexical column per predicate) — conditional aggregation,
+    a single shuffle; min pins the reference's incidental first-match."""
+    lab = triples.filter(F.col("pred").isin(preds) & (F.col("obj_kind") == "literal"))
+    aggs = [
+        F.min(F.when(F.col("pred") == p, F.col("obj_lexical"))).alias(f"_l{i}")
+        for i, p in enumerate(preds)
+    ]
+    return lab.groupBy("subj").agg(*aggs)
+
+
+def title_ladder(triples: DataFrame) -> DataFrame:
+    """(subj, title, title_source) for every subject in the triple set.
+
+    ``title_source`` names the ladder tier that fired (title / prefLabel /
+    identifier / label / type / instance) — useful for QA and asserted by
+    the driver oracle.
+    """
+    subj_preds = [p for _, p in _SUBJ_TIERS]
+    own = _label_pivot(triples, subj_preds)
+
+    # type branch: each rdf:type object resolves its own (differently
+    # ordered) mini-ladder, fallback = IRI local name; multiple types join
+    # ", " over the sorted distinct label set (reference joins a HashSet —
+    # order pinned here)
+    type_lab = _label_pivot(triples, _TYPE_TIERS).withColumnRenamed("subj", "type_iri")
+    types = triples.filter(
+        (F.col("pred") == vocab.RDF_TYPE) & (F.col("obj_kind") == "iri")
+    ).select("subj", F.col("obj_iri").alias("type_iri"))
+    tl = F.coalesce(
+        *[F.col(f"_l{i}") for i in range(len(_TYPE_TIERS))], _local_name(F.col("type_iri"))
+    )
+    type_titles = (
+        types.join(type_lab, "type_iri", "left")
+        .select("subj", tl.alias("type_label"))
+        .groupBy("subj")
+        .agg(F.array_join(F.sort_array(F.collect_set("type_label")), ", ").alias("type_title"))
+    )
+
+    subjects = triples.select("subj").distinct()
+    out = subjects.join(own, "subj", "left").join(type_titles, "subj", "left")
+    tiers = [F.col(f"_l{i}") for i in range(len(subj_preds))]
+    title = F.coalesce(*tiers, F.col("type_title"), F.lit("instance"))
+    source = F.lit(None).cast("string")
+    for (name, _), col in reversed(list(zip(_SUBJ_TIERS, tiers))):
+        source = F.when(col.isNotNull(), F.lit(name)).otherwise(source)
+    # when() above builds priority bottom-up; earlier tiers overwrite later
+    source = F.coalesce(
+        source,
+        F.when(F.col("type_title").isNotNull(), F.lit("type")),
+        F.lit("instance"),
+    )
+    return out.select("subj", title.alias("title"), source.alias("title_source"))
+
+
+#: predicates that never become cmap links (F3 skip-list + label tiers)
+_SKIP_LINK_PREDS = [p for _, p in _SUBJ_TIERS] + [vocab.RDF_TYPE]
+
+
+def link_edges(triples: DataFrame) -> DataFrame:
+    """Relation triples that become (concept -> link -> concept) structures:
+    non-literal objects, non-schema predicates (F3 skip-list), instance-
+    namespace or vocab-resolved endpoints."""
+    return triples.filter(
+        (F.col("obj_kind") != "literal")
+        & ~F.col("pred").isin(_SKIP_LINK_PREDS)
+        & ~F.col("pred").startswith(vocab.RDF)
+        & ~F.col("pred").startswith(vocab.RDFS)
+        & ~F.col("pred").startswith(vocab.OWL)
+    ).select("subj", "pred", F.col("obj_iri").alias("obj"))
+
+
+def reconstruct_cmap(triples: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """triples -> (concepts, links, connections) — the §3.2 reverse mapping.
+
+    * ``concepts(concept_id, label)`` — every relation endpoint, labelled by
+      the title ladder;
+    * ``links(link_id, label)`` — one minted link node per relation triple
+      (id = uuid3(subj|pred|obj), replacing the reference's fresh UUIDs at
+      `Turtle2CmapConverter.java:288-314`); label = the predicate's
+      ladder title (vocab prefLabel when the predicate is described in the
+      triple set, else its local name);
+    * ``connections(from_id, to_id)`` — two rows per relation
+      (concept->link, link->concept), emitted by ONE explode.
+    """
+    edges = link_edges(triples)
+    titles = title_ladder(triples)
+
+    endpoints = (
+        edges.select(F.col("subj").alias("concept_id"))
+        .unionByName(edges.select(F.col("obj").alias("concept_id")))
+        .distinct()
+    )
+    concepts = (
+        endpoints.join(titles.withColumnRenamed("subj", "concept_id"), "concept_id", "left")
+        .select("concept_id", F.coalesce("title", F.lit("instance")).alias("label"))
+    )
+
+    pred_titles = titles.withColumnRenamed("subj", "pred").withColumnRenamed("title", "pred_title")
+    with_link = (
+        edges.join(pred_titles.select("pred", "pred_title"), "pred", "left")
+        .withColumn(
+            "link_id",
+            F.concat(F.lit("link:"), name_uuid_col(F.concat_ws("|", "subj", "pred", "obj"))),
+        )
+        .withColumn(
+            "label",
+            F.when(
+                F.col("pred_title").isNotNull() & (F.col("pred_title") != "instance"),
+                F.col("pred_title"),
+            ).otherwise(_local_name(F.col("pred"))),
+        )
+    )
+    links = with_link.select(F.col("link_id"), "label").distinct()
+    connections = (
+        with_link.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("subj").alias("from_id"), F.col("link_id").alias("to_id")),
+                    F.struct(F.col("link_id").alias("from_id"), F.col("obj").alias("to_id")),
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+        .distinct()
+    )
+    return concepts, links, connections
+
+
+def reassemble_triples(concepts: DataFrame, links: DataFrame, connections: DataFrame) -> DataFrame:
+    """cmap shape -> (subj, link_label, obj) via the J1 two-hop join — the
+    forward direction used to assert the §3.2 round trip (P/R = 1.0)."""
+    c2l = connections.join(
+        links.select(F.col("link_id"), F.col("label")), connections.to_id == F.col("link_id")
+    ).select(F.col("from_id").alias("subj"), "link_id", "label")
+    l2c = connections.join(
+        links.select(F.col("link_id").alias("lid")), connections.from_id == F.col("lid")
+    ).select(F.col("lid"), F.col("to_id").alias("obj"))
+    return c2l.join(l2c, c2l.link_id == l2c.lid).select("subj", F.col("label").alias("link_label"), "obj")

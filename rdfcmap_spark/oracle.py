@@ -32,24 +32,24 @@ def _sq(s: str) -> str:
     return s.replace("'", "''")
 
 
-def _norm_sql(expr: str) -> str:
-    """The X9 normalization ladder (normalize_label) over a SQL expression.
+def norm_c7_sql(expr: str) -> str:
+    """The pre-comma steps of the X9 ladder (normalize_label) as SQL: fixed-
+    string strips in the same order as the Spark/Python mirrors, then the
+    trailing-instance and combined parenthetical regexes."""
+    c = expr
+    for needle in ["&#10;", "&#xa;", "[", "]", "instance of", "NamedIndividual"]:
+        c = f"replace({c}, '{needle}', '')"
+    c = f"regexp_replace({c}, '(?i)(instance:[a-zA-Z0-9\\s]+)$', '', 'g')"
+    parens = r"\(([A-Z]+_[0-9]{5,7})\)|\(([a-zA-Z\-]+:[a-zA-Z]+)\)"
+    c = f"regexp_replace({c}, '{parens}', '', 'g')"
+    return f"trim({c})"
 
-    Mirrors `rdfcmap_spark.functions.normalize.normalize_label` step for
-    step: entity-escape strip, bracket strip, 'instance of'/'NamedIndividual'
-    removal, trailing instance:… strip, (AFX_1234567)/(prefix:Term)
-    extraction, comma-list disambiguation preferring af* elements, then
-    whitespace collapse + lower.
-    """
-    c7 = (
-        "trim(regexp_replace(regexp_replace(regexp_replace("
-        "replace(replace("
-        f"regexp_replace(regexp_replace({expr}, '&#10;|&#xa;', '', 'g'), '[\\[\\]]', '', 'g'),"
-        " 'instance of', ''), 'NamedIndividual', ''),"
-        " '(?i)(instance:[a-zA-Z0-9\\s]+)$', '', 'g'),"
-        " '\\(([A-Z]+_[0-9]{5,7})\\)', '', 'g'),"
-        " '\\(([a-zA-Z\\-]+:[a-zA-Z]+)\\)', '', 'g'))"
-    )
+
+def _norm_sql(expr: str) -> str:
+    """The full X9 normalization ladder (normalize_label) over a SQL
+    expression: :func:`norm_c7_sql` plus comma-list disambiguation preferring
+    af* elements, whitespace collapse, and lower."""
+    c7 = norm_c7_sql(expr)
     return (
         "lower(trim(regexp_replace("
         f"CASE WHEN len(string_split({c7}, ',')) > 1 "

@@ -99,6 +99,11 @@ def run_pipeline(
     alias = alias if alias is not None else linking.resolved_alias_df(spark)
 
     sent = linked_sentences(transcripts, alias)
+    # prune before materialization: phrase/phrase_norm are spent (pred_iri
+    # carries the result) and obj_bnode is folded into obj_kind — the
+    # checkpoint is re-scanned ~6x by the triple families, so every dropped
+    # column is paid back sixfold in memory bandwidth
+    sent = sent.drop("phrase", "phrase_norm", "obj_bnode")
     if checkpoint:
         # Materialize the linked-sentence stream ONCE: every downstream
         # triple family (entities, relations, literals, cardinality,
@@ -111,28 +116,42 @@ def run_pipeline(
     # --- entities (distinct per conv + surface; individuals excluded).
     # Built directly off the checkpointed linked-sentence stream: the
     # normalization and dictionary probes are ALREADY materialized in
-    # subj_norm/subj_res/obj_norm/obj_res — re-running mention_surfaces +
-    # link_mentions here would repeat both over 2x sentence rows (measured
-    # ~25% of total pipeline time at 0.5M turns).
-    subj_m = sent.select(
-        "conv_id",
-        F.col("subj_norm").alias("surface_norm"),
-        F.col("subj").alias("surface"),
-        F.col("subj_res").alias("resolved_iri"),
-        F.col("subj_kind").alias("term_kind"),
-        F.col("subj_entity").alias("entity_id"),
-    )
-    obj_m = sent.filter((F.col("form") == "relation") & F.col("obj_norm").isNotNull()).select(
-        "conv_id",
-        F.col("obj_norm").alias("surface_norm"),
-        F.col("obj").alias("surface"),
-        F.col("obj_res").alias("resolved_iri"),
-        F.col("obj_kind_term").alias("term_kind"),
-        F.col("obj_entity").alias("entity_id"),
+    # subj_norm/subj_res/obj_norm/obj_res. Subject- and object-position
+    # mentions are emitted from ONE scan (array + explode) — a two-branch
+    # union would re-read the checkpoint twice.
+    def _mention(norm, surface, res, kind, eid):
+        return F.struct(
+            norm.alias("surface_norm"),
+            surface.alias("surface"),
+            res.alias("resolved_iri"),
+            kind.alias("term_kind"),
+            eid.alias("entity_id"),
+        )
+
+    ments = (
+        sent.select(
+            "conv_id",
+            F.explode(
+                F.array(
+                    _mention(
+                        F.col("subj_norm"), F.col("subj"), F.col("subj_res"),
+                        F.col("subj_kind"), F.col("subj_entity"),
+                    ),
+                    F.when(
+                        (F.col("form") == "relation") & F.col("obj_norm").isNotNull(),
+                        _mention(
+                            F.col("obj_norm"), F.col("obj"), F.col("obj_res"),
+                            F.col("obj_kind_term"), F.col("obj_entity"),
+                        ),
+                    ),
+                )
+            ).alias("m"),
+        )
+        .filter(F.col("m").isNotNull())
+        .select("conv_id", "m.*")
     )
     entities = (
-        subj_m.unionByName(obj_m)
-        .filter(F.col("surface_norm") != "")
+        ments.filter(F.col("surface_norm") != "")
         .filter(F.col("term_kind").isNull() | (F.col("term_kind") != "individual"))
         .groupBy("conv_id", "surface_norm")
         .agg(
@@ -178,8 +197,22 @@ def run_pipeline(
     metrics: dict = {}
     if with_canonicalization:
         edges = canonicalize.identity_edges(sameas, idents)
-        mapping = canonicalize.connected_components(edges)
-        triples = canonicalize.rewrite_triples(triples, mapping)
+        if checkpoint:
+            # overlap the serial-ish CC fixed point (driver collect +
+            # union-find + tiny jobs) with the big parallel materialization
+            # of the raw triple union: Spark schedules jobs from both
+            # threads concurrently, so the driver-bound CC work no longer
+            # serializes against idle executors (measured ~4-5s of the
+            # non-scaling wall time at 0.5M turns).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                cc_fut = pool.submit(canonicalize.connected_components_with_count, edges)
+                triples = triples.localCheckpoint()
+                mapping, n_mapping = cc_fut.result()
+        else:
+            mapping, n_mapping = canonicalize.connected_components_with_count(edges)
+        triples = canonicalize.rewrite_triples(triples, mapping, n_mapping=n_mapping)
     else:
         key = ["subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"]
         triples = triples.dropDuplicates(key)

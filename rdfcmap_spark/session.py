@@ -51,6 +51,13 @@ def build_session(
         # deterministic-output requirement (SURVEY.md §4 determinism row):
         # never let partial-aggregation push nondeterminism into floats we hash
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        # collect_set/collect_list aggregates (entity titles, LSH band keys,
+        # per-subject assembly) run in ObjectHashAggregate, which falls back
+        # to SORT-based after only 128 distinct keys per partition by
+        # default — our aggs have 10^4-10^6 small-buffer groups, so raise
+        # the fallback so they stay hash-based (buffers are tiny title/hash
+        # sets, not unbounded)
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

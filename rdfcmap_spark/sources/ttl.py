@@ -33,9 +33,12 @@ _PREFIXES = sorted(vocab.NS_PREFIX_MAP.items(), key=lambda kv: -len(kv[1]))
 
 def _to_prefixed(iri_col):
     """IRI -> prefix:local when a namespace matches and the local name is
-    PN_LOCAL-safe, else <iri>."""
+    PN_LOCAL-safe, else <iri>. The when-ladder nests so the LONGEST matching
+    namespace wins (e.g. obo/CHEBI beats obo/ for chebi:_123) — the loop
+    iterates shortest-first because each iteration wraps the previous ladder
+    as its ``otherwise`` branch, putting the longest namespace outermost."""
     out = None
-    for prefix, ns in _PREFIXES:
+    for prefix, ns in reversed(_PREFIXES):
         local = F.substring(iri_col, len(ns) + 1, 10_000)
         ok = iri_col.startswith(ns) & local.rlike(r"^[A-Za-z0-9_\-]+$")
         expr = F.concat(F.lit(prefix + ":"), local)

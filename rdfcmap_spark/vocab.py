@@ -74,8 +74,13 @@ AFV_MAX_VALUE = AFV + "maximumValue"
 AFV_ON_PROPERTY = AFV + "onProperty"
 AFX_HAS_OBJECT = AFX + "AFX_0000396"  # af-x:hasObject (AFOUtil.java:352)
 
-#: prefix -> namespace (subset of Prefixes.java:25-122 relevant to the dict)
+#: prefix -> namespace, full breadth of `Prefixes.java:25-122` (21 AFT + 15
+#: OBO + ~30 others). Keys that would alias a namespace we already map under
+#: a short local key (afe/afm/afr/afp/afv vs the reference's af-e/af-m/...)
+#: are kept under OUR key only — one prefix per namespace, so qname
+#: compaction is deterministic (longest-namespace match wins, ttl._to_prefixed).
 NS_PREFIX_MAP = {
+    # core (ours, stable keys)
     "rdf": RDF,
     "rdfs": RDFS,
     "owl": OWL,
@@ -91,7 +96,78 @@ NS_PREFIX_MAP = {
     "afp": AFP,
     "af-x": AFX,
     "afv": AFV,
+    # AFT family (Prefixes.aftPrefixMap)
+    "af-c": "http://purl.allotrope.org/ontologies/common#",
+    "af-cq": "http://purl.allotrope.org/ontologies/common/qualifier#",
+    "af-rl": "http://purl.allotrope.org/ontologies/role#",
+    "af-fn": "http://purl.allotrope.org/ontologies/function#",
+    "af-re": "http://purl.allotrope.org/ontologies/realizable#",
+    "af-s": "http://purl.allotrope.org/shapes/core#",
+    "af-dt": "http://purl.allotrope.org/ontologies/datatype#",
+    "af-q": "http://purl.allotrope.org/ontologies/quality#",
+    "af-cur": "http://purl.allotrope.org/ontologies/curation#",
+    "af-ec-001": "http://purl.allotrope.org/ontologies/equipment/codelist/001#",
+    "af-ec-002": "http://purl.allotrope.org/ontologies/equipment/codelist/002#",
+    "af-ec-003": "http://purl.allotrope.org/ontologies/equipment/codelist/003#",
+    "af-ec-004": "http://purl.allotrope.org/ontologies/equipment/codelist/004#",
+    "af-ec-005": "http://purl.allotrope.org/ontologies/equipment/codelist/005#",
+    "af-ec-006": "http://purl.allotrope.org/ontologies/equipment/codelist/006#",
+    "af-map": "http://purl.allotrope.org/ontologies/mapping#",
+    "af-math": "http://purl.allotrope.org/ontologies/math#",
+    # OBO family (Prefixes.oboPrefixMap; namespaces end at the idspace, so
+    # obo/BFO_0000019 compacts to bfo:_0000019 as in the reference)
+    "cl": OBO + "CL",
+    "go": OBO + "GO",
+    "ro": OBO + "RO",
+    "uo": OBO + "UO",
+    "iao": OBO + "IAO",
+    "bfo": OBO + "BFO",
+    "gaz": OBO + "GAZ",
+    "mop": OBO + "MOP",
+    "obi": OBO + "OBI",
+    "chmo": OBO + "CHMO",
+    "envo": OBO + "ENVO",
+    "ncbi": OBO + "NCBITaxon",
+    "pato": OBO + "PATO",
+    "chebi": OBO + "CHEBI",
+    "uberon": OBO + "UBERON",
+    # misc (Prefixes.nsPrefixMap)
+    "m": "http://www.w3.org/1998/Math/MathML#",
+    "co": "http://purl.org/co/",
+    "ex": "http://www.example.org#",
+    "qb": "http://purl.org/linked-data/cube#",
+    "ex2": "http://www.example2.org#",
+    "hdf": "http://purl.allotrope.org/ontologies/hdf5/1.8#",
+    "ldp": "http://purl.org/ldp/",
+    "map": "http://purl.allotrope.org/ontologies/mapping/instances#",
+    "ops": "http://www.openphacts.org/units/",
+    "ore": "http://www.openarchives.org/ore/terms/",
+    "org": "http://www.w3.org/ns/org#",
+    "pav": "http://purl.org/pav/",
+    "xml": "http://www.w3.org/xml/1998/namespace",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "omcd": "http://www.openmath.org/cd/",
+    "prov": "http://www.w3.org/ns/prov#",
+    "time": "http://www.w3.org/2006/time#",
+    "void": "http://rdfs.org/ns/void#",
+    "afs-c": "http://purl.allotrope.org/shapes/common#",
+    "afs-q": "http://purl.allotrope.org/shapes/qudt#",
+    "shacl": "http://www.w3.org/ns/shacl#",
+    "vcard": "http://www.w3.org/2006/vcard/ns#",
+    "adf-dc": "http://purl.allotrope.org/ontologies/datacube#",
+    "adf-dp": "http://purl.allotrope.org/ontologies/datapackage#",
+    "afs-dc": "http://purl.allotrope.org/shapes/datacube#",
+    "afs-hr": "http://purl.allotrope.org/shapes/resources#",
+    "dctype": "http://purl.org/dc/dcmitype/",
+    "premis": "http://www.loc.gov/premis/rdf/v1#",
+    "qudt-ext": "http://purl.allotrope.org/ontology/qudt-ext/schema#",
+    "unit-ext": "http://purl.allotrope.org/ontology/qudt-ext/unit#",
+    "adf-dc-hdf": "http://purl.allotrope.org/ontologies/datacube-hdf-map#",
+    "quantity-ext": "http://purl.allotrope.org/ontology/qudt-ext/quantity#",
 }
+
+# one prefix per namespace is load-bearing for deterministic compaction
+assert len(set(NS_PREFIX_MAP.values())) == len(NS_PREFIX_MAP), "duplicate namespace in NS_PREFIX_MAP"
 
 #: namespace-priority for resolution tie-breaks: the reference prefers
 #: Allotrope terms when a label is ambiguous (comma-list scan

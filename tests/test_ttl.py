@@ -36,6 +36,13 @@ CASES = [
     ("urn:uuid:s3", vocab.DCT_TITLE, "literal", None, "back\\\\slash \\\" mix\tand\\ttab", vocab.XSD_STRING),
     # non-prefixable IRIs stay <wrapped>
     ("http://example.org/x y", "http://example.org/p", "iri", "http://example.org/o#1", None, None),
+    # reference-breadth prefixes (Prefixes.java): OBO idspace namespaces are
+    # nested under obo/ — the LONGEST namespace must win (bfo:_0000019, not
+    # obo:BFO_0000019) — plus AFT common/qudt-ext namespaces
+    ("urn:uuid:s4", vocab.RDFS_SUBCLASS_OF, "iri", vocab.OBO + "BFO_0000019", None, None),
+    ("urn:uuid:s4", vocab.RDF_TYPE, "iri", vocab.OBO + "CHEBI_15377", None, None),
+    ("urn:uuid:s4", "http://purl.allotrope.org/ontologies/common#AFC_0000001", "iri",
+     "http://purl.allotrope.org/ontology/qudt-ext/unit#DEG_F", None, None),
 ]
 
 
@@ -60,6 +67,10 @@ def test_signature_and_prefix_header(spark, tdf, tmp_path):
     assert any(l.startswith("@prefix afe:") for l in lines)
     # rdf:type rendered as 'a' (reference-style turtle)
     assert any(" a owl:NamedIndividual ." in l for l in lines)
+    # longest-namespace-wins qname compaction for nested OBO idspaces
+    assert any("bfo:_0000019" in l for l in lines)
+    assert any("chebi:_15377" in l for l in lines)
+    assert not any("obo:BFO_0000019" in l for l in lines)
 
 
 def test_pipeline_output_roundtrips(spark, tmp_path):
