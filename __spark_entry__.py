@@ -174,6 +174,47 @@ def _kg_sparql_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path_statements(edges, f"o:{k}", f"r:{chain['n_regionkey']}")
 
 
+def _kg_ontology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`--ontology` mode (`OntologyCreator.java:51-168`): derive OWL class /
+    property declarations + observed-cardinality owl:Restriction nodes from
+    an instance model planted on customer/orders/nation."""
+    from rdfcmap_spark.operators.ontology import ontology_from_instances
+    from rdfcmap_spark import vocab as V
+
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    EX = "http://example.org/"
+
+    def t(subj, pred, kind, obj_iri, lex):
+        return F.struct(
+            subj.cast("string").alias("subj"), pred.cast("string").alias("pred"),
+            kind.cast("string").alias("obj_kind"), obj_iri.cast("string").alias("obj_iri"),
+            lex.cast("string").alias("obj_lexical"), F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    csub = F.concat(F.lit("c:"), F.col("c_custkey").cast("string"))
+    nsub = F.concat(F.lit("n:"), F.col("n_nationkey").cast("string"))
+    null_s = F.lit(None).cast("string")
+    cust_t = customer.select(F.explode(F.array(
+        t(csub, F.lit(V.RDF_TYPE), F.lit("iri"), F.lit(EX + "Customer"), null_s),
+        t(csub, F.lit(EX + "locatedIn"), F.lit("iri"),
+          F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")), null_s),
+        t(csub, F.lit(EX + "hasName"), F.lit("literal"), null_s, F.col("c_name")),
+    )).alias("x")).select("x.*")
+    ord_t = orders.select(F.explode(F.array(
+        t(F.concat(F.lit("c:"), F.col("o_custkey").cast("string")), F.lit(EX + "hasOrder"),
+          F.lit("iri"), F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")), null_s),
+    )).alias("x")).select("x.*")
+    nat_t = nation.select(F.explode(F.array(
+        t(nsub, F.lit(V.RDF_TYPE), F.lit("iri"), F.lit(EX + "Nation"), null_s),
+        t(nsub, F.lit(EX + "inRegion"), F.lit("iri"),
+          F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")), null_s),
+    )).alias("x")).select("x.*")
+    return ontology_from_instances(cust_t.unionByName(ord_t).unionByName(nat_t))
+
+
 def _kg_title_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 title-priority ladder (`Turtle2CmapConverter.createTitle:
     2049-2130`): dct:title ▷ skos:prefLabel ▷ dct:identifier ▷ rdfs:label ▷
@@ -289,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_x6_prefix_compact": lambda s, d: relational.x6_prefix_compact(load(s, d, "part")),
         "kg_sparql_body": _kg_sparql_body,
         "kg_title_ladder": _kg_title_ladder,
+        "kg_ontology": _kg_ontology,
         "kg_shacl_shapes": lambda s, d: relational.shacl_shape_summary(
             load(s, d, "customer"), load(s, d, "orders"), load(s, d, "nation")
         ),
@@ -837,6 +879,86 @@ SELECT CAST(step AS INTEGER) AS step, subj, pred, obj, direction FROM (
   SELECT 2, 'n:' || n_nationkey, 'ex:inRegion', 'r:' || n_regionkey, 'forward' FROM chain
 )
 """
+
+    from rdfcmap_spark.ids import uuid_sql as _uuid_sql
+
+    _ONTO_LABEL = (
+        "lower(trim(regexp_replace(regexp_replace("
+        "regexp_extract({iri}, '([^#/]+)$', 1), '-', ' ', 'g'), '([A-Z])', ' \\1', 'g')))"
+    )
+    sql["kg_ontology"] = (
+        r"""
+WITH t AS (
+  SELECT 'c:' || c_custkey AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'iri' AS obj_kind, 'http://example.org/Customer' AS obj_iri, CAST(NULL AS VARCHAR) AS obj_lexical
+  FROM customer
+  UNION ALL SELECT 'c:' || c_custkey, 'http://example.org/locatedIn', 'iri', 'n:' || c_nationkey, NULL FROM customer
+  UNION ALL SELECT 'c:' || c_custkey, 'http://example.org/hasName', 'literal', NULL, c_name FROM customer
+  UNION ALL SELECT 'c:' || o_custkey, 'http://example.org/hasOrder', 'iri', 'o:' || o_orderkey, NULL FROM orders
+  UNION ALL SELECT 'n:' || n_nationkey, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri', 'http://example.org/Nation', NULL FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey, 'http://example.org/inRegion', 'iri', 'r:' || n_regionkey, NULL FROM nation
+),
+typed AS (SELECT subj, obj_iri AS class_iri FROM t
+          WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AND obj_kind = 'iri'),
+classes AS (SELECT DISTINCT class_iri FROM typed),
+props AS (
+  SELECT pred,
+         CASE WHEN max(CASE WHEN obj_kind <> 'literal' THEN 1 ELSE 0 END) = 1
+              THEN 'http://www.w3.org/2002/07/owl#ObjectProperty'
+              ELSE 'http://www.w3.org/2002/07/owl#DatatypeProperty' END AS prop_kind
+  FROM t WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' GROUP BY pred
+),
+per_subj AS (
+  SELECT ty.class_iri, p.pred, p.subj, count(*) AS n
+  FROM typed ty JOIN (SELECT subj, pred FROM t WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type') p
+    ON p.subj = ty.subj
+  GROUP BY ty.class_iri, p.pred, p.subj
+),
+class_sizes AS (SELECT class_iri, count(DISTINCT subj) AS n_subjects FROM typed GROUP BY class_iri),
+envelope AS (
+  SELECT ps.class_iri, ps.pred,
+         CASE WHEN count(*) < cs.n_subjects THEN 0 ELSE min(ps.n) END AS min_count,
+         max(ps.n) AS max_count,
+         'urn:uuid:' || """
+        + _uuid_sql("'restr|' || ps.class_iri || '|' || ps.pred")
+        + r""" AS rnode
+  FROM per_subj ps JOIN class_sizes cs USING (class_iri)
+  GROUP BY ps.class_iri, ps.pred, cs.n_subjects
+)
+SELECT subj, pred, obj_kind, obj_iri, obj_lexical, obj_datatype,
+       CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INTEGER) AS turn_idx
+FROM (
+  SELECT class_iri AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred, 'iri' AS obj_kind,
+         'http://www.w3.org/2002/07/owl#Class' AS obj_iri, CAST(NULL AS VARCHAR) AS obj_lexical,
+         CAST(NULL AS VARCHAR) AS obj_datatype FROM classes
+  UNION ALL
+  SELECT class_iri, 'http://www.w3.org/2004/02/skos/core#prefLabel', 'literal', NULL,
+         """
+        + _ONTO_LABEL.format(iri="class_iri")
+        + r""", 'http://www.w3.org/2001/XMLSchema#string' FROM classes
+  UNION ALL
+  SELECT pred, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri', prop_kind, NULL, NULL FROM props
+  UNION ALL
+  SELECT pred, 'http://www.w3.org/2004/02/skos/core#prefLabel', 'literal', NULL,
+         """
+        + _ONTO_LABEL.format(iri="pred")
+        + r""", 'http://www.w3.org/2001/XMLSchema#string' FROM props
+  UNION ALL
+  SELECT class_iri, 'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'bnode', rnode, NULL, NULL FROM envelope
+  UNION ALL
+  SELECT rnode, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri',
+         'http://www.w3.org/2002/07/owl#Restriction', NULL, NULL FROM envelope
+  UNION ALL
+  SELECT rnode, 'http://www.w3.org/2002/07/owl#onProperty', 'iri', pred, NULL, NULL FROM envelope
+  UNION ALL
+  SELECT rnode, 'http://www.w3.org/2002/07/owl#minCardinality', 'literal', NULL,
+         CAST(min_count AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#integer' FROM envelope
+  UNION ALL
+  SELECT rnode, 'http://www.w3.org/2002/07/owl#maxCardinality', 'literal', NULL,
+         CAST(max_count AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#integer' FROM envelope
+)
+"""
+    )
 
     sql["kg_title_ladder"] = r"""
 WITH p AS (SELECT p_partkey AS k, p_partkey % 6 AS m, p_partkey % 7 AS tk, p_name FROM part),

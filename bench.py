@@ -36,6 +36,7 @@ SECONDARY = [
     "kg_x12_literal_typing",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_lsh_verified",
     "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
@@ -45,6 +46,8 @@ SECONDARY = [
     "tpch_q1",
     "events_sessionize",
     "events_hourly_rollup",
+    "kg_title_ladder",
+    "kg_ontology",
 ]
 
 

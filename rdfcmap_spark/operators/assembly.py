@@ -165,6 +165,101 @@ def relation_triples(rel: DataFrame) -> DataFrame:
     return _explode_triples(rel, F.array(main, *cardinal))
 
 
+def sentence_triples(sent: DataFrame) -> DataFrame:
+    """EVERY batch triple family — entity declarations (NamedIndividual /
+    title / resolved type for subject- and object-position mentions),
+    relation mains with the QUDT unit rewrite, cardinality satellites, and
+    quarantined typed literals — emitted from ONE scan of the linked-sentence
+    stream as a single array explode.
+
+    Entity triples are emitted **per mention** rather than per aggregated
+    entity: the triple *set* is identical (entity_id, resolved IRI and the
+    trimmed title are pure functions of (conv_id, surface_norm)), and the
+    final set-semantics aggregate collapses the duplicates — so the entity
+    groupBy + collect_set shuffle of the per-family formulation disappears
+    entirely. sameAs relations are intentionally NOT emitted (they feed
+    canonicalization, not the output model).
+    """
+    from rdfcmap_spark.functions.literals import literal_cols
+
+    conv, turn = F.col("conv_id"), F.col("turn_idx")
+
+    def entity_structs(ok, eid, surface, res):
+        return [
+            F.when(ok, _tstruct(
+                eid, F.lit(vocab.RDF_TYPE), F.lit("iri"), F.lit(vocab.OWL_NAMED_INDIVIDUAL),
+                _null_s(), _null_s(), conv, _null_i())),
+            F.when(ok, _tstruct(
+                eid, F.lit(vocab.DCT_TITLE), F.lit("literal"), _null_s(),
+                F.trim(surface), F.lit(vocab.XSD_STRING), conv, _null_i())),
+            F.when(ok & res.isNotNull(), _tstruct(
+                eid, F.lit(vocab.RDF_TYPE), F.lit("iri"), res,
+                _null_s(), _null_s(), conv, _null_i())),
+        ]
+
+    subj_ok = (F.col("subj_norm") != "") & (
+        F.col("subj_kind").isNull() | (F.col("subj_kind") != "individual")
+    )
+    obj_ment = (F.col("form") == "relation") & F.col("obj_norm").isNotNull()
+    obj_ok = obj_ment & (F.col("obj_norm") != "") & (
+        F.col("obj_kind_term").isNull() | (F.col("obj_kind_term") != "individual")
+    )
+    ent = entity_structs(subj_ok, F.col("subj_entity"), F.col("subj"), F.col("subj_res")) + \
+        entity_structs(obj_ok, F.col("obj_entity"), F.col("obj"), F.col("obj_res"))
+
+    rel_ok = (
+        (F.col("form") == "relation")
+        & F.col("obj_entity").isNotNull()
+        & (F.col("pred_iri").isNull() | (F.col("pred_iri") != vocab.OWL_SAME_AS))
+    )
+    unit_map = F.create_map(*[F.lit(x) for kv in vocab.UNIT_INDIVIDUAL_TO_CLASS.items() for x in kv])
+    robj = F.when(
+        F.col("pred_iri") == vocab.QUDT_UNIT,
+        F.coalesce(unit_map[F.col("obj_entity")], F.col("obj_entity")),
+    ).otherwise(F.col("obj_entity"))
+    main = F.when(rel_ok, _tstruct(
+        F.col("subj_entity"), F.coalesce(F.col("pred_iri"), F.lit(vocab.SKOS_RELATED)),
+        F.col("obj_kind"), robj, _null_s(), _null_s(), conv, turn,
+    ))
+
+    raw_type, raw_min, raw_max = classify_cols(F.col("card"))
+    has_card = (
+        rel_ok & F.col("card").isNotNull() & (F.col("card") != "")
+        & F.col("pred_iri").isNotNull() & raw_type.isNotNull()
+    )
+    card_node = F.when(
+        has_card,
+        instance_iri_col(F.concat_ws("|", F.lit("card"), conv, turn, F.col("sent_idx"))),
+    )
+    cardinal = [
+        F.when(has_card, _tstruct(
+            card_node, F.lit(vocab.RDF_TYPE), F.lit("iri"), raw_type,
+            _null_s(), _null_s(), conv, turn)),
+        F.when(has_card, _tstruct(
+            card_node, F.lit(vocab.AFV_ON_PROPERTY), F.lit("iri"), F.col("pred_iri"),
+            _null_s(), _null_s(), conv, turn)),
+        F.when(has_card, _tstruct(
+            F.col("subj_entity"), F.lit(vocab.AFV + "hasCardinality"), F.lit("bnode"), card_node,
+            _null_s(), _null_s(), conv, turn)),
+        F.when(has_card & raw_min.isNotNull(), _tstruct(
+            card_node, F.lit(vocab.AFV_MIN_VALUE), F.lit("literal"), _null_s(),
+            raw_min, F.lit(vocab.XSD_INTEGER), conv, turn)),
+        F.when(has_card & raw_max.isNotNull(), _tstruct(
+            card_node, F.lit(vocab.AFV_MAX_VALUE), F.lit("literal"), _null_s(),
+            raw_max, F.lit(vocab.XSD_INTEGER), conv, turn)),
+    ]
+
+    lit_token = F.concat(F.lit('"'), F.col("lex"), F.lit('"^^xsd:'), F.col("dt_local"))
+    obj_lex, obj_dt, lex_valid = literal_cols(lit_token)
+    lit_ok = (F.col("form") == "literal") & F.coalesce(lex_valid, F.lit(False))
+    literal = F.when(lit_ok, _tstruct(
+        F.col("subj_entity"), F.coalesce(F.col("pred_iri"), F.lit(vocab.SKOS_RELATED)),
+        F.lit("literal"), _null_s(), obj_lex, obj_dt, conv, turn,
+    ))
+
+    return _explode_triples(sent, F.array(*ent, main, *cardinal, literal))
+
+
 def literal_triples(lit: DataFrame) -> DataFrame:
     """Literal sentences -> (subj, datatype_prop, literal) with quarantine.
 

@@ -113,105 +113,40 @@ def run_pipeline(
         # resume machinery records (SURVEY.md §4 iteration/lineage row).
         sent = sent.localCheckpoint()
 
-    # --- entities (distinct per conv + surface; individuals excluded).
-    # Built directly off the checkpointed linked-sentence stream: the
-    # normalization and dictionary probes are ALREADY materialized in
-    # subj_norm/subj_res/obj_norm/obj_res. Subject- and object-position
-    # mentions are emitted from ONE scan (array + explode) — a two-branch
-    # union would re-read the checkpoint twice.
-    def _mention(norm, surface, res, kind, eid):
-        return F.struct(
-            norm.alias("surface_norm"),
-            surface.alias("surface"),
-            res.alias("resolved_iri"),
-            kind.alias("term_kind"),
-            eid.alias("entity_id"),
-        )
+    # --- ALL batch triple families from ONE scan of the checkpointed
+    # linked-sentence stream (entity declarations per mention, relations with
+    # unit rewrite, cardinality satellites, quarantined literals) — see
+    # assembly.sentence_triples. No shuffle until the set-semantics
+    # aggregate: the entity groupBy of the per-family formulation is gone
+    # (per-mention emission + final dedup is set-identical).
+    triples = assembly.sentence_triples(sent)
 
-    ments = (
-        sent.select(
-            "conv_id",
-            F.explode(
-                F.array(
-                    _mention(
-                        F.col("subj_norm"), F.col("subj"), F.col("subj_res"),
-                        F.col("subj_kind"), F.col("subj_entity"),
-                    ),
-                    F.when(
-                        (F.col("form") == "relation") & F.col("obj_norm").isNotNull(),
-                        _mention(
-                            F.col("obj_norm"), F.col("obj"), F.col("obj_res"),
-                            F.col("obj_kind_term"), F.col("obj_entity"),
-                        ),
-                    ),
-                )
-            ).alias("m"),
-        )
-        .filter(F.col("m").isNotNull())
-        .select("conv_id", "m.*")
-    )
-    entities = (
-        ments.filter(F.col("surface_norm") != "")
-        .filter(F.col("term_kind").isNull() | (F.col("term_kind") != "individual"))
-        .groupBy("conv_id", "surface_norm")
-        .agg(
-            F.first("entity_id").alias("entity_id"),
-            F.sort_array(F.collect_set(F.trim(F.col("surface")))).alias("titles"),
-            F.first("resolved_iri").alias("canonical_iri"),
-        )
-    )
-
-    ent_t = assembly.entity_triples(entities)
-
-    # --- relations (incl. unit rewrite + cardinality); sameAs diverted
-    rel = sent.filter((F.col("form") == "relation") & F.col("obj_entity").isNotNull())
-    sameas = rel.filter(F.col("pred_iri") == vocab.OWL_SAME_AS).select(
-        F.col("subj_entity").alias("a"), F.col("obj_entity").alias("b")
-    )
-    rel_main = rel.filter(
-        F.col("pred_iri").isNull() | (F.col("pred_iri") != vocab.OWL_SAME_AS)
-    )
-    rel_t = assembly.relation_triples(
-        rel_main.select(
-            "conv_id", "turn_idx", "sent_idx", "subj_entity", "pred_iri", "obj_entity", "obj_kind", "card"
-        )
-    )
-
-    # --- literals (with validity quarantine); identifiers also feed identity
+    # --- identity inputs (feed canonicalization, not the output model)
+    sameas = sent.filter(
+        (F.col("form") == "relation")
+        & F.col("obj_entity").isNotNull()
+        & (F.col("pred_iri") == vocab.OWL_SAME_AS)
+    ).select(F.col("subj_entity").alias("a"), F.col("obj_entity").alias("b"))
     lit_token = F.concat(F.lit('"'), F.col("lex"), F.lit('"^^xsd:'), F.col("dt_local"))
-    obj_lex, obj_dt, lex_valid = literal_cols(lit_token)
-    lit = (
+    obj_lex, _, lex_valid = literal_cols(lit_token)
+    idents = (
         sent.filter(F.col("form") == "literal")
         .withColumn("obj_lexical", obj_lex)
-        .withColumn("obj_datatype", obj_dt)
         .withColumn("lex_valid", F.coalesce(lex_valid, F.lit(False)))
-        .withColumn("pred_iri", F.coalesce(F.col("pred_iri"), F.lit(vocab.SKOS_RELATED)))
+        .filter((F.col("pred_iri") == vocab.DCT + "identifier") & F.col("lex_valid"))
+        .select(F.col("subj_entity").alias("entity_id"), F.col("obj_lexical").alias("value"))
     )
-    lit_t = assembly.literal_triples(lit)
-    idents = lit.filter(
-        (F.col("pred_iri") == vocab.DCT + "identifier") & F.col("lex_valid")
-    ).select(F.col("subj_entity").alias("entity_id"), F.col("obj_lexical").alias("value"))
-
-    triples = ent_t.unionByName(rel_t).unionByName(lit_t)
 
     metrics: dict = {}
     if with_canonicalization:
+        # CC runs over identity edges only (tiny next to the triple stream);
+        # the raw triple union is NOT materialized — it fuses straight into
+        # the set-semantics aggregate of rewrite_triples, so the 10^13-row
+        # candidate stream is touched exactly once (a checkpoint of it was
+        # measured to double wall time at 2M turns: ~4 GB of wide rows
+        # evicts the sentence checkpoint and spills).
         edges = canonicalize.identity_edges(sameas, idents)
-        if checkpoint:
-            # overlap the serial-ish CC fixed point (driver collect +
-            # union-find + tiny jobs) with the big parallel materialization
-            # of the raw triple union: Spark schedules jobs from both
-            # threads concurrently, so the driver-bound CC work no longer
-            # serializes against idle executors (measured ~4-5s of the
-            # non-scaling wall time at 0.5M turns).
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=1) as pool:
-                cc_fut = pool.submit(canonicalize.connected_components_with_count, edges)
-                triples = triples.localCheckpoint()
-                mapping, n_mapping = cc_fut.result()
-        else:
-            mapping, n_mapping = canonicalize.connected_components_with_count(edges)
+        mapping, n_mapping = canonicalize.connected_components_with_count(edges)
         triples = canonicalize.rewrite_triples(triples, mapping, n_mapping=n_mapping)
     else:
         key = ["subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"]

@@ -35,7 +35,7 @@ from rdfcmap_spark.operators import assembly, canonicalize
 from rdfcmap_spark.plans import pipeline as P
 from rdfcmap_spark.sources import sink
 
-PIPELINE_VERSION = "1"  # bump to invalidate every snapshot
+PIPELINE_VERSION = "2"  # bump to invalidate every snapshot (v2: one-scan triple emission)
 
 
 def _fp(*parts: str) -> str:
@@ -103,54 +103,8 @@ class StagedRun:
 
 def _raw_triples(sent: DataFrame) -> DataFrame:
     """Triple families off a persisted sent snapshot (mirrors run_pipeline's
-    body, minus canonicalization)."""
-    subj_m = sent.select(
-        "conv_id",
-        F.col("subj_norm").alias("surface_norm"),
-        F.col("subj").alias("surface"),
-        F.col("subj_res").alias("resolved_iri"),
-        F.col("subj_kind").alias("term_kind"),
-        F.col("subj_entity").alias("entity_id"),
-    )
-    obj_m = sent.filter((F.col("form") == "relation") & F.col("obj_norm").isNotNull()).select(
-        "conv_id",
-        F.col("obj_norm").alias("surface_norm"),
-        F.col("obj").alias("surface"),
-        F.col("obj_res").alias("resolved_iri"),
-        F.col("obj_kind_term").alias("term_kind"),
-        F.col("obj_entity").alias("entity_id"),
-    )
-    entities = (
-        subj_m.unionByName(obj_m)
-        .filter(F.col("surface_norm") != "")
-        .filter(F.col("term_kind").isNull() | (F.col("term_kind") != "individual"))
-        .groupBy("conv_id", "surface_norm")
-        .agg(
-            F.first("entity_id").alias("entity_id"),
-            F.sort_array(F.collect_set(F.trim(F.col("surface")))).alias("titles"),
-            F.first("resolved_iri").alias("canonical_iri"),
-        )
-    )
-    ent_t = assembly.entity_triples(entities)
-    rel = sent.filter(
-        (F.col("form") == "relation")
-        & F.col("obj_entity").isNotNull()
-        & (F.col("pred_iri").isNull() | (F.col("pred_iri") != vocab.OWL_SAME_AS))
-    )
-    rel_t = assembly.relation_triples(
-        rel.select("conv_id", "turn_idx", "sent_idx", "subj_entity", "pred_iri", "obj_entity", "obj_kind", "card")
-    )
-    lit_token = F.concat(F.lit('"'), F.col("lex"), F.lit('"^^xsd:'), F.col("dt_local"))
-    obj_lex, obj_dt, lex_valid = literal_cols(lit_token)
-    lit = (
-        sent.filter(F.col("form") == "literal")
-        .withColumn("obj_lexical", obj_lex)
-        .withColumn("obj_datatype", obj_dt)
-        .withColumn("lex_valid", F.coalesce(lex_valid, F.lit(False)))
-        .withColumn("pred_iri", F.coalesce(F.col("pred_iri"), F.lit(vocab.SKOS_RELATED)))
-    )
-    lit_t = assembly.literal_triples(lit)
-    return ent_t.unionByName(rel_t).unionByName(lit_t)
+    body, minus canonicalization): one-scan array-explode emission."""
+    return assembly.sentence_triples(sent)
 
 
 def _identity_edges(sent: DataFrame) -> DataFrame:

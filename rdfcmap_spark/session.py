@@ -57,7 +57,10 @@ def build_session(
         # default — our aggs have 10^4-10^6 small-buffer groups, so raise
         # the fallback so they stay hash-based (buffers are tiny title/hash
         # sets, not unbounded)
-        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            os.environ.get("SPARK_GRAFT_OBJHASH_FALLBACK", "1000000"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

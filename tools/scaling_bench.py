@@ -12,7 +12,9 @@ doesn't pay generation cost; best-of-N runs filter host-side VM noise.
 
 Reports, per level: wall seconds, triples/sec, and the order-insensitive
 triple-set hash (must be identical — cluster-size-invariant output).
-Efficiency = (thr_4N / thr_N) / 4. Writes BENCH.md.
+Efficiency = (thr_4N / thr_N) / 4. Prints one JSON line; the committed
+BENCH.md aggregates the measured matrix across level pairs together with
+the host parallel-efficiency ceiling (tools/host_calibration.py).
 
 Usage: python tools/scaling_bench.py [n_convs] [N_cores] [mult]
 """
@@ -94,44 +96,10 @@ def main() -> None:
         "output_identical_across_parallelism": same_output,
         "triples": p4["triples"],
     }
+    # one JSON line; the committed BENCH.md carries the full measured matrix
+    # (every level pair + tools/host_calibration.py ceilings) as ONE story —
+    # this tool no longer overwrites it per-pair
     print(json.dumps(summary))
-
-    md = f"""# BENCH — measured numbers
-
-## KG-construction pipeline (flagship): two-cluster-size scaling
-
-Same job, same pre-generated deterministic input ({pn['turns']:,} turns),
-fresh JVM per run, best-of-2 per level (host-VM noise filtered by min).
-
-| parallelism | wall s | triples/sec | turns/sec |
-|---|---|---|---|
-| local[{levels[0]}]  (N)  | {pn['seconds']} | {thr_n} | {pn['turns_per_sec']} |
-| local[{levels[1]}] (4N) | {p4['seconds']} | {thr_4n} | {p4['turns_per_sec']} |
-
-* **Scaling efficiency (N -> 4N)** = (thr_4N / thr_N) / {mult} = **{eff:.3f}**
-  (target >= 0.8, BASELINE.md).
-* **Output invariance**: triple count {p4['triples']:,} and the
-  order-insensitive xxhash64 content hash are
-  **{'identical' if same_output else 'DIFFERENT (BUG)'}** across parallelism
-  levels — the cluster-size-invariant-output requirement.
-
-### Why N={levels[0]} cores
-
-The sandbox is ONE shared-memory box: the pipeline's hot loop is
-regex/string work whose throughput saturates this VM's memory bandwidth
-well below 32 threads (measured: local[8] ~= local[32] wall time while a
-cache-resident CPU burn scales 24.5x to 32 procs). A real N- vs
-4N-executor cluster adds memory channels with every executor, so the
-bandwidth ceiling does not apply; the honest single-box proxy is a core
-pair below the ceiling. local[8]/local[32] numbers are reported in
-BENCH_r*.json for transparency.
-
-### Flagship throughput (local[32], sf0.1 bench config)
-
-See BENCH_r*.json (`value` = triples/sec; `pipeline.turns_per_sec`).
-"""
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
 
 
 if __name__ == "__main__":
