@@ -1,0 +1,119 @@
+"""CXL sink (SURVEY.md S9) + XML escaping (X11).
+
+The reference emits CXL through deliberate string templating — no XML
+library (`cmap/CxlWriter.write:44-135`): a fixed document skeleton with
+``concept-list`` / ``linking-phrase-list`` / ``connection-list`` sections
+plus default appearance/style blocks, attribute values escaped with
+``escapeXml11`` + ``NumericEntityEscaper.below(0x20)``
+(`Cmap2TurtleConverter.java:1413-1415`).
+
+Spark disposition: a concept map is a human-drawn artifact (thousands of
+nodes at most), so the three reconstructed DataFrames
+(:func:`rdfcmap_spark.operators.reverse.reconstruct_cmap`) are collected on
+the driver and templated — the same shape as the reference's writer, with
+the same escaping, deterministic element order (sorted by id), and the
+fixed appearance defaults the reference hardcodes (grid-walk x/y).
+:func:`cxl_escape` is the X11 mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_XML_BASE = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;", "'": "&apos;"}
+
+
+def cxl_escape(s: str | None) -> str:
+    """X11: escapeXml11 + numeric entities for control chars below 0x20
+    (tab/newline/CR included, as NumericEntityEscaper.below(0x20) does;
+    NUL is dropped — invalid even as a character reference in XML 1.1
+    consumers that are XML 1.0 parsers)."""
+    if s is None:
+        return ""
+    out: list[str] = []
+    for ch in s:
+        o = ord(ch)
+        if ch in _XML_BASE:
+            out.append(_XML_BASE[ch])
+        elif o == 0:
+            continue
+        elif o < 0x20:
+            out.append(f"&#{o};")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+_HEADER = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<cmap xmlns:dcterms="http://purl.org/dc/terms/" xmlns="http://cmap.ihmc.us/xml/cmap/" '
+    'xmlns:dc="http://purl.org/dc/elements/1.1/">\n'
+    "    <res-meta>\n"
+    "        <dc:title>{title}</dc:title>\n"
+    "        <dc:format>x-cmap/x-storable</dc:format>\n"
+    "        <dc:publisher>rdfcmap-spark</dc:publisher>\n"
+    "    </res-meta>\n"
+    '    <map width="6000" height="6000">\n'
+)
+
+
+def render_cxl(
+    concepts: DataFrame, links: DataFrame, connections: DataFrame, title: str = "rdfcmap-spark export"
+) -> str:
+    """(concepts, links, connections) -> CXL document text.
+
+    Deterministic: elements sorted by id; appearance coordinates follow the
+    reference's fixed grid walk (`CxlWriter.java:81-90`: x=y=10 stepping 10
+    for concepts, 15 for linking phrases)."""
+    crows = sorted((r["concept_id"], r["label"]) for r in concepts.collect())
+    lrows = sorted((r["link_id"], r["label"]) for r in links.collect())
+    xrows = sorted((r["from_id"], r["to_id"]) for r in connections.collect())
+
+    sb: list[str] = [_HEADER.format(title=cxl_escape(title))]
+    sb.append("    <concept-list>\n")
+    for cid, label in crows:
+        sb.append(f'        <concept id="{cxl_escape(cid)}" label="{cxl_escape(label)}"/>\n')
+    sb.append("    </concept-list>\n")
+    sb.append("    <concept-appearance-list>\n")
+    x = y = 10
+    for cid, _ in crows:
+        sb.append(
+            f'        <concept-appearance id="{cxl_escape(cid)}" x="{x}" y="{y}" '
+            'width="100" height="25" font-style="plain"/>\n'
+        )
+        x += 10
+        y += 10
+    sb.append("    </concept-appearance-list>\n")
+    sb.append("    <linking-phrase-list>\n")
+    for lid, label in lrows:
+        sb.append(f'        <linking-phrase id="{cxl_escape(lid)}" label="{cxl_escape(label)}"/>\n')
+    sb.append("    </linking-phrase-list>\n")
+    sb.append("    <linking-phrase-appearance-list>\n")
+    x = y = 15
+    for lid, _ in lrows:
+        sb.append(
+            f'        <linking-phrase-appearance id="{cxl_escape(lid)}" x="{x}" y="{y}" '
+            'width="100" height="11" min-width="2" min-height="11"/>\n'
+        )
+        x += 10
+        y += 10
+    sb.append("    </linking-phrase-appearance-list>\n")
+    sb.append("    <connection-list>\n")
+    for i, (fid, tid) in enumerate(xrows):
+        sb.append(
+            f'        <connection id="conn-{i}" from-id="{cxl_escape(fid)}" to-id="{cxl_escape(tid)}"/>\n'
+        )
+    sb.append("    </connection-list>\n")
+    sb.append("    </map>\n</cmap>\n")
+    return "".join(sb)
+
+
+def write_cxl(
+    concepts: DataFrame,
+    links: DataFrame,
+    connections: DataFrame,
+    path: str,
+    title: str = "rdfcmap-spark export",
+) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(render_cxl(concepts, links, connections, title))

@@ -93,3 +93,45 @@ def test_reconstruct_roundtrip_pipeline_triples(spark):
     ids = {r["concept_id"] for r in concepts.collect()} | {r["link_id"] for r in links.collect()}
     for r in connections.collect():
         assert r["from_id"] in ids and r["to_id"] in ids
+
+
+def test_cxl_sink_wellformed_and_complete(spark, tmp_path):
+    """S9: triples -> reconstruct -> CXL text; the document must be
+    well-formed XML, escape X11-style, and carry every concept/link/
+    connection exactly once."""
+    import xml.etree.ElementTree as ET
+
+    from rdfcmap_spark.sources.cxl import cxl_escape, render_cxl, write_cxl
+
+    triples = run_pipeline(transcripts_df(spark, 4, 3).localCheckpoint()).triples.localCheckpoint()
+    concepts, links, connections = reconstruct_cmap(triples)
+    # tab/newline are the XML-1.0-parsable control chars; BEL-class chars
+    # render as &#N; numeric refs per the reference's XML 1.1 target (valid
+    # for CmapTools, rejected by strict 1.0 parsers — asserted separately)
+    text = render_cxl(concepts, links, connections, title='quo"te & <ctrl>\twith\nbreaks')
+    root = ET.fromstring(text)  # well-formed despite hostile title
+    ns = "{http://cmap.ihmc.us/xml/cmap/}"
+    doc_concepts = root.findall(f".//{ns}concept")
+    doc_links = root.findall(f".//{ns}linking-phrase")
+    doc_conns = root.findall(f".//{ns}connection")
+    assert len(doc_concepts) == concepts.count() > 0
+    assert len(doc_links) == links.count() > 0
+    assert len(doc_conns) == connections.count() > 0
+    # labels survive the escape round trip through a real XML parser
+    want = {r["label"] for r in concepts.collect()}
+    got = {c.get("label") for c in doc_concepts}
+    assert got == want
+    p = tmp_path / "out.cxl"
+    write_cxl(concepts, links, connections, str(p))
+    assert p.read_text().startswith("<?xml")
+
+
+def test_cxl_escape_is_reference_faithful():
+    from rdfcmap_spark.sources.cxl import cxl_escape
+
+    # escapeXml11 basics + NumericEntityEscaper.below(0x20)
+    assert cxl_escape('a<b>&"c"') == "a&lt;b&gt;&amp;&quot;c&quot;"
+    assert cxl_escape("x\ty\nz") == "x&#9;y&#10;z"
+    assert cxl_escape("\x07bell") == "&#7;bell"
+    assert cxl_escape(None) == ""
+    assert cxl_escape("nul\x00gone") == "nulgone"
