@@ -72,8 +72,12 @@ def normalize_label(col: Column) -> Column:
     c = F.translate(c, "[]", "")
     c = F.replace(c, F.lit("instance of"), F.lit(""))
     c = F.replace(c, F.lit("NamedIndividual"), F.lit(""))
-    c = F.regexp_replace(c, _INSTANCE_RE, "")
-    c = F.regexp_replace(c, _PARENS_RE, "")
+    # the two regex steps can only fire when a ':' / '(' is present —
+    # guard them behind a cheap instr scan so the NFA never runs on the
+    # overwhelmingly-plain majority of surfaces (this ladder runs 3x per
+    # sentence; semantics unchanged, asserted by the fuzz equivalence test)
+    c = F.when(F.instr(c, ":") > 0, F.regexp_replace(c, _INSTANCE_RE, "")).otherwise(c)
+    c = F.when(F.instr(c, "(") > 0, F.regexp_replace(c, _PARENS_RE, "")).otherwise(c)
     # comma-list: prefer the first element starting with 'af' (case-insens.),
     # else keep the first element (RdfUtil.java:249-260 keeps the last probed,
     # which is the first when no af* match exists and the loop breaks early —

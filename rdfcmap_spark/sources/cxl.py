@@ -117,3 +117,26 @@ def write_cxl(
 ) -> None:
     with open(path, "w", encoding="utf-8") as f:
         f.write(render_cxl(concepts, links, connections, title))
+
+
+def read_cxl(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """CXL parse (S1 for CXL-shaped files): concept-list /
+    linking-phrase-list / connection-list -> three DataFrames, the input
+    shape of `assembly.assemble_from_connections` (J1). The reference
+    JAXB-unmarshals (`Cmap2TurtleConverter.java:1343-1347`); a cmap is
+    driver-sized, so a stdlib XML parse + createDataFrame is the honest
+    disposition (SURVEY §2.1). Together with :func:`write_cxl` this closes
+    the reference's ``--update`` round trip (cxl -> model -> cxl fixed
+    point, `RdfCmap.java:260-276`)."""
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://cmap.ihmc.us/xml/cmap/}"
+    root = ET.parse(path).getroot()
+    concepts = [(c.get("id"), c.get("label")) for c in root.iter(f"{ns}concept")]
+    links = [(l.get("id"), l.get("label")) for l in root.iter(f"{ns}linking-phrase")]
+    conns = [(x.get("from-id"), x.get("to-id")) for x in root.iter(f"{ns}connection")]
+    return (
+        spark.createDataFrame(concepts, "concept_id string, label string"),
+        spark.createDataFrame(links, "link_id string, label string"),
+        spark.createDataFrame(conns, "from_id string, to_id string"),
+    )
