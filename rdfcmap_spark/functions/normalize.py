@@ -113,6 +113,52 @@ def normalize_label_py(label: str) -> str:
     return re.sub(r"\s+", " ", label).strip().lower()
 
 
+# --- X2 breakString (viz word-wrap) ------------------------------------------
+
+MAX_CHARS = 15  #: Turtle2CmapConverter.java:64
+
+
+def break_string_py(s: str, size: int = MAX_CHARS) -> str:
+    """Word-wrap a label with ``&#10;`` breaks for CXL display — a faithful
+    port of `Turtle2CmapConverter.breakString:2339-2366` including its
+    quirks: the break is inserted BEFORE the first space at or past each
+    ``size`` boundary; spaceless strings are chopped every ``size`` chars
+    counting previously inserted entity characters; the escaped-quote fixup
+    guards on a backslash (`contains("\\&#10;\"")`) but rewrites every
+    ``&#10;"`` occurrence.
+
+    One divergence, by necessity: the reference's spaceless loop compares
+    the advancing cursor against the *growing* buffer length, so for
+    ``size <= len("&#10;")`` it never terminates. We raise instead of
+    looping forever (the reference only ever calls it with MAX_CHARS=15).
+    """
+    if size <= 5:
+        raise ValueError("break_string: size must exceed len('&#10;')==5 to terminate")
+    sb = list(s)
+    pos = 0
+    if " " in s:
+        while True:
+            joined = "".join(sb)
+            idx = joined.find(" ", pos + size)
+            if idx < 0:
+                break
+            sb[idx:idx] = list("&#10;")
+            pos = idx
+    else:
+        while pos + size < len(sb):
+            sb[pos + size : pos + size] = list("&#10;")
+            pos += size
+    out = "".join(sb)
+    if '\\&#10;"' in out:
+        out = out.replace('&#10;"', '"&#10;')
+    return out
+
+
+# NOTE: X2 deliberately has no Column twin — wrap insertion is iterative
+# (each break moves the next search window) and it only ever runs at the
+# CXL sink over a driver-sized label set (`sources/cxl.render_cxl`), never
+# in the 10^12-turn hot path.
+
 # --- X10 slug ---------------------------------------------------------------
 
 

@@ -58,15 +58,25 @@ _HEADER = (
 
 
 def render_cxl(
-    concepts: DataFrame, links: DataFrame, connections: DataFrame, title: str = "rdfcmap-spark export"
+    concepts: DataFrame,
+    links: DataFrame,
+    connections: DataFrame,
+    title: str = "rdfcmap-spark export",
+    wrap_labels: bool = True,
 ) -> str:
     """(concepts, links, connections) -> CXL document text.
 
     Deterministic: elements sorted by id; appearance coordinates follow the
     reference's fixed grid walk (`CxlWriter.java:81-90`: x=y=10 stepping 10
-    for concepts, 15 for linking phrases)."""
-    crows = sorted((r["concept_id"], r["label"]) for r in concepts.collect())
-    lrows = sorted((r["link_id"], r["label"]) for r in links.collect())
+    for concepts, 15 for linking phrases). ``wrap_labels`` applies the X2
+    ``breakString`` word-wrap exactly as the reference does on the CXL side
+    (`Turtle2CmapConverter.java:1448-1460`); :func:`read_cxl` unbreaks (X1),
+    so the write/read pair is a fixed point."""
+    from rdfcmap_spark.functions.normalize import break_string_py
+
+    wrap = break_string_py if wrap_labels else (lambda x: x)
+    crows = sorted((r["concept_id"], wrap(r["label"])) for r in concepts.collect())
+    lrows = sorted((r["link_id"], wrap(r["label"])) for r in links.collect())
     xrows = sorted((r["from_id"], r["to_id"]) for r in connections.collect())
 
     sb: list[str] = [_HEADER.format(title=cxl_escape(title))]
@@ -130,10 +140,14 @@ def read_cxl(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     point, `RdfCmap.java:260-276`)."""
     import xml.etree.ElementTree as ET
 
+    from rdfcmap_spark.functions.normalize import unbreak_py
+
     ns = "{http://cmap.ihmc.us/xml/cmap/}"
     root = ET.parse(path).getroot()
-    concepts = [(c.get("id"), c.get("label")) for c in root.iter(f"{ns}concept")]
-    links = [(l.get("id"), l.get("label")) for l in root.iter(f"{ns}linking-phrase")]
+    # labels arrive with X2 &#10; display breaks; unbreak (X1) restores the
+    # logical label, mirroring Cmap2TurtleConverter.unbreakString on parse
+    concepts = [(c.get("id"), unbreak_py(c.get("label"))) for c in root.iter(f"{ns}concept")]
+    links = [(l.get("id"), unbreak_py(l.get("label"))) for l in root.iter(f"{ns}linking-phrase")]
     conns = [(x.get("from-id"), x.get("to-id")) for x in root.iter(f"{ns}connection")]
     return (
         spark.createDataFrame(concepts, "concept_id string, label string"),

@@ -184,3 +184,28 @@ def test_datatype_and_kind_encoding_roundtrip(spark):
     kdf = spark.createDataFrame([("iri",), ("bnode",), ("literal",), (None,)], "v string")
     for r in kdf.select("v", E.dec_kind(E.enc_kind(F.col("v"))).alias("rt")).collect():
         assert r["rt"] == r["v"]
+
+
+# --- X2 breakString (Turtle2CmapConverter.breakString:2339-2366) -------------
+
+
+def test_break_string_reference_quirks():
+    from rdfcmap_spark.functions.normalize import break_string_py, unbreak_py
+
+    # break inserted BEFORE the first space at/past each size boundary
+    # (boundaries count previously inserted entity chars, as in the Java)
+    assert break_string_py("a long label that wraps here", 10) == (
+        "a long label&#10; that&#10; wraps&#10; here"
+    )
+    # unbreak (X1) round-trips space-broken labels to the original
+    src = "cooling jacket assembly unit"
+    assert unbreak_py(break_string_py(src, 10)) == src
+    # spaceless chop every size chars (size must exceed the entity length —
+    # the reference's own loop diverges below that, we raise)
+    assert break_string_py("abcdefghijklmnop", 6).startswith("abcdef&#10;")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="terminate"):
+        break_string_py("abcdefgh", 3)
+    # short labels untouched
+    assert break_string_py("reactor", 15) == "reactor"

@@ -118,7 +118,10 @@ def test_cxl_sink_wellformed_and_complete(spark, tmp_path):
     assert len(doc_links) == links.count() > 0
     assert len(doc_conns) == connections.count() > 0
     # labels survive the escape round trip through a real XML parser
-    want = {r["label"] for r in concepts.collect()}
+    # (with the X2 display wrap applied, as the reference writes them)
+    from rdfcmap_spark.functions.normalize import break_string_py
+
+    want = {break_string_py(r["label"]) for r in concepts.collect()}
     got = {c.get("label") for c in doc_concepts}
     assert got == want
     p = tmp_path / "out.cxl"
