@@ -45,62 +45,52 @@ def streaming_turn_dedup(transcripts_stream: DataFrame, watermark: str = "1 hour
 
 def streaming_triples(transcripts_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stream -> raw triples (pre-canonicalization). The whole plan is
-    stateless map-side work (split/regex/broadcast-probe/uuid5), so Spark
-    runs it per microbatch with no state store; dedup + CC run as the
-    periodic batch compaction over the sink table."""
+    stateless map-side work (split/regex/broadcast-probe/uuid3 + the one
+    array explode), so Spark runs it per microbatch with no state store;
+    dedup + CC run as the periodic batch compaction over the sink table
+    (:mod:`rdfcmap_spark.streaming.compact`)."""
     deduped = streaming_turn_dedup(transcripts_stream, watermark)
     sent = linked_sentences(deduped, None)
     return _stream_raw_triples(sent)
 
 
 def _stream_raw_triples(sent: DataFrame) -> DataFrame:
-    """Per-sentence triple families without the per-conversation entity
-    aggregation (that groupBy is the batch compaction's job; streaming emits
-    the per-mention entity triples directly — same set semantics after the
-    sink-side dropDuplicates because IDs are deterministic)."""
-    from rdfcmap_spark import vocab
-    from rdfcmap_spark.functions.literals import literal_cols
+    """Per-sentence triple families — the SAME single-scan emission the
+    batch pipeline uses (`assembly.sentence_triples`), which is stateless
+    and therefore streaming-legal; per-mention entity triples collapse to
+    the batch set under the compaction's set-semantics aggregate because
+    every minted ID is deterministic."""
     from rdfcmap_spark.operators import assembly
 
-    ent_subj = sent.select(
-        F.col("subj_entity").alias("subj"),
-        F.lit(vocab.RDF_TYPE).alias("pred"),
-        F.lit("iri").alias("obj_kind"),
-        F.lit(vocab.OWL_NAMED_INDIVIDUAL).alias("obj_iri"),
-        F.lit(None).cast("string").alias("obj_lexical"),
-        F.lit(None).cast("string").alias("obj_datatype"),
-        "conv_id",
-        "turn_idx",
-    )
-    titles = sent.select(
-        F.col("subj_entity").alias("subj"),
-        F.lit(vocab.DCT_TITLE).alias("pred"),
-        F.lit("literal").alias("obj_kind"),
-        F.lit(None).cast("string").alias("obj_iri"),
-        F.trim(F.col("subj")).alias("obj_lexical"),
-        F.lit(vocab.XSD_STRING).alias("obj_datatype"),
-        "conv_id",
-        "turn_idx",
-    )
-    rel = sent.filter(
+    return assembly.sentence_triples(sent)
+
+
+def streaming_identity_observations(
+    transcripts_stream: DataFrame, watermark: str = "1 hour"
+) -> tuple[DataFrame, DataFrame]:
+    """(sameas(a, b), idents(entity_id, value)) observation streams — the
+    raw inputs of canonicalization, landed append-only; the hub-star
+    construction and the union-find run in the batch compaction (streaming
+    them would need an unbounded state store)."""
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.functions.literals import literal_cols
+
+    sent = linked_sentences(streaming_turn_dedup(transcripts_stream, watermark), None)
+    sameas = sent.filter(
         (F.col("form") == "relation")
         & F.col("obj_entity").isNotNull()
-        & (F.col("pred_iri").isNull() | (F.col("pred_iri") != vocab.OWL_SAME_AS))
-    )
-    rel_t = assembly.relation_triples(
-        rel.select("conv_id", "turn_idx", "sent_idx", "subj_entity", "pred_iri", "obj_entity", "obj_kind", "card")
-    )
+        & (F.col("pred_iri") == vocab.OWL_SAME_AS)
+    ).select(F.col("subj_entity").alias("a"), F.col("obj_entity").alias("b"))
     lit_token = F.concat(F.lit('"'), F.col("lex"), F.lit('"^^xsd:'), F.col("dt_local"))
-    obj_lex, obj_dt, lex_valid = literal_cols(lit_token)
-    lit = (
+    obj_lex, _, lex_valid = literal_cols(lit_token)
+    idents = (
         sent.filter(F.col("form") == "literal")
         .withColumn("obj_lexical", obj_lex)
-        .withColumn("obj_datatype", obj_dt)
         .withColumn("lex_valid", F.coalesce(lex_valid, F.lit(False)))
-        .withColumn("pred_iri", F.coalesce(F.col("pred_iri"), F.lit(vocab.SKOS_RELATED)))
+        .filter((F.col("pred_iri") == vocab.DCT + "identifier") & F.col("lex_valid"))
+        .select(F.col("subj_entity").alias("entity_id"), F.col("obj_lexical").alias("value"))
     )
-    lit_t = assembly.literal_triples(lit)
-    return ent_subj.unionByName(titles).unionByName(rel_t).unionByName(lit_t)
+    return sameas, idents
 
 
 def streaming_hourly_rollup(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:

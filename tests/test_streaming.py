@@ -85,3 +85,41 @@ def test_streaming_hourly_rollup_matches_batch(spark, tmp_path):
         )
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_streaming_compaction_equals_batch(spark, tmp_path):
+    """Continuous-ingest lambda: stream -> landing zones -> compaction must
+    reproduce the batch pipeline's canonical triples EXACTLY (all 8 columns),
+    incrementally across two deliveries, and re-compaction is idempotent."""
+    from rdfcmap_spark.plans.pipeline import run_pipeline
+    from rdfcmap_spark.sources import sink
+    from rdfcmap_spark.streaming import compact as C
+
+    t = transcripts_df(spark, n_convs=6, turns_per_conv=4)
+    in_dir = str(tmp_path / "in")
+    wd = str(tmp_path / "wd")
+    # first delivery: half the conversations
+    t.filter(F.col("conv_id") < "conv-000003").write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(in_dir)
+    queries = C.start_landing(stream, wd)
+    for q in queries:
+        q.processAllAvailable()
+    mid = C.compact(spark, wd)
+    assert mid.count() > 0
+    # second delivery: the rest arrives later
+    t.filter(F.col("conv_id") >= "conv-000003").write.mode("append").parquet(in_dir)
+    for q in queries:
+        q.processAllAvailable()
+        q.stop()
+    final = C.compact(spark, wd)
+    batch = run_pipeline(t.localCheckpoint()).triples
+    assert {tuple(r) for r in final.collect()} == {tuple(r) for r in batch.collect()}
+    # idempotence: compacting again without new landings -> same snapshot id
+    import json, os
+
+    with open(os.path.join(wd, C.SNAPSHOT_DIR, sink.MANIFEST)) as f:
+        sid1 = json.load(f)["snapshot_id"]
+    C.compact(spark, wd)
+    with open(os.path.join(wd, C.SNAPSHOT_DIR, sink.MANIFEST)) as f:
+        sid2 = json.load(f)["snapshot_id"]
+    assert sid1 == sid2
