@@ -100,3 +100,49 @@ def shacl_shapes(typed_triples: DataFrame) -> DataFrame:
             F.col("n_subjects_with_pred").cast("bigint").alias("n_subjects_with_pred"),
         )
     )
+
+
+def cycle_break_edges(edges: DataFrame) -> list[tuple[str, str]]:
+    """G6 cycle-breaking (`Layouter.determineEdgesToBreakCycles:500-554`,
+    `follow:632-690`): the set of edges whose removal leaves the directed
+    graph acyclic, so a hierarchical layout terminates.
+
+    The reference's version is a gephi-coupled heuristic DFS (break on
+    returning to the start node or to a node >= 4 hops back on the path)
+    with insertion-order-dependent results; here the same *purpose* is a
+    classic deterministic back-edge detection — iterative DFS over sorted
+    adjacency, driver-side (a concept map is human-sized; the 10^12-turn
+    graph never needs layout). Removing the returned edges is guaranteed to
+    leave a DAG, which the heuristic original does not guarantee.
+    """
+    rows = edges.select("src", "dst").collect()
+    adj: dict[str, list[str]] = {}
+    for r in rows:
+        adj.setdefault(r["src"], []).append(r["dst"])
+        adj.setdefault(r["dst"], [])
+    for k in adj:
+        adj[k] = sorted(set(adj[k]))
+
+    WHITE, GRAY, BLACK = 0, 1, 2
+    color = {n: WHITE for n in adj}
+    breaks: list[tuple[str, str]] = []
+
+    for root in sorted(adj):
+        if color[root] != WHITE:
+            continue
+        stack: list[tuple[str, int]] = [(root, 0)]
+        color[root] = GRAY
+        while stack:
+            node, i = stack[-1]
+            if i < len(adj[node]):
+                stack[-1] = (node, i + 1)
+                nxt = adj[node][i]
+                if color[nxt] == GRAY:
+                    breaks.append((node, nxt))  # back edge -> on a cycle
+                elif color[nxt] == WHITE:
+                    color[nxt] = GRAY
+                    stack.append((nxt, 0))
+            else:
+                color[node] = BLACK
+                stack.pop()
+    return breaks

@@ -141,3 +141,17 @@ def test_mapping_invariant_to_partitioning(spark):
     a = sorted(map(tuple, connected_components(df1, driver_threshold=0).collect()))
     b = sorted(map(tuple, connected_components(df16, driver_threshold=0).collect()))
     assert a == b
+
+
+def test_distributed_cc_long_chain_converges(spark):
+    """Pointer jumping must converge in O(log diameter) rounds: a 3,000-node
+    chain (diameter 3,000 >> max_iter 25 without jumping) collapses to one
+    component on the distributed path."""
+    n = 3000
+    df = spark.createDataFrame(
+        [(f"n{i:05d}", f"n{i+1:05d}") for i in range(n)], "src string, dst string"
+    )
+    mapping = {r["entity_id"]: r["canonical_id"]
+               for r in connected_components(df, driver_threshold=0).collect()}
+    assert set(mapping.values()) == {"n00000"}
+    assert len(mapping) == n + 1

@@ -118,3 +118,27 @@ def test_salted_join_correct_and_spread(spark):
     )
     n_salts = salted.filter(F.col("k") == "hot").select(SALT_COL).distinct().count()
     assert n_salts == 8
+
+
+def test_cycle_break_edges_leaves_dag(spark):
+    from rdfcmap_spark.operators.graph import cycle_break_edges
+
+    rows = [
+        ("a", "b"), ("b", "c"), ("c", "a"),          # 3-cycle
+        ("c", "d"), ("d", "e"),                      # tail
+        ("e", "e2"), ("e2", "e3"), ("e3", "e"),      # second cycle
+        ("x", "y"),                                  # acyclic component
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    breaks = cycle_break_edges(edges)
+    assert len(breaks) == 2
+    # removing the returned edges leaves a DAG (topological-sortable)
+    remaining = [e for e in rows if e not in breaks]
+    import graphlib
+
+    graphlib.TopologicalSorter(
+        {n: {s for s, d in remaining if d == n} for e in remaining for n in e}
+    ).static_order()  # raises CycleError if any cycle survived
+    # DAG input -> nothing to break
+    dag = spark.createDataFrame([("p", "q"), ("q", "r")], "src string, dst string")
+    assert cycle_break_edges(dag) == []
