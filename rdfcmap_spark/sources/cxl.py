@@ -146,8 +146,12 @@ def read_cxl(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     root = ET.parse(path).getroot()
     # labels arrive with X2 &#10; display breaks; unbreak (X1) restores the
     # logical label, mirroring Cmap2TurtleConverter.unbreakString on parse
-    concepts = [(c.get("id"), unbreak_py(c.get("label"))) for c in root.iter(f"{ns}concept")]
-    links = [(l.get("id"), unbreak_py(l.get("label"))) for l in root.iter(f"{ns}linking-phrase")]
+    def _lab(el):
+        raw = el.get("label")
+        return unbreak_py(raw) if raw is not None else None
+
+    concepts = [(c.get("id"), _lab(c)) for c in root.iter(f"{ns}concept")]
+    links = [(l.get("id"), _lab(l)) for l in root.iter(f"{ns}linking-phrase")]
     conns = [(x.get("from-id"), x.get("to-id")) for x in root.iter(f"{ns}connection")]
     return (
         spark.createDataFrame(concepts, "concept_id string, label string"),
