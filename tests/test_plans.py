@@ -142,3 +142,26 @@ def test_cycle_break_edges_leaves_dag(spark):
     # DAG input -> nothing to break
     dag = spark.createDataFrame([("p", "q"), ("q", "r")], "src string, dst string")
     assert cycle_break_edges(dag) == []
+
+
+def test_pipeline_has_exactly_one_shuffle(spark):
+    """The whole extract->link->assemble->dedup pipeline plans as ONE
+    shuffle (the set-semantics aggregate) plus broadcast exchanges for the
+    dictionary probes — the 100 TB contract: cost is one pass over the text
+    plus one keyed shuffle of the candidate triples."""
+    from rdfcmap_spark.plans.pipeline import run_pipeline
+
+    df = run_pipeline(
+        transcripts_df(spark, 4, 3), with_canonicalization=False, checkpoint=False
+    ).triples
+    p = plan_of(df)
+    import re
+
+    shuffles = [
+        l for l in p.splitlines()
+        if re.search(r"\bExchange\b", l) and "BroadcastExchange" not in l
+    ]
+    # node list + tree rendering each mention the one exchange
+    assert len({l.strip() for l in shuffles}) <= 2 and shuffles, p[:500]
+    assert p.count("BroadcastExchange") >= 3  # subj/obj/phrase dictionary probes
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
