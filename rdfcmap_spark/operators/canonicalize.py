@@ -263,16 +263,28 @@ def rewrite_triples(
     # hash-aggregatable — Spark plans SortAggregate on BOTH sides of the
     # shuffle, fully sorting the wide 6-string-column stream twice (the
     # measured scaling killer of the materialization phase). A string key
-    # keeps the plan HashAggregate with map-side partial combine. Encoding
-    # preserves the (conv_id ASC NULLS FIRST, turn_idx ASC NULLS FIRST)
-    # order: null conv -> '' (sorts first), null turn -> no '#' suffix
-    # (prefix sorts before any extension); '#' (0x23) < any conv_id char.
+    # keeps the plan HashAggregate with map-side partial combine.
+    #
+    # The encoding is an order-preserving escape (arbitrary conv_id charset
+    # — '#', spaces, control chars all safe, ADVICE r2): conv_id escapes
+    # \x01 -> \x01\x02 then \x00 -> \x01\x01 (both order-preserving at the
+    # code-point = UTF-8-byte level), then a \x00 terminator no escaped
+    # conv_id can contain. Null turn -> bare terminator (sorts before any
+    # turn); non-null -> \x00\x01 + 10-digit zero-pad (turn_idx assumed
+    # non-negative, as minted). min(enc) therefore selects exactly the
+    # (conv_id ASC NULLS FIRST, turn_idx ASC NULLS FIRST) row. Only null
+    # and '' conv_id collapse (both decode to null, as before).
+    conv_esc = F.replace(
+        F.replace(F.coalesce(F.col("conv_id"), F.lit("")), F.lit("\x01"), F.lit("\x01\x02")),
+        F.lit("\x00"),
+        F.lit("\x01\x01"),
+    )
     prov_key = F.concat(
-        F.coalesce(F.col("conv_id"), F.lit("")),
+        conv_esc,
         F.when(
             F.col("turn_idx").isNotNull(),
-            F.concat(F.lit("#"), F.lpad(F.col("turn_idx").cast("string"), 9, "0")),
-        ).otherwise(F.lit("")),
+            F.concat(F.lit("\x00\x01"), F.lpad(F.col("turn_idx").cast("string"), 10, "0")),
+        ).otherwise(F.lit("\x00")),
     )
     # a string MIN buffer is not hash-aggregatable, so this aggregate plans
     # SortAggregate regardless; prepending xxhash64(key) to the grouping key
@@ -285,11 +297,17 @@ def rewrite_triples(
         .groupBy("_kh", *key)
         .agg(F.min("_pkv").alias("_pk"))
     )
-    conv = F.nullif(F.substring_index(F.col("_pk"), "#", 1), F.lit(""))
-    turn = F.when(
-        F.instr(F.col("_pk"), "#") > 0,
-        F.substring_index(F.col("_pk"), "#", -1).cast("int"),
+    conv_part = F.substring_index(F.col("_pk"), "\x00", 1)
+    conv = F.nullif(
+        F.replace(
+            F.replace(conv_part, F.lit("\x01\x01"), F.lit("\x00")),
+            F.lit("\x01\x02"),
+            F.lit("\x01"),
+        ),
+        F.lit(""),
     )
+    tail = F.substring(F.col("_pk"), F.length(conv_part) + 2, 11)
+    turn = F.when(tail.startswith("\x01"), F.substring(tail, 2, 10).cast("int"))
     return agg.select(
         d_iri(F.col("subj_b")).alias("subj"),
         F.col("pred"),

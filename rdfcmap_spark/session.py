@@ -62,6 +62,17 @@ def build_session(
             os.environ.get("SPARK_GRAFT_OBJHASH_FALLBACK", "1000000"),
         )
     )
+    # Off-heap Tungsten memory: the set-semantics aggregate + shuffle of the
+    # triple stream allocates GB-scale page arrays; on-heap they promote to
+    # old gen and ParallelGC full-pauses stop ALL task threads — measured as
+    # the 8->32 scaling killer (stage probe: GC seconds > CPU seconds at
+    # local[32]). Off-heap pages never touch the collector. Size via
+    # SPARK_GRAFT_OFFHEAP_GB (0 disables).
+    offheap_gb = os.environ.get("SPARK_GRAFT_OFFHEAP_GB", "8")
+    if offheap_gb and offheap_gb != "0":
+        builder = builder.config("spark.memory.offHeap.enabled", "true").config(
+            "spark.memory.offHeap.size", f"{offheap_gb}g"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

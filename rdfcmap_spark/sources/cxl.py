@@ -75,8 +75,10 @@ def render_cxl(
     from rdfcmap_spark.functions.normalize import break_string_py
 
     wrap = break_string_py if wrap_labels else (lambda x: x)
-    crows = sorted((r["concept_id"], wrap(r["label"])) for r in concepts.collect())
-    lrows = sorted((r["link_id"], wrap(r["label"])) for r in links.collect())
+    # label-less elements (read_cxl tolerates them) render as label="" —
+    # break_string_py iterates its input, so None must be coalesced first
+    crows = sorted((r["concept_id"], wrap(r["label"] or "")) for r in concepts.collect())
+    lrows = sorted((r["link_id"], wrap(r["label"] or "")) for r in links.collect())
     xrows = sorted((r["from_id"], r["to_id"]) for r in connections.collect())
 
     sb: list[str] = [_HEADER.format(title=cxl_escape(title))]

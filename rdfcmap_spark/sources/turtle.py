@@ -99,7 +99,20 @@ def _tokenize(text: str) -> list[_Tok]:
             raise ValueError(f"turtle: cannot tokenize at offset {pos}: {text[pos:pos+40]!r}")
         kind = m.lastgroup or ""
         if kind not in ("ws", "comment"):
-            toks.append(_Tok(kind, m.group(0), pos))
+            text_tok = m.group(0)
+            if kind == "pname" and text_tok.endswith("."):
+                # Turtle PN_LOCAL may contain but never END in '.' — a
+                # statement written without a space before the terminator
+                # ('ex:s ex:p ex:o.') must tokenize as pname + '.', not a
+                # dot-terminated pname (ADVICE r2)
+                stripped = text_tok.rstrip(".")
+                n_dots = len(text_tok) - len(stripped)
+                toks.append(_Tok(kind, stripped, pos))
+                for k in range(n_dots):
+                    toks.append(_Tok("punct", ".", pos + len(stripped) + k))
+                pos = m.end()
+                continue
+            toks.append(_Tok(kind, text_tok, pos))
         pos = m.end()
     return toks
 

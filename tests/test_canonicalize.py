@@ -155,3 +155,39 @@ def test_distributed_cc_long_chain_converges(spark):
                for r in connected_components(df, driver_threshold=0).collect()}
     assert set(mapping.values()) == {"n00000"}
     assert len(mapping) == n + 1
+
+
+def test_rewrite_prov_min_arbitrary_conv_charset(spark):
+    """The provenance arg-min must match (conv_id ASC NULLS FIRST,
+    turn_idx ASC NULLS FIRST) struct-min semantics for ANY conv_id charset —
+    '#', space, '!', '"', \\x00, \\x01 included (ADVICE r2: the old '#'
+    separator silently corrupted these)."""
+    convs = ["a#b", "a", "a b", "a!", 'a"', "\x01x", "a\x00b", "a\x01", "#", "zz", None]
+    rows = []
+    for i, c in enumerate(convs):
+        for t in (None, 0, 7, 1234567890):
+            rows.append(("e1", "p:p", "iri", "e2", None, None, c, t))
+    triples = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind string, obj_iri string, "
+        "obj_lexical string, obj_datatype string, conv_id string, turn_idx int",
+    )
+    mapping = spark.createDataFrame([], "entity_id string, canonical_id string")
+    out = rewrite_triples(triples, mapping, n_mapping=0).collect()
+    assert len(out) == 1  # one triple key -> one row, min provenance
+    got = (out[0]["conv_id"], out[0]["turn_idx"])
+    # struct-min: NULLS FIRST on both columns
+    expected = min(
+        ((c, t) for c, t in [(r[6], r[7]) for r in rows]),
+        key=lambda p: ((p[0] is not None, p[0] or ""), (p[1] is not None, p[1] or 0)),
+    )
+    assert got == expected
+    # round-trip fidelity of the decode for every charset (each conv alone)
+    for c in convs:
+        tri = spark.createDataFrame(
+            [("s", "p", "iri", "o", None, None, c, 5)],
+            "subj string, pred string, obj_kind string, obj_iri string, "
+            "obj_lexical string, obj_datatype string, conv_id string, turn_idx int",
+        )
+        row = rewrite_triples(tri, mapping, n_mapping=0).collect()[0]
+        assert row["conv_id"] == c and row["turn_idx"] == 5
