@@ -260,6 +260,203 @@ def _kg_title_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return title_ladder(triples)
 
 
+def _kg_owl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 RDF/XML vocabulary read (`Turtle2CmapConverter.java:87-108`): a
+    deterministic ``.owl`` document planted on `part` (typed node elements,
+    xml:lang labels, deprecation + redirect) -> driver-side parse ->
+    the J2 alias dictionary rows via ``alias_rows_from_triples``."""
+    import os
+    import tempfile
+
+    from rdfcmap_spark.sources.rdfxml import read_vocab
+    from rdfcmap_spark.sources.turtle import alias_rows_from_triples
+
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name").orderBy("p_partkey").collect()
+    kinds = ["owl:Class", "owl:ObjectProperty", "owl:NamedIndividual"]
+    ents = []
+    for r in part:
+        k, name = r["p_partkey"], r["p_name"]
+        tag = ' xml:lang="en"' if k % 4 == 0 else ""
+        cls = kinds[k % 3]
+        dep = (
+            '<owl:deprecated rdf:datatype="http://www.w3.org/2001/XMLSchema#boolean">true'
+            f'</owl:deprecated><dct:isReplacedBy rdf:resource="urn:vocab:{k + 1}"/>'
+            if k % 5 == 0
+            else ""
+        )
+        ents.append(
+            f'  <{cls} rdf:about="urn:vocab:{k}">'
+            f"<skos:prefLabel{tag}>{name}</skos:prefLabel>{dep}</{cls}>"
+        )
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '         xmlns:owl="http://www.w3.org/2002/07/owl#"\n'
+        '         xmlns:skos="http://www.w3.org/2004/02/skos/core#"\n'
+        '         xmlns:dct="http://purl.org/dc/terms/">\n'
+        + "\n".join(ents)
+        + "\n</rdf:RDF>\n"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="kg_owl_"), "vocab.owl")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(xml)
+    rows = [tuple(r) for r in read_vocab(spark, path).collect()]
+    return spark.createDataFrame(
+        alias_rows_from_triples(rows), "label_norm string, iri string, term_kind string"
+    )
+
+
+def _kg_langtag_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-tag preservation: tagged literals planted on `part` ->
+    distributed TTL write -> distributed TTL read -> (subj, label, lang).
+    The tag folds into obj_datatype as rdf:langString@<tag> (schemas.py)."""
+    import tempfile
+
+    from rdfcmap_spark import vocab as V
+    from rdfcmap_spark.sources.ttl import read_ttl, write_ttl
+
+    part = load(spark, sf_dir, "part")
+    triples = part.select(
+        F.concat(F.lit("urn:part:"), F.col("p_partkey").cast("string")).alias("subj"),
+        F.lit(V.RDFS_LABEL).alias("pred"),
+        F.lit("literal").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_iri"),
+        F.col("p_name").alias("obj_lexical"),
+        F.concat(
+            F.lit(V.RDF + "langString@"),
+            F.when(F.col("p_partkey") % 2 == 0, F.lit("en")).otherwise(F.lit("de")),
+        ).alias("obj_datatype"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+    )
+    path = tempfile.mkdtemp(prefix="kg_lang_") + "/out.ttl"
+    write_ttl(triples, path)
+    back = read_ttl(spark, path)
+    return back.select(
+        "subj",
+        F.col("obj_lexical").alias("label"),
+        F.substring_index(F.col("obj_datatype"), "@", -1).alias("lang"),
+    )
+
+
+def _kg_pathfinder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`--pathfinder` report (`path/PathFinder.java:52-178`): oval-border
+    root detection, ONE shared BFS parent tree, per-target shortest-path
+    listing with the sortAndReorder `#hops` formatting — over a root ->
+    region -> nation instance graph with viz twins."""
+    from rdfcmap_spark import vocab as V
+    from rdfcmap_spark.operators.pathfinder import pathfinder_report
+
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    EX = "http://example.org/"
+    null_s = F.lit(None).cast("string")
+
+    def t(subj, pred, kind, obj_iri, lex):
+        return F.struct(
+            subj.cast("string").alias("subj"), pred.cast("string").alias("pred"),
+            kind.cast("string").alias("obj_kind"), obj_iri.cast("string").alias("obj_iri"),
+            lex.cast("string").alias("obj_lexical"), null_s.alias("obj_datatype"),
+            null_s.alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    rsub = F.concat(F.lit("urn:uuid:r"), F.col("r_regionkey").cast("string"))
+    rtwin = F.concat(F.lit(V.AFV + "r"), F.col("r_regionkey").cast("string"))
+    nsub = F.concat(F.lit("urn:uuid:n"), F.col("n_nationkey").cast("string"))
+    ntwin = F.concat(F.lit(V.AFV + "n"), F.col("n_nationkey").cast("string"))
+    reg_t = region.select(F.explode(F.array(
+        t(F.lit("urn:uuid:root"), F.lit(EX + "hasRegion"), F.lit("iri"), rsub, null_s),
+        t(rsub, F.lit(V.DCT_TITLE), F.lit("literal"), null_s, F.col("r_name")),
+        t(rsub, F.lit(V.RDF_TYPE), F.lit("iri"), F.lit(EX + "Region"), null_s),
+        t(rtwin, F.lit(V.RDF_TYPE), F.lit("iri"), F.lit(V.AFV + "Concept"), null_s),
+    )).alias("x")).select("x.*")
+    nat_t = nation.select(F.explode(F.array(
+        t(F.concat(F.lit("urn:uuid:r"), F.col("n_regionkey").cast("string")),
+          F.lit(EX + "hasNation"), F.lit("iri"), nsub, null_s),
+        t(nsub, F.lit(V.DCT_TITLE), F.lit("literal"), null_s, F.col("n_name")),
+        t(nsub, F.lit(V.RDF_TYPE), F.lit("iri"), F.lit(EX + "Nation"), null_s),
+        t(ntwin, F.lit(V.RDF_TYPE), F.lit("iri"), F.lit(V.AFV + "Concept"), null_s),
+    )).alias("x")).select("x.*")
+    root_rows = spark.createDataFrame(
+        [
+            ("urn:uuid:root", V.DCT_TITLE, "literal", None, "root", None, None, None),
+            ("urn:uuid:root", V.RDF_TYPE, "iri", "http://example.org/Root", None, None, None, None),
+            (V.AFV + "root", V.RDF_TYPE, "iri", V.AFV + "Concept", None, None, None, None),
+            (V.AFV + "root", V.AFV + "hasBorder", "iri", V.AFV + "border-root", None, None, None, None),
+            (V.AFV + "border-root", V.AFV + "shape", "literal", None, "oval", None, None, None),
+        ],
+        reg_t.schema,
+    )
+    return pathfinder_report(reg_t.unionByName(nat_t).unionByName(root_rows))
+
+
+def _kg_sparql_outside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL outside-path closure (`createGraphStringForUnhandledNodes:
+    215-299`, the `--skipnodesoutsidepath=false` default): the full WHERE
+    body — path BGP, path-subject properties, target ?var lines, and every
+    other node's statements — as distinct rendered lines."""
+    from rdfcmap_spark.operators.sparql import render_sparql
+    from rdfcmap_spark import vocab as V
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    EX = "http://example.org/"
+    null_s = F.lit(None).cast("string")
+
+    def t(subj, pred, kind, obj_iri, lex, dt):
+        return F.struct(
+            subj.cast("string").alias("subj"), pred.cast("string").alias("pred"),
+            kind.cast("string").alias("obj_kind"), obj_iri.cast("string").alias("obj_iri"),
+            lex.cast("string").alias("obj_lexical"), dt.cast("string").alias("obj_datatype"),
+            null_s.alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    osub = F.concat(F.lit(EX + "o"), F.col("o_orderkey").cast("string"))
+    csub = F.concat(F.lit(EX + "c"), F.col("c_custkey").cast("string"))
+    nsub = F.concat(F.lit(EX + "n"), F.col("n_nationkey").cast("string"))
+    rsub = F.concat(F.lit(EX + "r"), F.col("r_regionkey").cast("string"))
+    xsd_s = F.lit(V.XSD_STRING)
+    ord_t = orders.select(F.explode(F.array(
+        t(osub, F.lit(EX + "by"), F.lit("iri"),
+          F.concat(F.lit(EX + "c"), F.col("o_custkey").cast("string")), null_s, null_s),
+    )).alias("x")).select("x.*")
+    cust_t = customer.select(F.explode(F.array(
+        t(csub, F.lit(EX + "inNation"), F.lit("iri"),
+          F.concat(F.lit(EX + "n"), F.col("c_nationkey").cast("string")), null_s, null_s),
+        t(csub, F.lit(EX + "hasName"), F.lit("literal"), null_s, F.col("c_name"), xsd_s),
+    )).alias("x")).select("x.*")
+    nat_t = nation.select(F.explode(F.array(
+        t(nsub, F.lit(EX + "inRegion"), F.lit("iri"),
+          F.concat(F.lit(EX + "r"), F.col("n_regionkey").cast("string")), null_s, null_s),
+        t(nsub, F.lit(EX + "hasName"), F.lit("literal"), null_s, F.col("n_name"), xsd_s),
+    )).alias("x")).select("x.*")
+    reg_t = region.select(F.explode(F.array(
+        t(rsub, F.lit(EX + "hasName"), F.lit("literal"), null_s, F.col("r_name"), xsd_s),
+    )).alias("x")).select("x.*")
+
+    k = orders.agg(F.min("o_orderkey").alias("k")).collect()[0]["k"]
+    chain = (
+        orders.filter(F.col("o_orderkey") == k)
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("n_regionkey")
+        .collect()[0]
+    )
+    src, tgt = f"{EX}o{k}", f"{EX}r{chain['n_regionkey']}"
+    markers = spark.createDataFrame(
+        [
+            (src, V.AFV + "isSourceNode", "literal", None, "true", V.XSD_BOOLEAN, None, None),
+            (tgt, V.AFV + "isTargetNode", "literal", None, "true", V.XSD_BOOLEAN, None, None),
+        ],
+        ord_t.schema,
+    )
+    triples = ord_t.unionByName(cust_t).unionByName(nat_t).unionByName(reg_t).unionByName(markers)
+    r = render_sparql(triples)
+    return spark.createDataFrame([(l,) for l in sorted(set(r.where_lines))], "line string")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction (extract -> link -> assemble ->
     canonicalize) over deterministic synthetic transcripts at sf0.001 scale,
@@ -334,6 +531,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_shapes": lambda s, d: relational.shacl_shape_summary(
             load(s, d, "customer"), load(s, d, "orders"), load(s, d, "nation")
         ),
+        # --- round-3 reference-parity additions ---
+        "kg_owl_read": _kg_owl_read,
+        "kg_langtag_roundtrip": _kg_langtag_roundtrip,
+        "kg_pathfinder": _kg_pathfinder,
+        "kg_sparql_outside": _kg_sparql_outside,
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_canonical_mapping": _kg_canonical_mapping,
@@ -1001,6 +1203,95 @@ SELECT p.rdf_type, p.pred,
   CAST(count(*) AS BIGINT) AS n_subjects_with_pred
 FROM per_subj p JOIN totals t2 USING (rdf_type)
 GROUP BY p.rdf_type, p.pred, t2.n_subjects
+"""
+
+    sql["kg_owl_read"] = r"""
+WITH src AS (
+  SELECT p_partkey AS k,
+         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS norm,
+         CASE p_partkey % 3 WHEN 0 THEN 'class' WHEN 1 THEN 'objectProperty'
+              ELSE 'individual' END AS kind,
+         'urn:vocab:' || CAST(p_partkey AS VARCHAR) AS iri,
+         p_partkey % 5 = 0 AS dep
+  FROM part
+)
+SELECT DISTINCT s.norm AS label_norm,
+  CASE WHEN s.dep THEN 'urn:vocab:' || CAST(s.k + 1 AS VARCHAR) ELSE s.iri END AS iri,
+  CASE WHEN s.dep AND t.k IS NOT NULL THEN t.kind ELSE s.kind END AS term_kind
+FROM src s LEFT JOIN src t ON t.k = s.k + 1
+"""
+
+    sql["kg_langtag_roundtrip"] = r"""
+SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS subj,
+       p_name AS label,
+       CASE WHEN p_partkey % 2 = 0 THEN 'en' ELSE 'de' END AS lang
+FROM part
+"""
+
+    sql["kg_pathfinder"] = r"""
+WITH inst AS (
+  SELECT 'root' || chr(9) || 'hasRegion' || chr(9) || r_name AS body, 1 AS hops FROM region
+  UNION ALL
+  SELECT 'root' || chr(9) || 'hasRegion' || chr(9) || r_name
+         || chr(9) || 'hasNation' || chr(9) || n_name, 2
+  FROM nation JOIN region ON r_regionkey = n_regionkey
+),
+typ AS (
+  SELECT 'Root(root)' || chr(9) || 'hasRegion' || chr(9) || 'Region(' || r_name || ')' AS body,
+         1 AS hops FROM region
+  UNION ALL
+  SELECT 'Root(root)' || chr(9) || 'hasRegion' || chr(9) || 'Region(' || r_name || ')'
+         || chr(9) || 'hasNation' || chr(9) || 'Nation(' || n_name || ')', 2
+  FROM nation JOIN region ON r_regionkey = n_regionkey
+),
+all_l AS (
+  SELECT 'instance' AS section, body, hops FROM inst
+  UNION ALL
+  SELECT 'type', body, hops FROM typ
+)
+SELECT section,
+  CAST(row_number() OVER (
+    PARTITION BY section
+    ORDER BY body || '#hops = ' || CAST(hops AS VARCHAR) || chr(10)
+  ) - 1 AS INTEGER) AS line_no,
+  '#hops = ' || CAST(hops AS VARCHAR) || chr(9) || body AS line
+FROM all_l
+"""
+
+    sql["kg_sparql_outside"] = r"""
+WITH k AS (SELECT min(o_orderkey) AS k FROM orders),
+chain AS (
+  SELECT n.n_regionkey AS rk
+  FROM k JOIN orders o ON o.o_orderkey = k.k
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT DISTINCT line FROM (
+  SELECT '  <http://example.org/o' || CAST(o_orderkey AS VARCHAR)
+         || '> <http://example.org/by> <http://example.org/c'
+         || CAST(o_custkey AS VARCHAR) || '> .' AS line FROM orders
+  UNION ALL
+  SELECT '  <http://example.org/c' || CAST(c_custkey AS VARCHAR)
+         || '> <http://example.org/inNation> <http://example.org/n'
+         || CAST(c_nationkey AS VARCHAR) || '> .' FROM customer
+  UNION ALL
+  SELECT '  <http://example.org/c' || CAST(c_custkey AS VARCHAR)
+         || '> <http://example.org/hasName> "' || c_name || '"^^xsd:string .' FROM customer
+  UNION ALL
+  SELECT '  <http://example.org/n' || CAST(n_nationkey AS VARCHAR)
+         || '> <http://example.org/inRegion> <http://example.org/r'
+         || CAST(n_regionkey AS VARCHAR) || '> .' FROM nation
+  UNION ALL
+  SELECT '  <http://example.org/n' || CAST(n_nationkey AS VARCHAR)
+         || '> <http://example.org/hasName> "' || n_name || '"^^xsd:string .' FROM nation
+  UNION ALL
+  SELECT '  <http://example.org/r' || CAST(r_regionkey AS VARCHAR)
+         || '> <http://example.org/hasName> "' || r_name || '"^^xsd:string .'
+  FROM region, chain WHERE r_regionkey <> chain.rk
+  UNION ALL
+  SELECT '  <http://example.org/r' || CAST(chain.rk AS VARCHAR)
+         || '> <http://example.org/hasName> ?hasName .' FROM chain
+)
 """
 
     # --- the four pipeline-level queries: full-pipeline SQL re-implementation

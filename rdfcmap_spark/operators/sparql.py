@@ -145,7 +145,26 @@ def path_statements(
 class RenderedSparql:
     text: str
     select_vars: list[str]
-    body_lines: list[str]
+    body_lines: list[str]  #: path BGP only
+    where_lines: list[str] = None  # type: ignore[assignment]  #: full WHERE body
+
+
+def _var_name(label: str, used: set[str]) -> str:
+    """Sanitize a property label into a legal, unique SPARQL variable:
+    non-VARNAME characters -> '_', non-alpha leading char prefixed, repeats
+    suffixed with a counter (two predicates sharing a label must not collapse
+    into one ?var)."""
+    import re as _re
+
+    v = _re.sub(r"[^A-Za-z0-9_]", "_", label)
+    if not _re.match(r"^[A-Za-z_]", v):
+        v = "v" + v
+    base, k = v, 1
+    while v in used:
+        v = f"{base}_{k}"
+        k += 1
+    used.add(v)
+    return "?" + v
 
 
 def _qname(iri: str, var_of: dict[str, str]) -> str:
@@ -185,40 +204,133 @@ def clean_prefixes(sparql: str) -> str:
     return "\n".join(out)
 
 
-def render_sparql(triples: DataFrame, max_hops: int = 20) -> RenderedSparql:
+def _literal_str(lex: str, dt: str | None) -> str:
+    """`getLiteralString:442-450`: ``"lex"^^xsd:dt`` (xsd namespace
+    compacted); lang-tag fold (schemas.py) renders the Turtle ``@tag``."""
+    lang_prefix = vocab.RDF + "langString@"
+    if dt and dt.startswith(lang_prefix):
+        return f'"{lex}"@{dt[len(lang_prefix):]}'
+    dt = (dt or vocab.XSD_STRING).replace(vocab.XSD, "xsd:")
+    return f'"{lex}"^^{dt}'
+
+
+def render_sparql(
+    triples: DataFrame,
+    max_hops: int = 20,
+    include_path_properties: bool = True,
+    skip_nodes_outside_path: bool = False,
+) -> RenderedSparql:
     """Marked subgraph -> full SPARQL text (signature, prefixes, SELECT of
     the target's non-type properties as vars, BGP body from the BFS path,
-    target property lines, prefix cleanup)."""
+    target property lines, prefix cleanup).
+
+    Flag semantics follow the reference defaults (`RdfCmap.java:135,137`,
+    both true):
+
+    * ``include_path_properties`` — after each path statement, every other
+      statement of that statement's subject joins the WHERE body
+      (`createGraphString:324-380`), except same-predicate repeats, marker
+      predicates, ``rdf:type owl:NamedIndividual``, and literal properties
+      of the target node (those become the queried ``?vars``).
+    * ``skip_nodes_outside_path=False`` (the ``--skipnodesoutsidepath``
+      default) — every statement of the model not yet covered joins the body
+      too (`createGraphStringForUnhandledNodes:215-299`), excluding
+      target-subject statements, markers and NamedIndividual typing.
+
+    The statement walk is driver-side over the collected model — a concept
+    map is human-sized and the product is a text query, exactly the
+    reference's own emission; batch paths never call this.
+    """
     source, target = marked_nodes(triples)
     edges = traversal_edges(triples).localCheckpoint()
     path = path_statements(edges, source, target, max_hops).collect()
 
     # SELECT list: target's non-type, non-marker properties as ?vars, in
     # deterministic (pred) order (`SparqlCreator.java:161-178`)
+    stmts = [
+        (r["subj"], r["pred"], r["obj_kind"], r["obj_iri"], r["obj_lexical"], r["obj_datatype"])
+        for r in triples.select(
+            "subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"
+        ).collect()
+    ]
     tprops = sorted(
         {
-            (r["pred"], r["obj_kind"])
-            for r in triples.filter(F.col("subj") == target).select("pred", "obj_kind").collect()
-            if r["pred"] not in (vocab.RDF_TYPE, AFV_IS_SOURCE_NODE, AFV_IS_TARGET_NODE)
+            (s[1], s[2])
+            for s in stmts
+            if s[0] == target
+            and s[1] not in (vocab.RDF_TYPE, AFV_IS_SOURCE_NODE, AFV_IS_TARGET_NODE)
         }
     )
     # ?var names from the vocabulary prefLabel when known (getPropertyLabel
-    # resolves skos:prefLabel; spaces -> underscores), else the IRI local name
+    # resolves skos:prefLabel), else the IRI local name; sanitized + deduped
     label_of = {r[0]: r[2] for r in vocab.alias_rows()}
     var_of: dict[str, str] = {}
+    used_vars: set[str] = set()
     select_vars = []
     tprop_lines = []
     tgt_q = _qname(target, var_of)
     for pred, _kind in tprops:
         label = label_of.get(pred, pred.rsplit("#", 1)[-1].rsplit("/", 1)[-1])
-        var = "?" + label.replace(" ", "_").replace("-", "_")
+        var = _var_name(label, used_vars)
         select_vars.append(var)
         tprop_lines.append(f"  {tgt_q} {_qname(pred, var_of)} {var} .")
 
-    body_lines = [
-        f"  {_qname(r['subj'], var_of)} {_qname(r['pred'], var_of)} {_qname(r['obj'], var_of)} ."
-        for r in path
-    ]
+    markers = (AFV_IS_SOURCE_NODE, AFV_IS_TARGET_NODE)
+
+    def stmt_line(s) -> str:
+        subj, pred, okind, oiri, olex, odt = s
+        obj = _literal_str(olex, odt) if okind == "literal" else _qname(oiri, var_of)
+        return f"  {_qname(subj, var_of)} {_qname(pred, var_of)} {obj} ."
+
+    def skip_common(s) -> bool:
+        return s[1] in markers or (
+            s[1] == vocab.RDF_TYPE and s[3] == vocab.OWL_NAMED_INDIVIDUAL
+        )
+
+    by_subject: dict[str, list] = {}
+    for s in sorted(stmts, key=lambda x: (x[1], x[2], x[3] or "", x[4] or "")):
+        by_subject.setdefault(s[0], []).append(s)
+
+    handled: set[str] = set()
+    body_lines = []
+    for r in path:
+        line = f"  {_qname(r['subj'], var_of)} {_qname(r['pred'], var_of)} {_qname(r['obj'], var_of)} ."
+        if line not in handled:
+            handled.add(line)
+            body_lines.append(line)
+        if include_path_properties:
+            # createGraphString:324-380 — the path statement's subject brings
+            # its other statements along
+            for s in by_subject.get(r["subj"], []):
+                if skip_common(s) or s[1] == r["pred"]:
+                    continue
+                if s[0] == target and s[2] == "literal":
+                    continue  # queried as ?vars instead
+                line = stmt_line(s)
+                if line not in handled:
+                    handled.add(line)
+                    body_lines.append(line)
+
+    outside_lines: list[str] = []
+    if not skip_nodes_outside_path:
+        # createGraphStringForUnhandledNodes:215-299
+        for s in sorted(stmts, key=lambda x: (x[0], x[1], x[2], x[3] or "", x[4] or "")):
+            if s[0] == target or skip_common(s):
+                continue
+            line = stmt_line(s)
+            if line in handled:
+                continue
+            handled.add(line)
+            outside_lines.append(line)
+            if include_path_properties:
+                for s2 in by_subject.get(s[0], []):
+                    if skip_common(s2) or s2[1] == s[1]:
+                        continue
+                    line2 = stmt_line(s2)
+                    if line2 in handled:
+                        continue
+                    handled.add(line2)
+                    outside_lines.append(line2)
 
     header = [
         "# SPARQL created with rdfcmap-spark",
@@ -227,7 +339,13 @@ def render_sparql(triples: DataFrame, max_hops: int = 20) -> RenderedSparql:
         "select distinct " + " ".join(select_vars) + " where {",
         *body_lines,
         *tprop_lines,
+        *outside_lines,
         "}",
     ]
     text = clean_prefixes("\n".join(header)) + "\n"
-    return RenderedSparql(text=text, select_vars=select_vars, body_lines=body_lines)
+    return RenderedSparql(
+        text=text,
+        select_vars=select_vars,
+        body_lines=body_lines,
+        where_lines=body_lines + tprop_lines + outside_lines,
+    )

@@ -6,6 +6,15 @@ relies on Jena Model set semantics, observable in `util/CmapUtil.java:450-455`).
 Literals keep their lexical form + datatype IRI because RDF literal equality
 is (lexical, datatype) — a typed column would conflate "1.0" and "1.00"
 (`Cmap2TurtleConverter.java:2416-2463`).
+
+Language-tagged literals (``"label"@en``): RDF 1.1 literal identity is
+(lexical, datatype, language), and Jena preserves tags across round trips.
+The tag folds into ``obj_datatype`` as ``rdf:langString@<tag>`` — one column
+carries the full identity, the 8-column schema stays stable, and the tag
+participates in every set-semantics dedup key for free (TRIPLE_KEY includes
+obj_datatype). The Turtle/RDF-XML readers and the TTL sink/source all encode
+and decode this fold (`sources/turtle.py`, `sources/rdfxml.py`,
+`sources/ttl.py`).
 """
 
 from __future__ import annotations

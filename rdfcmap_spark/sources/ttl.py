@@ -27,6 +27,10 @@ from rdfcmap_spark.schemas import TRIPLES
 
 SIGNATURE = "# created with rdfcmap-spark"
 
+#: lang-tag fold marker (see sources/turtle.py): obj_datatype of a
+#: language-tagged literal is rdf:langString@<tag>
+_LANG_DT_PREFIX = vocab.RDF + "langString@"
+
 #: longest-namespace-first so e.g. afv# wins over af-x# if nested
 _PREFIXES = sorted(vocab.NS_PREFIX_MAP.items(), key=lambda kv: -len(kv[1]))
 
@@ -58,9 +62,10 @@ def _esc_literal(lex):
     return c
 
 
-def triples_to_ttl_lines(triples: DataFrame) -> DataFrame:
-    """(line: string) — one rendered triple per row (deterministic content;
-    ordering is up to the writer)."""
+def ttl_line_col():
+    """Column expression rendering one triple row as a Turtle line — works on
+    any DataFrame carrying the triples columns (so sinks can keep extra
+    bookkeeping columns alongside)."""
     subj = F.when(
         F.col("subj").startswith("_:"), F.col("subj")
     ).otherwise(_to_prefixed(F.col("subj")))
@@ -70,9 +75,15 @@ def triples_to_ttl_lines(triples: DataFrame) -> DataFrame:
         _esc_literal(F.col("obj_lexical")),
         F.lit('"'),
         F.when(
+            # lang-tagged literal: "lex"@tag (tag folded into obj_datatype)
+            F.col("obj_datatype").startswith(_LANG_DT_PREFIX),
+            F.concat(F.lit("@"), F.substring(F.col("obj_datatype"), len(_LANG_DT_PREFIX) + 1, 100)),
+        )
+        .when(
             F.col("obj_datatype").isNotNull() & (F.col("obj_datatype") != vocab.XSD_STRING),
             F.concat(F.lit("^^"), _to_prefixed(F.col("obj_datatype"))),
-        ).otherwise(F.lit("")),
+        )
+        .otherwise(F.lit("")),
     )
     # bnode-kind objects carry skolem IRIs (G8) — render as _:b<uuid> labels
     # so kind survives the round trip; read_ttl re-skolemizes
@@ -82,7 +93,13 @@ def triples_to_ttl_lines(triples: DataFrame) -> DataFrame:
         .when(F.col("obj_kind") == "bnode", bnode_label)
         .otherwise(_to_prefixed(F.col("obj_iri")))
     )
-    return triples.select(F.concat_ws(" ", subj, pred, obj, F.lit(".")).alias("line"))
+    return F.concat_ws(" ", subj, pred, obj, F.lit("."))
+
+
+def triples_to_ttl_lines(triples: DataFrame) -> DataFrame:
+    """(line: string) — one rendered triple per row (deterministic content;
+    ordering is up to the writer)."""
+    return triples.select(ttl_line_col().alias("line"))
 
 
 def prefix_header() -> list[str]:
@@ -99,9 +116,111 @@ def write_ttl(triples: DataFrame, path: str) -> None:
     header.unionByName(triples_to_ttl_lines(triples)).write.mode("overwrite").text(path)
 
 
+def instance_slug(title_col):
+    """Faithful port of the separate-file slug chain
+    (`writeSeparateTurtleFiles:2737-2747`): non-word runs -> space, lower,
+    whitespace -> '-', empty/'-' -> 'unlabeled', and the reference's
+    leading+trailing-dash bracket quirk ('-x-' -> '[x]')."""
+    t = F.regexp_replace(title_col, r"\W+", " ")
+    t = F.regexp_replace(F.lower(t), r"\s", "-")
+    t = F.when((t == "") | (t == "-"), F.lit("unlabeled")).otherwise(t)
+    return F.regexp_replace(t, r"^-(.*)-$", r"[$1]")
+
+
+def write_instance_files(
+    triples: DataFrame, out_dir: str, max_statements: int = 200_000
+) -> dict[str, str]:
+    """One TTL file per instance (S8 full semantics,
+    `writeSeparateTurtleFiles:2585-2770`): filename is the slugified
+    dct:title (IRI when untitled) with ``_1, _2, ...`` suffixes on collision
+    (the reference probes the filesystem with an incrementing index,
+    `:2748-2756`); each file carries the instance's statements plus its
+    blank-node closure (`addStatementsWithBlankNodes`) and ends with the
+    signature line (`CmapUtil.appendSignature`).
+
+    Spark split: statement->owner assignment, rendering and slugging are
+    distributed column work; name allocation and the actual many-small-file
+    writes are driver-side — the product is a per-concept file set (a cmap
+    has hundreds of instances), gated loudly at ``max_statements``. The
+    100 TB path is :func:`write_ttl` / ``sink.write_snapshot``. The
+    reference's iteration order is Jena-incidental; ours pins instances by
+    IRI so name allocation is deterministic.
+
+    Returns {instance IRI -> filename}.
+    """
+    import os
+    from collections import defaultdict
+
+    # a statement's owner: its subject, or — for skolemized-bnode subjects —
+    # the instance whose object chain reaches it (depth-bounded pointer walk;
+    # cmap bnode satellites are 1-2 levels deep)
+    bnode_parent = (
+        triples.filter(F.col("obj_kind") == "bnode")
+        .select(F.col("obj_iri").alias("child"), F.col("subj").alias("parent"))
+        .distinct()
+    )
+    bnode_subjects = {r["child"] for r in bnode_parent.select("child").distinct().collect()}
+    owned = triples.withColumn("owner", F.col("subj"))
+    for _ in range(10):
+        owned = (
+            owned.join(bnode_parent, owned["owner"] == bnode_parent["child"], "left")
+            .withColumn("owner", F.coalesce(F.col("parent"), F.col("owner")))
+            .drop("child", "parent")
+        )
+    titles = (
+        triples.filter((F.col("pred") == vocab.DCT_TITLE) & (F.col("obj_kind") == "literal"))
+        .groupBy("subj")
+        .agg(F.min("obj_lexical").alias("title"))
+        .withColumnRenamed("subj", "owner")
+    )
+    rendered = (
+        owned.join(titles, "owner", "left")
+        .withColumn("slug", instance_slug(F.coalesce(F.col("title"), F.col("owner"))))
+        .select("owner", "slug", ttl_line_col().alias("line"))
+    )
+    n = rendered.count()
+    if n > max_statements:
+        raise ValueError(
+            f"write_instance_files over {n} statements exceeds the "
+            f"per-concept-file gate ({max_statements}); use write_ttl / "
+            "sink.write_snapshot for batch output"
+        )
+    per_owner: dict[str, list[str]] = defaultdict(list)
+    slug_of: dict[str, str] = {}
+    for r in rendered.collect():
+        per_owner[r["owner"]].append(r["line"])
+        slug_of[r["owner"]] = r["slug"]
+
+    os.makedirs(out_dir, exist_ok=True)
+    taken: set[str] = set()
+    names: dict[str, str] = {}
+    header = "\n".join(prefix_header())
+    # instances pinned by IRI (bnode owners resolved above never appear as
+    # owners of their own file)
+    for owner in sorted(per_owner):
+        if owner in bnode_subjects:
+            continue  # defensive: unresolved orphan bnodes are skipped
+        slug = slug_of[owner]
+        # the reference's filesystem-probe loop (`:2748-2756`)
+        fname, index = slug + ".ttl", 1
+        while fname in taken:
+            fname = f"{slug}_{index}.ttl"
+            index += 1
+        taken.add(fname)
+        names[owner] = fname
+        body = "\n".join(sorted(per_owner[owner]))
+        with open(os.path.join(out_dir, fname), "w", encoding="utf-8") as f:
+            # appendSignature adds a newline + the signature comment at EOF
+            f.write(header + "\n" + body + "\n\n" + SIGNATURE + "\n")
+    return names
+
+
 _PN = r"[A-Za-z0-9_\-]+"
 _TERM = rf"(<[^>]*>|{_PN}:{_PN}|_:{_PN}|a)"
-_LIT = r'"((?:[^"\\]|\\.)*)"(?:\^\^(<[^>]*>|[A-Za-z0-9_\-]+:[A-Za-z0-9_\-]+))?'
+_LIT = (
+    r'"((?:[^"\\]|\\.)*)"'
+    r"(?:\^\^(<[^>]*>|[A-Za-z0-9_\-]+:[A-Za-z0-9_\-]+)|@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*))?"
+)
 TRIPLE_RE = rf"^\s*{_TERM}\s+{_TERM}\s+(?:{_LIT}|{_TERM})\s*\.\s*$"
 
 
@@ -139,7 +258,7 @@ def read_ttl(spark: SparkSession, path: str) -> DataFrame:
         c = F.regexp_replace(c, "\x00", r"\\")  # replaceAll: `\\` -> one backslash
         return c
 
-    subj_t, pred_t, lit_lex, lit_dt, obj_t = g(1), g(2), g(3), g(4), g(5)
+    subj_t, pred_t, lit_lex, lit_dt, lit_lang, obj_t = g(1), g(2), g(3), g(4), g(5), g(6)
     is_lit = F.col("value").rlike(r'"') & (obj_t == "")
     pred = F.when(pred_t == "a", F.lit(vocab.RDF_TYPE)).otherwise(expand(pred_t))
     parsed = lines.filter(F.col("value").rlike(TRIPLE_RE)).select(
@@ -154,7 +273,10 @@ def read_ttl(spark: SparkSession, path: str) -> DataFrame:
         .alias("obj_iri"),
         F.when(is_lit, unesc(lit_lex)).alias("obj_lexical"),
         F.when(
-            is_lit, F.when(lit_dt != "", expand(lit_dt)).otherwise(F.lit(vocab.XSD_STRING))
+            is_lit,
+            F.when(lit_lang != "", F.concat(F.lit(_LANG_DT_PREFIX), lit_lang))
+            .when(lit_dt != "", expand(lit_dt))
+            .otherwise(F.lit(vocab.XSD_STRING)),
         ).alias("obj_datatype"),
         F.lit(None).cast("string").alias("conv_id"),
         F.lit(None).cast("int").alias("turn_idx"),

@@ -15,10 +15,13 @@ distributed line parser (`ttl.read_ttl`). :func:`alias_rows_from_triples`
 turns a parsed ontology into the entity-linking dictionary (J2), so a user
 can point the pipeline at a real ``-r``-style vocab file.
 
-Simplifications (documented, not silent): language tags are parsed but the
-triples table records the datatype ``rdf:langString`` without the tag (the
-alias dictionary only needs the lexical form); relative-IRI resolution is
-prefix-concatenation against ``@base`` (no RFC-3986 dot-segment handling).
+Language-tagged literals (``"label"@en``) survive: the tag folds into
+``obj_datatype`` as ``rdf:langString@<tag>`` (see schemas.py — keeping the
+8-column triples schema stable while making the tag part of RDF literal
+identity, exactly as Jena does). The TTL sink/source and the RDF/XML reader
+use the same encoding, so tags round-trip. Remaining documented
+simplification: relative-IRI resolution is prefix-concatenation against
+``@base`` (no RFC-3986 dot-segment handling).
 """
 
 from __future__ import annotations
@@ -361,7 +364,9 @@ def _rows(parsed: ParsedTurtle) -> list[tuple]:
     for s, p, o in parsed.triples:
         subj = s.iri
         if o.kind == "literal":
-            rows.append((subj, p, "literal", None, o.lexical, o.datatype, None, None))
+            # lang-tag fold: the tag is part of RDF literal identity
+            dt = RDF_LANGSTRING + "@" + o.lang if o.lang else o.datatype
+            rows.append((subj, p, "literal", None, o.lexical, dt, None, None))
         else:
             rows.append((subj, p, o.kind, o.iri, None, None, None, None))
     return rows

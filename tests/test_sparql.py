@@ -66,20 +66,71 @@ def test_no_path_is_loud(spark):
 
 
 def test_rendered_query_text_golden(spark):
+    # reference defaults: includePathProperties=true pulls the path subject's
+    # rdf:type statement into the body (`createGraphString:324-380`)
     r = render_sparql(_fixture(spark))
     assert r.text == (
         "# SPARQL created with rdfcmap-spark\n"
         "PREFIX af-x: <http://purl.allotrope.org/ontologies/property#>\n"
+        "PREFIX afe: <http://purl.allotrope.org/ontologies/equipment#>\n"
         "PREFIX dct: <http://purl.org/dc/terms/>\n"
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>\n"
         "\n"
         "select distinct ?uses ?has_value ?title where {\n"
         "  ?node1 af-x:AFX_0000141 ?node2 .\n"
+        "  ?node1 rdf:type afe:AFE_0000354 .\n"
         "  ?node0 af-x:AFX_0000405 ?node2 .\n"
         "  ?node0 af-x:AFX_0000405 ?uses .\n"
         "  ?node0 af-x:AFX_0000690 ?has_value .\n"
         "  ?node0 dct:title ?title .\n"
         "}\n"
     )
+
+
+def test_outside_path_closure_flag(spark):
+    """`--skipnodesoutsidepath` default false: statements of nodes outside
+    the source->target path join the WHERE body
+    (`createGraphStringForUnhandledNodes:215-299`)."""
+    extra = spark.createDataFrame(
+        [
+            ("urn:uuid:eee-extra", vocab.AFX + "AFX_0000141", "iri", M, None, None, None, None),
+            ("urn:uuid:eee-extra", vocab.DCT_TITLE, "literal", None, "extra", vocab.XSD_STRING, None, None),
+            ("urn:uuid:eee-extra", vocab.RDF_TYPE, "iri", vocab.OWL_NAMED_INDIVIDUAL, None, None, None, None),
+        ],
+        TRIPLES,
+    )
+    df = _fixture(spark).unionByName(extra)
+    with_outside = render_sparql(df)
+    # the extra node's statements appear (NamedIndividual typing excluded),
+    # rendered with a fresh ?node var and the literal as "lex"^^xsd:string
+    assert '"extra"^^xsd:string .' in with_outside.text
+    assert "af-x:AFX_0000141 ?node2 .\n" in with_outside.text
+    assert "owl:NamedIndividual" not in with_outside.text
+    without = render_sparql(df, skip_nodes_outside_path=True)
+    assert '"extra"' not in without.text
+    # path-only body is unchanged by the flag
+    assert with_outside.body_lines == without.body_lines
+
+
+def test_select_var_sanitization_and_dedup(spark):
+    """Labels with SPARQL-illegal characters sanitize to VARNAME; two
+    predicates with the same label get distinct ?vars (ADVICE r2)."""
+    rows = [
+        (S, vocab.AFV + "isSourceNode", "literal", None, "true", vocab.XSD_BOOLEAN, None, None),
+        (T, vocab.AFV + "isTargetNode", "literal", None, "true", vocab.XSD_BOOLEAN, None, None),
+        (S, "http://example.org/p", "iri", T, None, None, None, None),
+        # two distinct predicates whose local names collide after sanitizing
+        (T, "http://example.org/temp(C)", "literal", None, "21", vocab.XSD_DOUBLE, None, None),
+        (T, "http://example.org/temp_C_", "literal", None, "70", vocab.XSD_DOUBLE, None, None),
+        # leading digit
+        (T, "http://example.org/2theta", "literal", None, "1.5", vocab.XSD_DOUBLE, None, None),
+    ]
+    r = render_sparql(spark.createDataFrame(rows, TRIPLES))
+    assert len(set(r.select_vars)) == 3
+    import re
+
+    for v in r.select_vars:
+        assert re.fullmatch(r"\?[A-Za-z_][A-Za-z0-9_]*", v), v
 
 
 def test_clean_prefixes_drops_unused_keeps_used():
