@@ -121,20 +121,37 @@ def run_pipeline(
     # (per-mention emission + final dedup is set-identical).
     triples = assembly.sentence_triples(sent)
 
-    # --- identity inputs (feed canonicalization, not the output model)
-    sameas = sent.filter(
+    # --- identity inputs (feed canonicalization, not the output model).
+    # ONE scan of the 2 GB-per-2M-turn sentence checkpoint extracts BOTH
+    # identity families into a tiny (kind, a, b) frame, checkpointed so the
+    # CC machinery's actions (gate count, edge materialization) never touch
+    # the wide stream again — materializing sameas and idents separately was
+    # two full checkpoint scans (stage-probe measured, 8->32 scaling work).
+    lit_token = F.concat(F.lit('"'), F.col("lex"), F.lit('"^^xsd:'), F.col("dt_local"))
+    obj_lex, _, lex_valid = literal_cols(lit_token)
+    is_sameas = (
         (F.col("form") == "relation")
         & F.col("obj_entity").isNotNull()
         & (F.col("pred_iri") == vocab.OWL_SAME_AS)
-    ).select(F.col("subj_entity").alias("a"), F.col("obj_entity").alias("b"))
-    lit_token = F.concat(F.lit('"'), F.col("lex"), F.lit('"^^xsd:'), F.col("dt_local"))
-    obj_lex, _, lex_valid = literal_cols(lit_token)
-    idents = (
-        sent.filter(F.col("form") == "literal")
-        .withColumn("obj_lexical", obj_lex)
-        .withColumn("lex_valid", F.coalesce(lex_valid, F.lit(False)))
-        .filter((F.col("pred_iri") == vocab.DCT + "identifier") & F.col("lex_valid"))
-        .select(F.col("subj_entity").alias("entity_id"), F.col("obj_lexical").alias("value"))
+    )
+    is_ident = (
+        (F.col("form") == "literal")
+        & (F.col("pred_iri") == vocab.DCT + "identifier")
+        & F.coalesce(lex_valid, F.lit(False))
+    )
+    ident_pre = (
+        sent.select(
+            F.when(is_sameas, F.lit("sameas")).when(is_ident, F.lit("ident")).alias("kind"),
+            F.col("subj_entity").alias("a"),
+            F.when(is_sameas, F.col("obj_entity")).otherwise(obj_lex).alias("b"),
+        )
+        .filter(F.col("kind").isNotNull())
+    )
+    if checkpoint:
+        ident_pre = ident_pre.localCheckpoint()
+    sameas = ident_pre.filter(F.col("kind") == "sameas").select("a", "b")
+    idents = ident_pre.filter(F.col("kind") == "ident").select(
+        F.col("a").alias("entity_id"), F.col("b").alias("value")
     )
 
     metrics: dict = {}

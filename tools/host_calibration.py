@@ -9,10 +9,14 @@ so the honest reading of a pipeline efficiency number requires the host's
 own ceiling at the same process counts, measured by something that has no
 Spark, no JVM, no shuffles, and no memory traffic to speak of.
 
-Two probes, both embarrassingly parallel with zero coordination:
+Three probes, all embarrassingly parallel with zero coordination:
 
 * ``cpu``  — chained md5 over a 64-byte buffer (cache-resident ALU work);
-* ``scan`` — repeated full scans of a 200 MB bytearray (memory bandwidth).
+* ``scan`` — repeated full scans of a 200 MB bytearray (memory bandwidth);
+* ``text`` — regex match + lower/split/join over a ~40 MB corpus of short
+  sentences (allocation-heavy string work — the KG pipeline's workload
+  class; its per-core working set and allocation rate hit the shared cache
+  and memory subsystem harder than either of the other probes).
 
 Efficiency definition matches tools/scaling_bench.py: each process does a
 FIXED amount of work, so throughput(p) = p*work/t_p and
@@ -44,6 +48,24 @@ def _burn_scan(n: int) -> None:
         s += a.count(1)
 
 
+def _burn_text(n: int) -> None:
+    import re
+
+    words = "reactor vessel stirrer sample aliquot measurement device unit value".split()
+    sentences = [
+        f"The {words[i % 9]}-{i} has part {words[(i + 3) % 9]} and measured value {i}.5 units"
+        for i in range(400_000)
+    ]  # ~40 MB working set per process
+    rx = re.compile(r"([A-Za-z][a-z]+)-(\d+) has part ([a-z]+).*value (\d+)\.(\d)")
+    acc = 0
+    for _ in range(n):
+        for s in sentences:
+            m = rx.search(s)
+            if m:
+                acc += len("|".join(s.lower().replace("-", " ").split()))
+    assert acc >= 0
+
+
 def _measure(target, nproc: int, work: int, repeats: int = 3) -> float:
     """Best-of-N wall time for nproc processes each doing `work` units."""
     best = float("inf")
@@ -63,16 +85,21 @@ def calibrate(n: int, mult: int) -> dict:
     cpu_4n = _measure(_burn_cpu, n * mult, 3_000_000)
     scan_n = _measure(_burn_scan, n, 10)
     scan_4n = _measure(_burn_scan, n * mult, 10)
+    text_n = _measure(_burn_text, n, 3)
+    text_4n = _measure(_burn_text, n * mult, 3)
     return {
         "levels": [n, n * mult],
         "cpu_seconds": [round(cpu_n, 3), round(cpu_4n, 3)],
         "scan_seconds": [round(scan_n, 3), round(scan_4n, 3)],
+        "text_seconds": [round(text_n, 3), round(text_4n, 3)],
         "cpu_eff": round(cpu_n / cpu_4n, 3),
         "scan_eff": round(scan_n / scan_4n, 3),
+        "text_eff": round(text_n / text_4n, 3),
         # the ceiling any real workload can reach on this host at these
-        # process counts: take the CPU probe (our pipeline is CPU-bound —
-        # executorCpuTime ~= executorRunTime in the stage metrics)
+        # process counts; 'text' is the pipeline's workload class (string/
+        # regex + allocation), cpu/scan bound it from above
         "host_ceiling": round(cpu_n / cpu_4n, 3),
+        "host_ceiling_text": round(text_n / text_4n, 3),
     }
 
 

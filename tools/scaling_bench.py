@@ -16,7 +16,16 @@ Efficiency = (thr_4N / thr_N) / 4. Prints one JSON line; the committed
 BENCH.md aggregates the measured matrix across level pairs together with
 the host parallel-efficiency ceiling (tools/host_calibration.py).
 
-Usage: python tools/scaling_bench.py [n_convs] [N_cores] [mult]
+Two modes:
+
+* strong (default) — SAME input at both levels; efficiency =
+  (thr_4N / thr_N) / mult.
+* weak (``--weak``) — per-core-constant input: the 4N level gets mult x
+  the conversations (what a 4N-executor cluster would be bought FOR).
+  Perfect scaling = identical wall time; efficiency = wall_N / wall_4N,
+  which equals (thr_4N / thr_N) / mult since the work scales by mult.
+
+Usage: python tools/scaling_bench.py [n_convs] [N_cores] [mult] [--weak]
 """
 
 from __future__ import annotations
@@ -74,28 +83,33 @@ def run_level(cpus: int, parquet: str, repeats: int = 2) -> dict:
 
 
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 256000
-    n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    argv = [a for a in sys.argv[1:] if a != "--weak"]
+    weak = "--weak" in sys.argv[1:]
+    n_convs = int(argv[0]) if len(argv) > 0 else 256000
+    n_cores = int(argv[1]) if len(argv) > 1 else 2
+    mult = int(argv[2]) if len(argv) > 2 else 4
     levels = [n_cores, n_cores * mult]
-    parquet = pregenerate(n_convs)
-    results = {c: run_level(c, parquet) for c in levels}
+    convs_at = {n_cores: n_convs, n_cores * mult: n_convs * mult if weak else n_convs}
+    parquets = {c: pregenerate(convs_at[c]) for c in levels}
+    results = {c: run_level(c, parquets[c]) for c in levels}
     pn, p4 = results[levels[0]]["pipeline"], results[levels[1]]["pipeline"]
     thr_n, thr_4n = pn["triples_per_sec"], p4["triples_per_sec"]
     eff = (thr_4n / thr_n) / mult
     same_output = pn["triples_hashsum"] == p4["triples_hashsum"] and pn["triples"] == p4["triples"]
 
     summary = {
-        "n_convs": n_convs,
-        "turns": pn["turns"],
+        "mode": "weak" if weak else "strong",
+        "n_convs": convs_at,
+        "turns": {c: results[c]["pipeline"]["turns"] for c in levels},
         "levels": levels,
         f"local{levels[0]}": {"seconds": pn["seconds"], "triples_per_sec": thr_n},
         f"local{levels[1]}": {"seconds": p4["seconds"], "triples_per_sec": thr_4n},
         "speedup": round(thr_4n / thr_n, 3),
         "scaling_efficiency": round(eff, 3),
-        "output_identical_across_parallelism": same_output,
         "triples": p4["triples"],
     }
+    if not weak:
+        summary["output_identical_across_parallelism"] = same_output
     # one JSON line; the committed BENCH.md carries the full measured matrix
     # (every level pair + tools/host_calibration.py ceilings) as ONE story —
     # this tool no longer overwrites it per-pair
