@@ -74,15 +74,16 @@ def bench_pipeline(spark, sf: float) -> dict:
     # generates once at full parallelism so a low-core level doesn't pay
     # generation cost in wall time).
     pre = os.environ.get("SPARK_GRAFT_TRANSCRIPTS_PARQUET")
-    # Input partitions at 8x cores, not 1x: the extraction stage's per-task
+    # Input partitions at 2x cores, not 1x: the extraction stage's per-task
     # cost is skewed by sentence mix, and at local[32] 32 fat tasks leave
-    # idle threads for the whole straggler tail (measured 22.1 -> 19.6 s at
-    # 32 cores going 32 -> 256 partitions on 512k turns). On a real cluster
-    # this is the standard 2-4x tasks-per-core rule; the repartition runs
-    # once, outside the timed window, standing in for a well-bucketed
-    # Iceberg scan.
+    # idle threads for the whole straggler tail. A partition sweep at 32
+    # cores on 512k turns (G1, contraction CC) measured 1x (32p) ~34 s,
+    # 2x (64p) ~23 s, 4x (128p) ~30 s — finer than ~2x loses to per-task
+    # scheduling and block-manager overhead. On a real cluster this is the
+    # standard tasks-per-core rule; the repartition runs once, outside the
+    # timed window, standing in for a well-bucketed Iceberg scan.
     parts = int(os.environ.get("SPARK_GRAFT_INPUT_PARTS", "0")) or (
-        8 * spark.sparkContext.defaultParallelism
+        2 * spark.sparkContext.defaultParallelism
     )
     if pre:
         transcripts = spark.read.parquet(pre).repartition(parts).localCheckpoint()

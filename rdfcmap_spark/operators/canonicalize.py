@@ -106,64 +106,139 @@ def connected_components_with_count(
     their own representative by definition and need no mapping row — keeps
     the rewrite join small).
 
-    Two physical strategies behind one semantic contract:
+    Two physical strategies behind one semantic contract (representative =
+    component min entity id; output invariant to partitioning):
 
     * ``n_edges <= driver_threshold`` — checkpoint the raw edge list, count,
       collect + union-find on the driver (see :func:`_driver_cc`). No
       shuffle: union-find needs neither dedup nor the reversed direction.
-    * else — undirected-closure + distributed min-label propagation with
-      pointer jumping, ``localCheckpoint`` per iteration (lineage
-      truncation), convergence detected by an order-insensitive state hash.
+    * else — local union-find contraction with boundary stitching
+      (the MapReduce-CC family, cf. Kiveris et al.): co-locate edges by
+      src, per-partition union-find in an Arrow UDF, stitch multi-partition
+      nodes with (min root -> root) edges, repeat until the remainder fits
+      the driver gate, then resolve levels back down with joins. Stars
+      collapse in one round; ``max_iter`` bounds the rounds. Caveat: a
+      pathologically hot hub keys all its edges into one partition — if
+      that ever bites, the keyed repartition can switch to round-robin
+      (correctness is partition-arbitrary) at the cost of one extra round.
 
     The mapping row count rides along so callers (rewrite_triples' broadcast
     gate) don't need an extra count job.
     """
     spark = edges.sparkSession
     edges = edges.select("src", "dst").localCheckpoint()
-    if driver_threshold and edges.count() <= driver_threshold:
+    n_edges = edges.count()
+    if driver_threshold and n_edges <= driver_threshold:
         return _driver_cc(edges)
-    und = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    und = und.localCheckpoint()
-    labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+    # Size the loop's partitioning to the identity graph, not to
+    # spark.sql.shuffle.partitions: the graph is orders of magnitude smaller
+    # than the triple stream (~16 B/row once long-encoded), and running each
+    # of the loop's ~6 stages per iteration with 128 near-empty tasks at
+    # local[32] made scheduling overhead the dominant CC cost
+    # (stage-probe measured). ~200k edges/partition keeps tasks ~ms-sized
+    # compute with real data while scaling to arbitrarily large graphs.
+    p_cc = int(min(2048, max(8, n_edges // 200_000)))
+    # Dictionary-encode node IRIs to longs before the iterative loop: every
+    # propagation round shuffles the full label state, and ~70-char IRI
+    # strings made each round ~10x the bytes (and string-compare cost) of
+    # the same loop over longs — at 2M turns the string loop plus its
+    # checkpoint churn was ~30 s wall with a 50 s GC storm (stage-probe
+    # measured); the long loop moves ~16 B/row. monotonically_increasing_id
+    # is partition-dependent but the OUTPUT is invariant to the id
+    # assignment: components are a property of the edge set, and the
+    # representative is recomputed as min(entity IRI) per component after
+    # convergence — the exact contract of the driver union-find path.
+    # --- distributed path: local union-find contraction + boundary stitch.
+    #
+    # Round k: co-locate edges by src (every edge lives in exactly one
+    # partition), run an in-memory union-find per partition (Arrow batches,
+    # no per-row Python), and emit (node -> partition-local min root). A
+    # node seen in several partitions has several roots; those roots are
+    # genuinely connected through it, so the next round's edge set is the
+    # star (min root -> other roots) per such node — everything else is
+    # fully resolved. Identity STARS (the dominant shape here: one hub per
+    # shared identifier, hub = min entity) co-locate by construction and
+    # collapse in ONE round; chains shrink geometrically. When the
+    # remainder fits the driver gate, a driver union-find finishes, and the
+    # per-round mappings resolve back down with broadcast-sized joins.
+    #
+    # The component representative is the component's min IRI: a global min
+    # is the min of every partition-local component that contains it, so it
+    # survives every contraction round and the driver stage picks it —
+    # identical semantics to _driver_cc and the recursive-CTE oracle, and
+    # invariant to partitioning (T3 determinism).
+    #
+    # This replaced a min-label-propagation + pointer-jumping loop whose
+    # ~10 data-tiny rounds were pure job-submit latency (~33 s at 2M turns)
+    # and whose per-round joins SQUARED Catalyst's sizeInBytes estimate
+    # until the driver sat in BigInteger.multiplyToomCook3 on 10^5-digit
+    # numbers (jstack-verified, 1 s -> 148 s per round by iteration 19).
+    import pandas as pd
+
+    def _local_uf(batches):
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        nodes = list(parent.keys())
+        yield pd.DataFrame({"node": nodes, "root": [find(n) for n in nodes]})
+
+    e = edges
+    n_e = n_edges
+    mappings: list[DataFrame] = []
+    for _ in range(max_iter):
+        if n_e == 0 or (driver_threshold and n_e <= driver_threshold):
+            break
+        m = (
+            e.repartition(p_cc, "src")
+            .mapInPandas(_local_uf, "node string, root string")
+            .localCheckpoint()
+        )
+        mappings.append(m)
+        st = m.groupBy("node").agg(
+            F.min("root").alias("r0"), F.collect_set("root").alias("rs")
+        )
+        e = (
+            st.select(F.col("r0").alias("src"), F.explode("rs").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .localCheckpoint()
+        )
+        n_e = e.count()
+    # driver finish over the (now tiny) remainder, then resolve back down:
+    # each level's roots look up their canonical in the level above
+    # (broadcast-sized), unresolved roots are their own canonical
+    if n_e > 0:
+        fm, _ = _driver_cc(e)
+        r = fm.select(F.col("entity_id").alias("root"), F.col("canonical_id").alias("canon"))
+    else:
+        r = spark.createDataFrame([], "root string, canon string")
+    for m in reversed(mappings[1:]):
+        r = (
+            m.join(r, "root", "left")
+            .groupBy(F.col("node").alias("root"))
+            .agg(F.min(F.coalesce(F.col("canon"), F.col("root"))).alias("canon"))
+        )
+    base = mappings[0] if mappings else edges.select(
+        F.col("src").alias("node"), F.col("src").alias("root")
+    ).limit(0)
+    mapping = (
+        base.join(r, "root", "left")
+        .groupBy(F.col("node").alias("entity_id"))
+        .agg(F.min(F.coalesce(F.col("canon"), F.col("root"))).alias("canonical_id"))
         .localCheckpoint()
     )
-    def state_hash(lbl: DataFrame) -> int:
-        # order-insensitive content hash of the full label state — one cheap
-        # scan of a checkpointed frame; replaces a join-based changed-count
-        # (min-label propagation converges iff the state stops changing)
-        row = lbl.agg(F.sum(F.xxhash64("node", "comp").cast("decimal(38,0)")).alias("h")).collect()[0]
-        return int(row["h"]) if row["h"] is not None else 0
-
-    prev_hash = state_hash(labels)
-    for _ in range(max_iter):
-        nbr = (
-            und.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        prop = (
-            labels.join(nbr, "node", "left")
-            .select("node", F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"))
-            .localCheckpoint()  # jump self-joins prop: materialize once
-        )
-        # pointer jumping: comp <- comp(comp)  (path halving)
-        jump = (
-            prop.alias("l")
-            .join(prop.select(F.col("node").alias("comp"), F.col("comp").alias("comp2")).alias("r"), "comp", "left")
-            .select(F.col("node"), F.least(F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))).alias("comp"))
-        )
-        labels = jump.localCheckpoint()
-        h = state_hash(labels)
-        if h == prev_hash:
-            break
-        prev_hash = h
-    mapping = labels.select(F.col("node").alias("entity_id"), F.col("comp").alias("canonical_id"))
-    return mapping, labels.count()  # labels is checkpointed — one cheap scan
+    return mapping, mapping.count()  # mapping is checkpointed — one cheap scan
 
 
 def connected_components(
@@ -292,8 +367,22 @@ def rewrite_triples(
     # columns, which stay in the key) while the sort compares one LONG
     # instead of six strings — measured 2-3x on the materialization phase.
     kh = F.xxhash64(*[F.col(c) for c in key]).alias("_kh")
+    # Pre-repartition on the hash key so BOTH aggregate passes run
+    # post-shuffle: hashpartitioning(_kh) satisfies the aggregate's
+    # ClusteredDistribution([_kh, key...]) (subset rule), so EnsureRequirements
+    # inserts no further exchange and the partial SortAggregate lands in the
+    # post-shuffle stage next to the final one. The wide pre-shuffle stage
+    # (checkpoint scan -> explode -> encode) then carries NO sort buffers and
+    # no per-task aggregation state — at local[32] the partial agg's working
+    # set in the wide stage was the main cache/memory-contention term
+    # (stage-probe: 2-3x per-task CPU dilation at 4x threads). Post-shuffle
+    # partitions are small (rows/partitions) and AQE-coalesced, so the sort
+    # is cache-resident. Cost: shuffling pre-dedup rows (~1.3x more bytes) —
+    # the dedup factor of the candidate stream is low, so map-side combine
+    # was buying almost nothing.
     agg = (
         out.select(kh, *key, prov_key.alias("_pkv"))
+        .repartition(F.col("_kh"))
         .groupBy("_kh", *key)
         .agg(F.min("_pkv").alias("_pk"))
     )

@@ -71,13 +71,31 @@ def extract_sentences(transcripts: DataFrame) -> DataFrame:
         .filter(F.length(F.trim(F.col("sentence"))) > 0)
     )
     # arrays materialized as real columns so every derived field reads the
-    # SAME one-pass match result (never re-running the regex)
+    # SAME one-pass match result (never re-running the regex).
+    #
+    # Both heavy regexes are gated behind cheap scans (CaseWhen branches are
+    # lazily evaluated per row in codegen, so a skipped branch costs zero):
+    # * LIT_RE cannot match without the contiguous substring `"^^xsd:`
+    #   (closing quote + datatype marker), so `contains` is an EXACT gate;
+    # * rg's value is only ever read when lg is null (literal wins the form
+    #   ladder), so computing it conditionally is output-identical.
+    # Net: one heavy regex pass per sentence instead of two — measured
+    # win on the extraction stage, and fewer allocations per task helps the
+    # 32-thread shared-cache contention (BENCH.md scaling notes).
+    lit_gate = F.col("sentence").contains('"^^xsd:')
     g = sent.select(
         "conv_id",
         "turn_idx",
         "sent_idx",
-        _extract4(F.col("sentence"), LIT_RE).alias("lg"),
-        _extract4(F.col("sentence"), REL_RE).alias("rg"),
+        "sentence",
+        F.when(lit_gate, _extract4(F.col("sentence"), LIT_RE)).alias("lg"),
+    )
+    g = g.select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        "lg",
+        F.when(F.col("lg").isNull(), _extract4(F.col("sentence"), REL_RE)).alias("rg"),
     )
     form = (
         F.when(F.col("lg").isNotNull(), F.lit("literal"))

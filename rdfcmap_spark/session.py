@@ -34,6 +34,14 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 16 MB post-shuffle partitions, not the 64 MB default: the
+        # set-dedup SortAggregate's per-task cost is cache-bound — AQE
+        # coalescing to ~45 MB partitions at 2M turns inflated per-row agg
+        # CPU ~3x vs the same data in ~10 MB partitions (32 concurrent
+        # sorts x 45 MB >> shared L3; stage-probe measured). Smaller
+        # post-shuffle partitions keep each task's sort run cache-resident
+        # at any input scale.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -41,12 +49,16 @@ def build_session(
         # 2-3x wall-time swings (kernel page-fault storms, 86% system time);
         # 12-16g is flat run-to-run and ample for local-mode state
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        # ParallelGC: measured 3.2x faster than default G1 at local[32] on
-        # the string/regex-heavy pipeline (G1 concurrent phases thrash
-        # against 32 mutator threads; throughput GC fits a batch engine)
+        # G1 (the JVM default): re-measured AFTER off-heap Tungsten moved
+        # the aggregate/shuffle pages out of the heap — at local[32] on 2M
+        # turns the flagship pipeline runs 55.5 s under G1 vs 75-76 s under
+        # ParallelGC, with task GC-seconds collapsing 511 -> 51 (ParallelGC
+        # stop-the-world pauses bill every one of the 32 task threads; G1's
+        # concurrent phases don't). The round-2 "ParallelGC 3.2x faster"
+        # measurement predated off-heap and is obsolete for this plan shape.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_DRIVER_JAVA_OPTIONS", "-XX:+UseParallelGC"),
+            os.environ.get("SPARK_DRIVER_JAVA_OPTIONS", "-XX:+UseG1GC"),
         )
         # deterministic-output requirement (SURVEY.md §4 determinism row):
         # never let partial-aggregation push nondeterminism into floats we hash
@@ -68,7 +80,15 @@ def build_session(
     # the 8->32 scaling killer (stage probe: GC seconds > CPU seconds at
     # local[32]). Off-heap pages never touch the collector. Size via
     # SPARK_GRAFT_OFFHEAP_GB (0 disables).
-    offheap_gb = os.environ.get("SPARK_GRAFT_OFFHEAP_GB", "8")
+    #
+    # Sized PER CORE (1 GB/core, floor 8): execution memory is divided among
+    # concurrent tasks, so a fixed pool starves each task as threads grow —
+    # at local[32] with a fixed 8 GB, the set-dedup aggregate's per-task
+    # share fell 4x vs local[8] and its spill path inflated task CPU 4.9x
+    # (stage-probe measured; raising the pool restored wall 33.5 -> 21.4 s).
+    # A real N -> 4N executor cluster brings 4x total memory with it, so
+    # per-core-constant memory is the faithful local-mode analog.
+    offheap_gb = os.environ.get("SPARK_GRAFT_OFFHEAP_GB") or str(max(8, cpus))
     if offheap_gb and offheap_gb != "0":
         builder = builder.config("spark.memory.offHeap.enabled", "true").config(
             "spark.memory.offHeap.size", f"{offheap_gb}g"

@@ -63,7 +63,7 @@ def _run_once(cpus: int, parquet: str) -> dict:
         # honest N-core simulation: without ActiveProcessorCount the JVM
         # sizes GC/IO thread pools from the 32 host cores even at local[2],
         # letting the "small cluster" borrow the big one's cores
-        SPARK_DRIVER_JAVA_OPTIONS=f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus}",
+        SPARK_DRIVER_JAVA_OPTIONS=f"-XX:+UseG1GC -XX:ActiveProcessorCount={cpus}",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

@@ -42,9 +42,16 @@ def main() -> None:
     warm = transcripts_df(spark, n_convs=32, turns_per_conv=4).localCheckpoint()
     run_pipeline(warm).triples.count()
 
+    def consume(df):
+        # same consume as bench.py: full-column hash aggregate, no storage
+        cols = list(df.columns)
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]["n"]
+
     t0 = time.perf_counter()
-    triples = run_pipeline(transcripts).triples.localCheckpoint()
-    n = triples.count()
+    n = consume(run_pipeline(transcripts).triples)
     wall = time.perf_counter() - t0
 
     app_id = spark.sparkContext.applicationId
@@ -52,18 +59,33 @@ def main() -> None:
     stages = json.loads(urllib.request.urlopen(f"{base}/stages?status=complete").read())
     rows = []
     for s in stages:
+        # true stage wall from submission->completion (executorRunTime is
+        # task-seconds, which hides scheduling gaps and concurrency)
+        real_wall = None
+        try:
+            from datetime import datetime
+
+            fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
+            sub = datetime.strptime(s["submissionTime"].replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f")
+            comp = datetime.strptime(s["completionTime"].replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f")
+            real_wall = round((comp - sub).total_seconds(), 2)
+        except Exception:
+            pass
         rows.append(
             {
                 "stage": s["stageId"],
                 "attempt": s["attemptId"],
                 "name": s["name"].split("\n")[0][:70],
                 "tasks": s["numCompleteTasks"],
+                "stage_wall_s": real_wall,
                 "wall_s": round((s.get("executorRunTime", 0)) / 1000.0, 2),
                 "cpu_s": round(s.get("executorCpuTime", 0) / 1e9, 2),
                 "gc_s": round(s.get("jvmGcTime", 0) / 1000.0, 2),
                 "in_mb": round(s.get("inputBytes", 0) / 1e6, 1),
                 "sh_r_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
                 "sh_w_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+                "spill_mem_mb": round(s.get("memoryBytesSpilled", 0) / 1e6, 1),
+                "spill_disk_mb": round(s.get("diskBytesSpilled", 0) / 1e6, 1),
                 "submit": s.get("submissionTime", ""),
             }
         )
