@@ -13,6 +13,7 @@ pass over the text plus the small CC fixed point over identity edges only.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -164,7 +165,13 @@ def run_pipeline(
         # evicts the sentence checkpoint and spills).
         edges = canonicalize.identity_edges(sameas, idents)
         mapping, n_mapping = canonicalize.connected_components_with_count(edges)
-        triples = canonicalize.rewrite_triples(triples, mapping, n_mapping=n_mapping)
+        # compact binary shuffle encoding: see rewrite_triples — wins when
+        # the set-semantics shuffle crosses a network or contends for
+        # memory bandwidth, costs encode/decode ALU when it doesn't
+        compact = os.environ.get("SPARK_GRAFT_COMPACT_SHUFFLE", "") == "1"
+        triples = canonicalize.rewrite_triples(
+            triples, mapping, n_mapping=n_mapping, compact_shuffle=compact
+        )
     else:
         key = ["subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"]
         triples = triples.dropDuplicates(key)

@@ -95,6 +95,11 @@ def build_session(
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # ad-hoc tuning overrides without code edits (bench/probe A-B runs):
+    # SPARK_GRAFT_EXTRA_CONF="spark.shuffle.compress=false;spark.foo=bar"
+    for pair in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
