@@ -40,14 +40,47 @@ def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic transcripts, ALSO persisted to the fixed
     parquet location the DuckDB pipeline oracle reads
     (rdfcmap_spark.oracle.TRANSCRIPTS_ORACLE_PATH) — this is what upgrades
-    the four pipeline-level queries from rows-only to hash-checked."""
+    the four pipeline-level queries from rows-only to hash-checked.
+
+    The fixture is write-once per (params, generator version): generation is
+    deterministic, so if a matching fixture is already published we reuse it
+    instead of rewriting. The first writer publishes via an atomic
+    ``os.rename`` of a uniquely-named staging dir, so a concurrent reader can
+    never observe a half-written or clobbered fixture (a mode("overwrite")
+    rewrite deletes parquet parts under a running scan — seen as
+    FAILED_READ_FILE in concurrent harness runs)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
     from rdfcmap_spark.oracle import TRANSCRIPTS_ORACLE_PATH
-    from rdfcmap_spark.synth import transcripts_df
+    from rdfcmap_spark.synth import SYNTH_VERSION, transcripts_df
 
     sf = _sf_of(sf_dir)
     n_convs = max(8, int(400 * sf))
+    params = json.dumps({"n_convs": n_convs, "turns": 8, "ver": SYNTH_VERSION})
+    marker = os.path.join(TRANSCRIPTS_ORACLE_PATH, "_PARAMS.json")
+    try:
+        with open(marker) as fh:
+            if fh.read() == params:
+                return spark.read.parquet(TRANSCRIPTS_ORACLE_PATH)
+    except OSError:
+        pass
     tr = transcripts_df(spark, n_convs=n_convs, turns_per_conv=8)
-    tr.write.mode("overwrite").parquet(TRANSCRIPTS_ORACLE_PATH)
+    staging = TRANSCRIPTS_ORACLE_PATH + ".staging-" + uuid.uuid4().hex
+    tr.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, "_PARAMS.json"), "w") as fh:
+        fh.write(params)
+    old = TRANSCRIPTS_ORACLE_PATH + ".old-" + uuid.uuid4().hex
+    try:
+        if os.path.isdir(TRANSCRIPTS_ORACLE_PATH):
+            os.rename(TRANSCRIPTS_ORACLE_PATH, old)
+        os.rename(staging, TRANSCRIPTS_ORACLE_PATH)
+    except OSError:
+        # lost the publish race to a concurrent writer of the same params
+        shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     return spark.read.parquet(TRANSCRIPTS_ORACLE_PATH)
 
 

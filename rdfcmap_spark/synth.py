@@ -44,6 +44,10 @@ from rdfcmap_spark.ids import name_uuid
 SEED = 42
 BASE_TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
 
+#: bump whenever generation output changes — write-once fixture caches
+#: (e.g. the DuckDB pipeline-oracle transcripts parquet) key on it
+SYNTH_VERSION = 3
+
 _FILLERS = ["", "note that ", "we observe ", "per the protocol ", "then "]
 _NOISE = [
     "ok let us continue with the run",
