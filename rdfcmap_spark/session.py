@@ -27,8 +27,13 @@ def build_session(
         # at 8 cores); AQE coalescePartitions shrinks small stages back, so
         # the higher initial count costs nothing elsewhere
         shuffle_partitions = max(4 * cpus, 16)
+    # SPARK_GRAFT_MASTER overrides the master URL — used by
+    # tools/cluster_pairs.py to run the SAME job on a real multi-executor
+    # deployment (local-cluster[N,c,m]: separate worker+executor JVMs,
+    # real RPC shuffle between them) instead of single-JVM local[n]
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -53,17 +53,28 @@ def pregenerate(n_convs: int) -> str:
     return path
 
 
-def _run_once(cpus: int, parquet: str) -> dict:
+def _level_memory_gb(cpus: int) -> int:
+    """Per-core-constant heap (1 GB/core, floor 8, cap 16): a real 4N-executor
+    cluster brings 4x total memory, but >24 GB single-JVM heaps measurably
+    destabilize this box (session.py note), so the 32-core level caps at 16.
+    Also keeps the 4-concurrent-JVM ceiling probe (tri_pairs B) from pushing
+    the host into page-fault storms (4x16g heaps + off-heap did, measured)."""
+    return min(16, max(8, cpus))
+
+
+def _run_once(cpus: int, parquet: str, extra_env: dict[str, str] | None = None) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_PIPELINE_ONLY="1",
         SPARK_GRAFT_TRANSCRIPTS_PARQUET=parquet,
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        SPARK_DRIVER_MEMORY=f"{_level_memory_gb(cpus)}g",
         # honest N-core simulation: without ActiveProcessorCount the JVM
         # sizes GC/IO thread pools from the 32 host cores even at local[2],
         # letting the "small cluster" borrow the big one's cores
         SPARK_DRIVER_JAVA_OPTIONS=f"-XX:+UseG1GC -XX:ActiveProcessorCount={cpus}",
+        **(extra_env or {}),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
