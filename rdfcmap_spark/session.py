@@ -107,4 +107,19 @@ def build_session(
         builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if master.startswith("local-cluster"):
+        # multi-executor deployment: executor Python workers run outside the
+        # repo cwd, so ship the package the way a real spark-submit job does
+        # (--py-files); addPyFile is the runtime equivalent. Rebuild so the
+        # bundle always matches the working tree.
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+        try:
+            from package import build as _build_zip
+
+            spark.sparkContext.addPyFile(_build_zip())
+        except Exception:
+            # fall back to a PYTHONPATH executors may share on one box
+            pass
     return spark

@@ -94,15 +94,23 @@ def main() -> None:
         c = _run_once(big, pq_big)["pipeline"]  # C: solo local[N*mult]
         hashes = {a["triples_hashsum"]} | {p["triples_hashsum"] for p in pipes}
         assert len(hashes) == 1, f"output differs across runs/levels: {hashes}"
+        # The comparable ceiling is the max of the concurrent JVMs'
+        # PIPELINE-SECTION walls (the sections overlap — all JVMs start
+        # together and spend near-equal time in startup/warm-up first).
+        # The whole-process batch wall additionally bills 4x Spark startup,
+        # JIT warm-up and input load, none of which A/C's pipeline-section
+        # walls contain — using it overstated the ceiling by ~2x.
+        ceiling_pipe = max(p["seconds"] for p in pipes)
         r = {
             "round": i,
             f"wall_{n_cores}": a["seconds"],
-            "ceiling_wall": round(ceiling_wall, 3),
+            "ceiling_wall": round(ceiling_pipe, 3),
+            "ceiling_batch_wall": round(ceiling_wall, 3),
             "ceiling_jvm_walls": [p["seconds"] for p in pipes],
             f"wall_{big}": c["seconds"],
             "raw_eff": round(a["seconds"] / c["seconds"], 3),
-            "ceiling_eff": round(a["seconds"] / ceiling_wall, 3),
-            "calibrated_eff": round(ceiling_wall / c["seconds"], 3),
+            "ceiling_eff": round(a["seconds"] / ceiling_pipe, 3),
+            "calibrated_eff": round(ceiling_pipe / c["seconds"], 3),
             f"thr_{n_cores}": a["triples_per_sec"],
             f"thr_{big}": c["triples_per_sec"],
         }
