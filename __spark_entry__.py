@@ -641,16 +641,18 @@ bands AS (
 """
 )
 
+# 60-bit simhash (15 md5 hex chars), 4 bands of 15 bits — mirrors
+# operators/dedup.py SIMHASH_BITS/SIMHASH_BAND_BITS
 _SIMHASH_CTE = r"""
 tok AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents
 ),
 th AS (
-  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM tok WHERE token <> ''
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok WHERE token <> ''
 ),
 sgn AS (
   SELECT doc_id, pos, CASE WHEN (h >> pos) & 1 = 1 THEN 1 ELSE -1 END AS s
-  FROM th, UNNEST(range(0, 32)) AS p(pos)
+  FROM th, UNNEST(range(0, 60)) AS p(pos)
 ),
 sc AS (SELECT doc_id, pos, sum(s) AS score FROM sgn GROUP BY doc_id, pos),
 sig AS (
@@ -1406,7 +1408,7 @@ FROM allc JOIN sizes sa ON sa.doc_id = allc.a JOIN sizes sb ON sb.doc_id = allc.
         + _SIMHASH_CTE
         + r""",
 banded AS (
-  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS band_val
+  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS band_val
   FROM sig, UNNEST(range(0, 4)) AS b(band)
 ),
 cand AS (

@@ -33,11 +33,18 @@ from rdfcmap_spark.operators.textstats import N_SHINGLE, shingles
 
 N_PERM = 16  #: minhash permutations
 N_BANDS = 4  #: LSH bands (rows per band = N_PERM / N_BANDS)
-SIMHASH_BITS = 32
-#: 4 bands of 8 bits guarantee a shared band only for Hamming <= 3 (pigeonhole:
-#: 4+ differing bits can spread over all four bytes). The verify threshold must
-#: not exceed the blocking guarantee or pairs are silently missed.
+SIMHASH_BITS = 60
+#: 4 bands of 15 bits guarantee a shared band only for Hamming <= 3
+#: (pigeonhole: 4+ differing bits can spread over all four bands). The verify
+#: threshold must not exceed the blocking guarantee or pairs are silently
+#: missed. 60 bits (not 32): the band value space is the blocking key — at
+#: 8-bit bands every corpus >~10^4 docs collapses into 4x256 buckets and the
+#: per-bucket self-join goes quadratic (measured: one straggler task, 657 s,
+#: 500k docs). 15-bit bands give 32,768 buckets per band; bucket size stays
+#: ~corpus/32k. 60 = 4x15 also keeps the simhash inside a signed 64-bit long
+#: (15 md5 hex chars) for both Spark and the DuckDB oracle.
 SIMHASH_MAX_HAMMING = 3
+SIMHASH_BAND_BITS = SIMHASH_BITS // 4
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -187,69 +194,77 @@ def ngram_jaccard_pairs(
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 32-bit SimHash over word tokens (with
-    multiplicity). Token hash = first 8 md5 hex chars as a 32-bit int; each
+    """(doc_id, simhash) — 60-bit SimHash over word tokens (with
+    multiplicity). Token hash = first 15 md5 hex chars as a 60-bit int; each
     bit contributes ±1; bit set iff the signed sum is > 0.
 
     Layout: token occurrences are first collapsed to (doc_id, token_hash,
-    count) — a map-side-combined aggregate on ints — and only *distinct*
-    hashes are exploded 32×, contributing ±count per bit. Same signed sums as
-    per-occurrence ±1, but the 32× blow-up rides on the distinct-hash stream
-    instead of the raw token stream (~corpus-redundancy× less shuffle input).
+    count) — a map-side-combined aggregate on ints — then ONE groupBy(doc_id)
+    computes all 60 signed bit-sums as parallel aggregate expressions (no
+    60× row explode, no second shuffle: the per-bit ±w sums are columns, not
+    rows). Algebraically identical to the textbook per-occurrence ±1 sums.
     """
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
-    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("bigint")
     hashed = tok.select("doc_id", h.alias("h")).groupBy("doc_id", "h").agg(
         F.count("*").alias("w")
     )
-    bits = hashed.select(
-        "doc_id",
-        "h",
-        "w",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("pos"),
-    )
-    signed = bits.select(
-        "doc_id",
-        "pos",
-        F.when(F.expr("shiftright(h, pos)").bitwiseAND(F.lit(1)) == 1, F.col("w"))
-        .otherwise(-F.col("w"))
-        .alias("s"),
-    )
-    return (
-        signed.groupBy("doc_id", "pos")
-        .agg(F.sum("s").alias("score"))
-        .groupBy("doc_id")
-        .agg(
+    signed_sums = hashed.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("score") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(
-                    F.lit(0).cast("bigint")
-                )
-            ).alias("simhash")
-        )
+                F.when(
+                    F.expr(f"shiftright(h, {p})").bitwiseAND(F.lit(1)) == 1, F.col("w")
+                ).otherwise(-F.col("w"))
+            ).alias(f"s{p}")
+            for p in range(SIMHASH_BITS)
+        ]
     )
+    bit_terms = [
+        F.when(F.col(f"s{p}") > 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for p in range(SIMHASH_BITS)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc + t
+    return signed_sums.select("doc_id", acc.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
-    """Near-dup pairs by SimHash: block on any equal byte (4 bands of 8
-    bits — a pair within Hamming ≤3 of a 32-bit hash must agree on ≥1 byte),
+    """Near-dup pairs by SimHash: block on any equal 15-bit band (a pair
+    within Hamming ≤3 of a 60-bit hash must agree on ≥1 of the 4 bands),
     verify with bit_count(xor) ≤ max_hamming. ``max_hamming`` must stay ≤ 3
     or the banding no longer guarantees candidate recall (see
     :data:`SIMHASH_MAX_HAMMING`).
+
+    Scale shape: the join key space is 4 × 2^15 buckets, so bucket size —
+    and with it per-bucket join cost — stays ~corpus/32k; the Hamming filter
+    runs BEFORE the distinct so the pair-dedup shuffle carries only true
+    near-dup pairs, never the band-collision candidates. Output volume is
+    inherently quadratic in near-dup clique size (it lists all pairs); for
+    corpus-scale dedup use :func:`exact_dedup`-style grouping on the
+    signature instead of the pair listing.
     """
     sig = simhash_signatures(docs)
     banded = sig.select(
         "doc_id",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-    ).withColumn("band_val", F.expr("shiftright(simhash, band * 8)").bitwiseAND(F.lit(255)))
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(simhash, band * {SIMHASH_BAND_BITS})").bitwiseAND(
+            F.lit((1 << SIMHASH_BAND_BITS) - 1)
+        ),
+    )
     left = banded.select("band", "band_val", F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"))
     right = banded.select("band", "band_val", F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"))
     return (
         left.join(right, ["band", "band_val"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -95,13 +95,14 @@ def test_ngram_verify_matches_blocked_fallback_on_common_pairs(spark):
 
 def _py_simhash(text: str) -> int:
     """Straightforward per-token-occurrence SimHash (the definition the
-    weighted distinct-hash aggregation must reproduce exactly)."""
-    scores = [0] * 32
+    weighted column-sum aggregation must reproduce exactly). 60 bits =
+    15 md5 hex chars (dedup.SIMHASH_BITS)."""
+    scores = [0] * 60
     for token in text.split():
-        h = int(hashlib.md5(token.encode()).hexdigest()[:8], 16)
-        for pos in range(32):
+        h = int(hashlib.md5(token.encode()).hexdigest()[:15], 16)
+        for pos in range(60):
             scores[pos] += 1 if (h >> pos) & 1 else -1
-    return sum(1 << pos for pos in range(32) if scores[pos] > 0)
+    return sum(1 << pos for pos in range(60) if scores[pos] > 0)
 
 
 def test_simhash_signature_matches_per_occurrence_definition(spark):
@@ -120,7 +121,7 @@ def test_simhash_pairs_identical_docs_hamming_zero(spark):
     docs = _docs(spark, ["same tokens here exactly", "same tokens here exactly", "other"])
     rows = dedup.simhash_pairs(docs).collect()
     assert {(r["a"], r["b"], r["hamming"]) for r in rows} >= {(0, 1, 0)}
-    # verify threshold never exceeds the 4x8-bit banding guarantee
+    # verify threshold never exceeds the 4x15-bit banding guarantee
     assert all(r["hamming"] <= dedup.SIMHASH_MAX_HAMMING for r in rows)
     assert dedup.SIMHASH_MAX_HAMMING <= 3
 

@@ -55,7 +55,9 @@ def consume(df) -> int:
     ][:4]
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.xxhash64(c)).alias(f"h_{c}") for c in hashables],
+        # decimal(38,0): summing 10^5-10^7 xxhash64 longs overflows bigint
+        # under ANSI (same treatment as bench.py's consume)
+        *[F.sum(F.xxhash64(c).cast("decimal(38,0)")).alias(f"h_{c}") for c in hashables],
     ).collect()[0]
     return row["n"]
 
@@ -63,6 +65,9 @@ def consume(df) -> int:
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    # optional query subset (argv[3:]) so long-running families can be
+    # timed in separate processes/batches
+    subset = sys.argv[3:] or QUERIES
     dst = f"/tmp/sfbig_K{k}"
     spark = build_session(cpus=cpus, app_name=f"bigscale_K{k}")
     if not os.path.exists(os.path.join(dst, "documents.parquet")):
@@ -71,7 +76,7 @@ def main() -> None:
     out: dict[str, float] = {}
     rows: dict[str, int] = {}
     t_all = time.perf_counter()
-    for name in QUERIES:
+    for name in subset:
         t0 = time.perf_counter()
         rows[name] = consume(qs[name](spark, dst))
         out[name] = round(time.perf_counter() - t0, 3)
