@@ -595,6 +595,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cluster_assign": lambda s, d: similarity.assign_clusters(
             load(s, d, "embeddings"), similarity.centroids(load(s, d, "embeddings"))
         ),
+        # hyperplane-LSH blocking keys (full oracle bite on the plane/fold/
+        # packing math — the pair query below is empty at oracle scale
+        # because the synthetic sf tables have no high-cosine pairs)
+        "sim_hyperplane_sig": lambda s, d: similarity.hyperplane_signatures(
+            load(s, d, "embeddings")
+        ),
+        # corpus-scale embedding near-dup: hyperplane-banded + cosine verify
+        "dedup_embedding_lsh": lambda s, d: similarity.embedding_dup_pairs_lsh(
+            load(s, d, "embeddings")
+        ),
         # --- text analysis ---
         "text_token_stats": lambda s, d: textstats.token_stats(load(s, d, "documents")),
         "text_quality": lambda s, d: textstats.quality_scores(load(s, d, "documents")),
@@ -1463,6 +1473,48 @@ r AS (SELECT query_id, neighbor_id, cos_sim,
              row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
       FROM pairs)
 SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM r WHERE rank <= 5
+"""
+    )
+
+    # hyperplane-LSH mirror: the SAME md5-derived ±1 planes as
+    # similarity.hyperplanes(), dot signs packed into 8 x 16-bit bands
+    from rdfcmap_spark.operators.similarity import HP_BANDS, HP_N_PLANES, hyperplanes
+
+    _hp_dim = 64  # driver embeddings width (all sf testdata tables)
+    _planes = hyperplanes(HP_N_PLANES, _hp_dim)
+    _rows = HP_N_PLANES // HP_BANDS
+    _bits = ",\n    ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ",".join(f"{c:.1f}" for c in pl)
+        + "]) >= 0 THEN 1 ELSE 0 END"
+        for pl in _planes
+    )
+    _pack = " + ".join(f"bits[band*{_rows}+{i + 1}]*{1 << i}" for i in range(_rows))
+    _HP_CTE = f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT vec_id, v, [{_bits}] AS bits FROM e),
+banded AS (
+  SELECT vec_id, v, band, CAST({_pack} AS BIGINT) AS band_val
+  FROM d, UNNEST(range(0, {HP_BANDS})) AS b(band)
+)
+"""
+    sql["sim_hyperplane_sig"] = (
+        "WITH "
+        + _HP_CTE
+        + "\nSELECT vec_id, CAST(band AS INTEGER) AS band, band_val FROM banded"
+    )
+    sql["dedup_embedding_lsh"] = (
+        "WITH "
+        + _HP_CTE
+        + r""",
+cand AS (
+  SELECT l.vec_id AS a, r.vec_id AS b, """
+        + _COS.format(a="l.v", b="r.v")
+        + r""" AS cos_sim
+  FROM banded l JOIN banded r ON l.band = r.band AND l.band_val = r.band_val
+  WHERE l.vec_id < r.vec_id
+)
+SELECT DISTINCT a, b, cos_sim FROM cand WHERE cos_sim >= 0.9
 """
     )
 

@@ -162,6 +162,59 @@ def test_embedding_dup_pairs_threshold(spark):
     assert pairs == {(0, 1)}
 
 
+def _np_lsh_pairs(vecs, threshold, n_planes, bands):
+    """Independent numpy reference of the hyperplane-LSH pipeline: identical
+    md5 planes, column-order dot folds, 16-bit band packing, cosine verify."""
+    import numpy as np
+
+    A = np.array(vecs, dtype=np.float64)
+    P = np.array(similarity.hyperplanes(n_planes, A.shape[1]), dtype=np.float64)
+    rows = n_planes // bands
+    d = np.zeros((len(A), n_planes))
+    for i in range(A.shape[1]):
+        d = d + A[:, i : i + 1] * P[:, i]
+    bits = (d >= 0).astype(np.int64)
+    weights = 1 << np.arange(rows, dtype=np.int64)
+    bvals = np.stack([bits[:, b * rows : (b + 1) * rows] @ weights for b in range(bands)], axis=1)
+    out = set()
+    for a in range(len(A)):
+        for b in range(a + 1, len(A)):
+            if any(bvals[a][k] == bvals[b][k] for k in range(bands)):
+                c = round(_cos(vecs[a], vecs[b]), 5)
+                if c >= threshold:
+                    out.add((a, b, c))
+    return out
+
+
+def test_embedding_dup_pairs_lsh_matches_numpy_reference(spark):
+    # 40 deterministic pseudo-random 16-dim vectors + 6 planted near-dup
+    # copies (tiny one-component offsets, cosine ~0.999)
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    vecs = [list(map(float, v)) for v in base]
+    for k in range(6):
+        dup = list(base[k])
+        dup[k % 16] += 0.01
+        vecs.append([float(x) for x in dup])
+    emb = _embeddings(spark, vecs)
+    got = {
+        (r["a"], r["b"], r["cos_sim"])
+        for r in similarity.embedding_dup_pairs_lsh(emb, threshold=0.9).collect()
+    }
+    expected = {
+        (a, b, c)
+        for a, b, c in _np_lsh_pairs(
+            vecs, 0.9, similarity.HP_N_PLANES, similarity.HP_BANDS
+        )
+    }
+    assert got == expected
+    # the planted duplicates must be recalled (their cosines are ~0.999,
+    # deep in the LSH S-curve's certain region)
+    assert {(k, 40 + k) for k in range(6)} <= {(a, b) for a, b, _ in got}
+
+
 def test_assign_clusters_nearest_centroid(spark):
     # two clean clusters around x-axis (label 0) and y-axis (label 1)
     emb = _embeddings(

@@ -36,7 +36,10 @@ QUERIES = [
     "dedup_lsh_verified",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
+    # embedding near-dup at scale goes through the hyperplane-LSH path;
+    # dedup_embedding_cosine (exact, label-blocked) is quadratic in
+    # corpus/n_labels by design and is bench-gated to small corpora
+    "dedup_embedding_lsh",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
     "sim_topk_bucketed",

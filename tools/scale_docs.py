@@ -53,11 +53,9 @@ def scale(spark, k: int, src: str, dst: str) -> None:
         docs.crossJoin(reps)
         .withColumn("mode", mode)
         .select(
-            # doc_id is bigint in the driver parquet; ANSI when-coercion would
-            # cast the concat branch back to bigint — make both branches string
-            F.when(F.col("replica") == 0, F.col("doc_id").cast("string"))
-            .otherwise(F.concat_ws("_r", F.col("doc_id").cast("string"), F.col("replica").cast("string")))
-            .alias("doc_id"),
+            # keep ids numeric (the production schema): replica r of doc d
+            # becomes d*K + r — bijective and deterministic
+            (F.col("doc_id") * k + F.col("replica")).alias("doc_id"),
             F.when(F.col("mode").isin("orig", "exact"), F.col("text"))
             .when(F.col("mode") == "near", F.concat_ws(" ", "text", word))
             .otherwise(
@@ -88,9 +86,7 @@ def scale(spark, k: int, src: str, dst: str) -> None:
     scaled_emb = (
         emb.crossJoin(reps)
         .select(
-            F.when(F.col("replica") == 0, F.col("vec_id").cast("string"))
-            .otherwise(F.concat_ws("_r", F.col("vec_id").cast("string"), F.col("replica").cast("string")))
-            .alias("vec_id"),
+            (F.col("vec_id") * k + F.col("replica")).alias("vec_id"),
             F.transform(
                 F.col("embedding"),
                 lambda v, i: F.when(
