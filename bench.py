@@ -38,6 +38,7 @@ SECONDARY = [
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
     "text_quality",
