@@ -194,6 +194,17 @@ def connected_components_with_count(
         nodes = list(parent.keys())
         yield pd.DataFrame({"node": nodes, "root": [find(n) for n in nodes]})
 
+    # Loop-checkpoint hygiene: every round materializes a full node->root
+    # mapping plus the contracted edge set, and the DEFAULT localCheckpoint
+    # level is deserialized on-heap — on a deep-chain graph (many rounds)
+    # the accumulated blocks exhausted a 16 GB heap at just 2M nodes
+    # (cc_bench-measured OOM). Loop intermediates therefore checkpoint
+    # SERIALIZED (MEMORY_AND_DISK spills instead of OOMing) and each round's
+    # edge frame is unpersisted as soon as its successor is materialized;
+    # the per-round mappings are freed after the final mapping materializes.
+    from pyspark import StorageLevel
+
+    _lvl = StorageLevel.MEMORY_AND_DISK
     e = edges
     n_e = n_edges
     mappings: list[DataFrame] = []
@@ -203,18 +214,21 @@ def connected_components_with_count(
         m = (
             e.repartition(p_cc, "src")
             .mapInPandas(_local_uf, "node string, root string")
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=_lvl)
         )
         mappings.append(m)
         st = m.groupBy("node").agg(
             F.min("root").alias("r0"), F.collect_set("root").alias("rs")
         )
+        e_prev = e
         e = (
             st.select(F.col("r0").alias("src"), F.explode("rs").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=_lvl)
         )
         n_e = e.count()
+        if e_prev is not edges:
+            e_prev.unpersist()
     # driver finish over the (now tiny) remainder, then resolve back down:
     # each level's roots look up their canonical in the level above
     # (broadcast-sized), unresolved roots are their own canonical
@@ -238,7 +252,12 @@ def connected_components_with_count(
         .agg(F.min(F.coalesce(F.col("canon"), F.col("root"))).alias("canonical_id"))
         .localCheckpoint()
     )
-    return mapping, mapping.count()  # mapping is checkpointed — one cheap scan
+    n = mapping.count()  # mapping is checkpointed — one cheap scan
+    for m in mappings:  # loop blocks are consumed; free the storage memory
+        m.unpersist()
+    if e is not edges:
+        e.unpersist()
+    return mapping, n
 
 
 def connected_components(
