@@ -123,6 +123,56 @@ def test_literal_spark(spark):
     assert rows['"9"^^xsd:float']["dt"] == vocab.XSD_STRING  # fallback
 
 
+#: lexical-form validity edge cases pinning the quarantine regexes
+#: (_VALID_LEX) — exponent doubles, sign/point variants, timezone offsets.
+#: Semantics: the engine's OWN contract, a conservative subset of Java's
+#: Double.parseDouble (no NaN/Infinity/hex/suffix forms — those quarantine
+#: rather than crash the reference's parse, which is the point of `valid`).
+_VALIDITY_CASES = [
+    # (local datatype, lexical, expect-valid)
+    ("double", "1e5", True),
+    ("double", "1E+10", True),
+    ("double", "-2.5e-3", True),
+    ("double", ".5", True),
+    ("double", "5.", True),
+    ("double", "+7", True),
+    ("double", "1e", False),
+    ("double", "e5", False),
+    ("double", "1.2.3", False),
+    ("double", "NaN", False),      # quarantined: Java accepts, our subset doesn't
+    ("double", "Infinity", False),
+    ("double", "1d", False),
+    ("double", "0x1p3", False),
+    ("double", " 7.5", False),     # Java trims; verbatim lexical must not
+    ("integer", "+42", True),
+    ("integer", "-0", True),
+    ("integer", "4.0", False),
+    ("integer", "1e3", False),
+    ("boolean", "TRUE", True),
+    ("boolean", "1", False),
+    ("dateTime", "2024-01-01T00:00:00", True),          # tz optional
+    ("dateTime", "2024-01-01T00:00:00+05:30", True),
+    ("dateTime", "2024-01-01T00:00:00-08:00", True),
+    ("dateTime", "2024-01-01T00:00:00.123456Z", True),
+    ("dateTime", "2024-01-01T00:00:00+0530", False),    # colon required
+    ("dateTime", "2024-01-01 00:00:00Z", False),        # 'T' required
+    ("dateTime", "2024-1-1T00:00:00Z", False),          # zero-padding required
+    ("dateTimeStamp", "2024-01-01T00:00:00Z", True),
+    ("dateTimeStamp", "2024-01-01T00:00:00+05:30", True),
+    ("dateTimeStamp", "2024-01-01T00:00:00", False),    # tz REQUIRED
+]
+
+
+def test_literal_validity_edge_cases(spark):
+    toks = [f'"{lex}"^^xsd:{dt}' for dt, lex, _ in _VALIDITY_CASES]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    lex_c, _, valid_c = literal_cols(F.col("tok"))
+    rows = df.select("tok", lex_c.alias("lex"), valid_c.alias("v")).collect()
+    for r, (dt, lex, want) in zip(rows, _VALIDITY_CASES):
+        assert r["v"] is want, f"{r['tok']}: valid={r['v']}, want {want}"
+        assert r["lex"] == lex, f"lexical form must survive verbatim: {r['tok']}"
+
+
 # --- deterministic name-uuid (replaces UUID.randomUUID, VisualizationInfoBuilder.java:70)
 
 

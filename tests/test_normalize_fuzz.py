@@ -18,6 +18,12 @@ _ATOMS = [
     "(CHEBI_15377)", "(AFX_0012345)", "(afe:Stirrer)", "(bad", "instance of",
     "instance:thing 9", "NamedIndividual", "&#10;", "&#xa;", "  ", "é", "x,y,z",
     "AF", "a f", "0", "café, AFFE", "instance:", "()",
+    # round-3 widening: nested/unbalanced parens, tabs/newlines, prefixed-iri
+    # lookalikes, multi-comma ladders, mixed-case af elems, colon soup
+    "((afe:Stirrer))", "(AFX_12)", "(AFX_123456789)", "(a-b:C)(afe:D)",
+    "\t", "a\tb", "a\nb", ",af,", "x, Af y, AF z", "a:b:c", "(:x)",
+    "instance:thing(AFX_0012345)", "instance: ", "NamedIndividualaf",
+    "instance ofinstance of", "]a[", "(afe:Stirrer", "afe:Stirrer)",
 ]
 
 
