@@ -490,6 +490,63 @@ def _kg_sparql_outside(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(l,) for l in sorted(set(r.where_lines))], "line string")
 
 
+def _o3_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic positioned concept maps from ``part``: 20 maps, dense
+    0..359 coordinate range so the O3 probe-and-bump actually fires."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        (F.col("p_partkey") % 20).cast("bigint").alias("conv_id"),
+        F.col("p_partkey").cast("bigint").alias("node"),
+        ((F.col("p_partkey") * 37) % 360).cast("bigint").alias("x"),
+        ((F.col("p_partkey") * 59) % 360).cast("bigint").alias("y"),
+    )
+
+
+def _o3_links(concepts: DataFrame) -> DataFrame:
+    # chain each node to its same-map successor (node + 20 keeps the map id)
+    a = concepts.select("conv_id", F.col("node").alias("src"))
+    b = concepts.select(F.col("conv_id").alias("conv2"), F.col("node").alias("dst"))
+    return (
+        a.join(b, (F.col("dst") == F.col("src") + 20) & (F.col("conv_id") == F.col("conv2")))
+        .select("conv_id", F.col("src").alias("link_id"), "src", "dst")
+    )
+
+
+def _kg_m1_node_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: box width/height clamps + font ladder over the G4 hierarchy
+    levels (`VisualizationInfoBuilder.java:1215-1277`)."""
+    from rdfcmap_spark.operators import layout
+
+    return layout.node_sizes(relational.g4_hierarchy_levels(spark))
+
+
+def _kg_o3_link_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: linking-phrase midpoints + removeOverlap bump per concept map
+    (`Layouter.updateLinkLocations:178-255`, `removeOverlap:257-302`)."""
+    from rdfcmap_spark.operators import layout
+
+    concepts = _o3_concepts(spark, sf_dir)
+    return layout.link_positions(concepts, _o3_links(concepts))
+
+
+def _kg_g9_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: deterministic per-map force-directed layout
+    (`Layouter.doAutoLayout:773-794`).  Iterative float kernel — no SQL
+    oracle; the driver records the rows-only check and pytest pins
+    determinism, the +100 min-shift, and cluster separation."""
+    from rdfcmap_spark.operators import layout
+
+    concepts = _o3_concepts(spark, sf_dir)
+    edges = _o3_links(concepts).select(
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.concat(F.lit("n"), F.col("src").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("dst").cast("string")).alias("dst"),
+    )
+    from rdfcmap_spark.operators.layout import force_layout
+
+    return force_layout(edges, iters=30)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction (extract -> link -> assemble ->
     canonicalize) over deterministic synthetic transcripts at sf0.001 scale,
@@ -565,6 +622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load(s, d, "customer"), load(s, d, "orders"), load(s, d, "nation")
         ),
         # --- round-3 reference-parity additions ---
+        "kg_m1_node_sizing": _kg_m1_node_sizing,
+        "kg_o3_link_overlap": _kg_o3_link_overlap,
+        "kg_g9_layout": _kg_g9_layout,
         "kg_owl_read": _kg_owl_read,
         "kg_langtag_roundtrip": _kg_langtag_roundtrip,
         "kg_pathfinder": _kg_pathfinder,
@@ -1664,6 +1724,71 @@ SELECT user_id,
   count(*) AS n_events
 FROM x GROUP BY user_id
 """
+
+    # M1 node sizing: g4 closure + the Java integer-division clamps + font
+    # ladder (VisualizationInfoBuilder.java:1215-1277)
+    sql["kg_m1_node_sizing"] = (
+        "WITH RECURSIVE sc(child, parent) AS (VALUES "
+        + _sc_values
+        + r"""),
+closure(node, anc) AS (
+  SELECT child, parent FROM sc
+  UNION
+  SELECT c.node, s.parent FROM closure c JOIN sc s ON s.child = c.anc
+),
+lv AS (SELECT node, count(DISTINCT anc) AS level FROM closure GROUP BY node),
+adj AS (SELECT node, level, CASE WHEN level = 0 THEN 1 ELSE level END AS l FROM lv)
+SELECT node, CAST(level AS BIGINT) AS level,
+  CAST(least(greatest(10000 // l, 100), 2000) AS BIGINT) AS width,
+  CAST(least(greatest(2500 // l, 25), 500) AS BIGINT) AS height,
+  CAST(CASE WHEN l <= 2 THEN 800 WHEN l = 3 THEN 600 WHEN l = 4 THEN 500
+            WHEN l = 5 THEN 300 WHEN l = 6 THEN 200 WHEN l <= 9 THEN 100
+            WHEN l = 10 THEN 80 WHEN l = 11 THEN 50 WHEN l = 12 THEN 25
+            ELSE 12 END AS BIGINT) AS font_size
+FROM adj
+"""
+    )
+
+    # O3 link overlap: midpoint then 21 probe-and-bump steps per axis
+    # (Layouter.java:178-255/257-302) — steps generated as chained CTEs so
+    # the SQL mirrors the operator's bounded fold one-for-one.
+    _o3_steps = []
+    for _k in range(1, 22):
+        _o3_steps.append(
+            f"s{_k} AS (SELECT conv_id, link_id, xs, ys,\n"
+            "  CASE WHEN hx IS NOT NULL AND hx > 0 AND hx - px <= 5 THEN px + 10 ELSE px END AS px,\n"
+            "  CASE WHEN hy IS NOT NULL AND hy > 0 AND hy - py <= 5 THEN py + 10 ELSE py END AS py\n"
+            f"  FROM (SELECT *, list_min(list_filter(xs, lv -> lv >= px)) AS hx,\n"
+            f"               list_min(list_filter(ys, lv -> lv >= py)) AS hy FROM s{_k - 1}))"
+        )
+    sql["kg_o3_link_overlap"] = (
+        r"""WITH concepts AS (
+  SELECT p_partkey % 20 AS conv_id, p_partkey AS node,
+         (p_partkey * 37) % 360 AS x, (p_partkey * 59) % 360 AS y
+  FROM part
+),
+coords AS (
+  SELECT conv_id, list_sort(list(CAST(x AS BIGINT))) AS xs,
+         list_sort(list(CAST(y AS BIGINT))) AS ys
+  FROM concepts GROUP BY conv_id
+),
+links AS (
+  SELECT a.conv_id, a.node AS link_id, a.node AS src, b.node AS dst
+  FROM concepts a JOIN concepts b ON b.node = a.node + 20 AND b.conv_id = a.conv_id
+),
+s0 AS (
+  SELECT l.conv_id, l.link_id, c.xs, c.ys,
+         CAST(floor(0.5 * (sa.x + sb.x) + 0.5) AS BIGINT) AS px,
+         CAST(floor(0.5 * (sa.y + sb.y) + 0.5) AS BIGINT) AS py
+  FROM links l
+  JOIN concepts sa ON sa.conv_id = l.conv_id AND sa.node = l.src
+  JOIN concepts sb ON sb.conv_id = l.conv_id AND sb.node = l.dst
+  JOIN coords c ON c.conv_id = l.conv_id
+),
+"""
+        + ",\n".join(_o3_steps)
+        + "\nSELECT CAST(conv_id AS BIGINT) AS conv_id, CAST(link_id AS BIGINT) AS link_id, px AS x, py AS y FROM s21"
+    )
 
     sql["events_stream_rollup"] = r"""
 SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,

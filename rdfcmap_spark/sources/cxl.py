@@ -63,18 +63,29 @@ def render_cxl(
     connections: DataFrame,
     title: str = "rdfcmap-spark export",
     wrap_labels: bool = True,
+    positions: DataFrame | None = None,
 ) -> str:
     """(concepts, links, connections) -> CXL document text.
 
     Deterministic: elements sorted by id; appearance coordinates follow the
     reference's fixed grid walk (`CxlWriter.java:81-90`: x=y=10 stepping 10
-    for concepts, 15 for linking phrases). ``wrap_labels`` applies the X2
-    ``breakString`` word-wrap exactly as the reference does on the CXL side
+    for concepts, 15 for linking phrases), unless ``positions`` supplies
+    computed ones — (node, x, y) as produced by
+    :func:`rdfcmap_spark.operators.layout.force_layout` /
+    :func:`~rdfcmap_spark.operators.layout.link_positions`, keyed by
+    concept/link id; elements without a row keep the grid walk (the
+    reference likewise only overwrites coordinates the layouter touched,
+    `Layouter.java:146-151`). ``wrap_labels`` applies the X2 ``breakString``
+    word-wrap exactly as the reference does on the CXL side
     (`Turtle2CmapConverter.java:1448-1460`); :func:`read_cxl` unbreaks (X1),
     so the write/read pair is a fixed point."""
     from rdfcmap_spark.functions.normalize import break_string_py
 
     wrap = break_string_py if wrap_labels else (lambda x: x)
+    pos: dict[str, tuple[int, int]] = {}
+    if positions is not None:
+        key = "node" if "node" in positions.columns else "link_id"
+        pos = {r[key]: (r["x"], r["y"]) for r in positions.select(key, "x", "y").collect()}
     # label-less elements (read_cxl tolerates them) render as label="" —
     # break_string_py iterates its input, so None must be coalesced first
     crows = sorted((r["concept_id"], wrap(r["label"] or "")) for r in concepts.collect())
@@ -89,8 +100,9 @@ def render_cxl(
     sb.append("    <concept-appearance-list>\n")
     x = y = 10
     for cid, _ in crows:
+        px, py = pos.get(cid, (x, y))
         sb.append(
-            f'        <concept-appearance id="{cxl_escape(cid)}" x="{x}" y="{y}" '
+            f'        <concept-appearance id="{cxl_escape(cid)}" x="{px}" y="{py}" '
             'width="100" height="25" font-style="plain"/>\n'
         )
         x += 10
@@ -103,8 +115,9 @@ def render_cxl(
     sb.append("    <linking-phrase-appearance-list>\n")
     x = y = 15
     for lid, _ in lrows:
+        px, py = pos.get(lid, (x, y))
         sb.append(
-            f'        <linking-phrase-appearance id="{cxl_escape(lid)}" x="{x}" y="{y}" '
+            f'        <linking-phrase-appearance id="{cxl_escape(lid)}" x="{px}" y="{py}" '
             'width="100" height="11" min-width="2" min-height="11"/>\n'
         )
         x += 10
