@@ -35,9 +35,20 @@ def test_oracle_sql_plans(con, name):
     con.sql("EXPLAIN " + sql)  # binder + planner run; raises on any error
 
 
+#: queries the driver may check rows-only: genuinely non-SQL-expressible ops
+#: (iterative float fixed points). Every entry here needs a dedicated pytest
+#: instead (kg_g9_layout: tests/test_layout.py convergence + determinism).
+ROWS_ONLY_OK = {"kg_g9_layout"}
+
+
 def test_every_query_has_oracle():
-    """0 rows-only: every queries() entry must carry an oracle (the round-1
-    gap this repo closed). A new query without one should fail loudly here,
+    """~0 rows-only: every queries() entry must carry an oracle (the round-1
+    gap this repo closed) unless it is on the explicit, justified
+    ROWS_ONLY_OK list. A new query without one should fail loudly here,
     not silently downgrade the correctness gate."""
-    missing = sorted(set(entrymod.queries()) - set(_ORACLES))
+    missing = sorted(set(entrymod.queries()) - set(_ORACLES) - ROWS_ONLY_OK)
     assert missing == [], f"queries without oracle_sql: {missing}"
+    # the allowlist must not rot: entries there must still exist and must
+    # not silently grow an oracle (then they should come off the list)
+    assert ROWS_ONLY_OK <= set(entrymod.queries())
+    assert not (ROWS_ONLY_OK & set(_ORACLES))
