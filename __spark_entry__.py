@@ -645,6 +645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_simhash": lambda s, d: dedup.simhash_signatures(load(s, d, "documents")),
         "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(load(s, d, "documents")),
+        # linear-output product: doc -> canonical keep-id (exact collapse ->
+        # LSH over representatives -> verify -> connected components)
+        "dedup_dup_groups": lambda s, d: dedup.dup_groups(load(s, d, "documents")),
         "dedup_embedding_cosine": lambda s, d: similarity.embedding_dup_pairs(
             load(s, d, "embeddings"), threshold=0.3
         ),
@@ -1468,6 +1471,51 @@ SELECT allc.a, allc.b, allc.n_inter,
        (sa.n_sh + sb.n_sh - allc.n_inter) AS n_union,
        round(CAST(allc.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - allc.n_inter), 5) AS jaccard
 FROM allc JOIN sizes sa ON sa.doc_id = allc.a JOIN sizes sb ON sb.doc_id = allc.b
+"""
+    )
+
+    # naive all-docs formulation — provably component-equivalent to the
+    # Spark path's exact-collapse-then-LSH-over-representatives (identical
+    # texts have identical shingle sets, so cross-clique verified-pair
+    # existence is a clique-level property; see dedup.dup_groups docstring)
+    sql["dedup_dup_groups"] = (
+        "WITH RECURSIVE "
+        + _MINHASH_CTE
+        + r""",
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+verified AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 5) >= 0.8
+),
+eg AS (SELECT md5(text) AS h, min(doc_id) AS rep_id FROM documents GROUP BY 1),
+ee AS (
+  SELECT d.doc_id AS a, g.rep_id AS b
+  FROM documents d JOIN eg g ON md5(d.text) = g.h WHERE d.doc_id <> g.rep_id
+),
+edges0 AS (SELECT a, b FROM verified UNION SELECT a, b FROM ee),
+und AS (SELECT a AS src, b AS dst FROM edges0 UNION SELECT b AS src, a AS dst FROM edges0),
+cnodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, comp) AS (
+  SELECT node, node FROM cnodes
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN und e ON e.src = r.node
+),
+mapping AS (SELECT node, min(comp) AS canonical_id FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(m.canonical_id, d.doc_id) AS canonical_id
+FROM documents d LEFT JOIN mapping m ON m.node = d.doc_id
 """
     )
 

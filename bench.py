@@ -37,6 +37,7 @@ SECONDARY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
+    "dedup_dup_groups",
     "dedup_simhash",
     "dedup_embedding_lsh",
     "sim_topk_bruteforce",

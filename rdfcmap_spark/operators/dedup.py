@@ -193,6 +193,68 @@ def ngram_jaccard_pairs(
     return _jaccard_from_inter(inter, sizes, min_jaccard)
 
 
+def dup_groups(docs: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
+    """(doc_id, canonical_id) for EVERY document — the linear-output dedup
+    product a training-data pipeline actually consumes (keep one doc per
+    near-dup cluster, drop the rest), vs the inherently quadratic pair
+    listings of :func:`lsh_candidate_pairs` / :func:`simhash_pairs`.
+
+    Three stages, each chosen for the 100 TB shape:
+
+    1. **Exact collapse first** (md5 groups, min doc_id representative).
+       This is the clique defuser: a boilerplate text duplicated K times
+       shares every MinHash band, so feeding raw docs to LSH puts a K-doc
+       clique in one bucket -> K^2/2 candidate pairs *per clique* (at web
+       scale K reaches 10^6 -> 10^12 pairs from one template). Collapsing
+       byte-identical docs to one representative caps every clique's LSH
+       contribution at ONE row; the K-1 members rejoin via (member -> rep)
+       star edges — linear.
+    2. **LSH + exact-Jaccard verify over representatives only**
+       (:func:`lsh_candidate_pairs` -> :func:`ngram_jaccard_verify`,
+       ``jaccard >= min_jaccard``).
+    3. **Connected components** over (exact star edges) ∪ (verified rep
+       pairs) — the same contraction-CC machinery as entity
+       canonicalization (:mod:`rdfcmap_spark.operators.canonicalize`);
+       canonical = component min doc_id. Docs in no edge map to themselves.
+
+    Output is invariant to whether LSH ran over members or representatives:
+    byte-identical docs have identical shingle sets, so cross-clique
+    verified-pair existence is a clique-level property and the component
+    structure is unchanged — the DuckDB oracle exploits this by running the
+    naive all-docs formulation.
+
+    Node ids are zero-padded to fixed width inside CC (its node type is
+    string; min over zero-padded decimals == numeric min) and cast back.
+    """
+    from rdfcmap_spark.operators import canonicalize
+
+    node = lambda c: F.format_string("%019d", F.col(c))  # noqa: E731
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    groups = hashed.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    doc_rep = hashed.join(groups, "h").select("doc_id", "rep_id")
+    rep_docs = docs.join(groups.select(F.col("rep_id").alias("doc_id")), "doc_id")
+
+    cand = lsh_candidate_pairs(rep_docs)
+    verified = ngram_jaccard_verify(rep_docs, cand, min_jaccard=min_jaccard)
+
+    edges = (
+        doc_rep.filter(F.col("doc_id") != F.col("rep_id"))
+        .select(node("doc_id").alias("src"), node("rep_id").alias("dst"))
+        .unionByName(verified.select(node("a").alias("src"), node("b").alias("dst")))
+    )
+    mapping = canonicalize.connected_components(edges)
+    return (
+        docs.select("doc_id")
+        .join(mapping.withColumnRenamed("entity_id", "node"), node("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical_id").cast("bigint"), F.col("doc_id")).alias(
+                "canonical_id"
+            ),
+        )
+    )
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 60-bit SimHash over word tokens (with
     multiplicity). Token hash = first 15 md5 hex chars as a 60-bit int; each

@@ -108,7 +108,14 @@ def prefix_header() -> list[str]:
 
 def write_ttl(triples: DataFrame, path: str) -> None:
     """Distributed text write: header+signature as one tiny shard, body as
-    one shard per partition."""
+    one shard per partition.
+
+    Shard-order contract: ``unionByName`` concatenates the parents'
+    partitions in order and the text writer names output files by partition
+    index, so the single header partition is always ``part-00000`` — tools
+    that read shards in filename order (cat, getmerge) see the signature +
+    @prefix block first, like a single-file Turtle document. Pinned by
+    ``tests/test_ttl.py::test_header_shard_is_first``."""
     spark = triples.sparkSession
     header = spark.createDataFrame(
         [(l,) for l in [SIGNATURE, *prefix_header()]], "line string"

@@ -105,6 +105,52 @@ def _py_simhash(text: str) -> int:
     return sum(1 << pos for pos in range(60) if scores[pos] > 0)
 
 
+def test_dup_groups_exact_clique_and_near_dup_cluster(spark):
+    """Exact clique (3x same text) + a near-dup of it + an unrelated doc:
+    the whole clique AND the near-dup land in one component keyed by the
+    min doc_id; the unrelated doc maps to itself."""
+    a = "the quick brown fox jumps over the lazy dog again today"
+    near = "the quick brown fox jumps over the lazy dog again tomorrow"
+    b = "completely unrelated words about spark partitions and shuffles everywhere"
+    docs = _docs(spark, [a, a, a, near, b])
+    got = {r["doc_id"]: r["canonical_id"] for r in dedup.dup_groups(docs, min_jaccard=0.5).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4}
+
+
+def test_dup_groups_rep_collapse_equals_naive_all_docs(spark):
+    """The scale claim made concrete: LSH over exact-dup REPRESENTATIVES
+    yields the identical doc->canonical mapping as the naive all-docs
+    formulation (what the DuckDB oracle runs)."""
+    a = "one two three four five six seven eight nine ten"
+    a2 = "one two three four five six seven eight nine eleven"
+    c = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(spark, [a, a, a2, a2, c, c, a])
+    got = {r["doc_id"]: r["canonical_id"] for r in dedup.dup_groups(docs, min_jaccard=0.5).collect()}
+    # naive: verified pairs over ALL docs + CC (driver-side reference calc)
+    pairs = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard_verify(
+            docs, dedup.lsh_candidate_pairs(docs), min_jaccard=0.5
+        ).collect()
+    }
+    parent = {i: i for i in range(7)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in pairs:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {i: find(i) for i in range(7)}
+    assert got == want
+    assert got[0] == got[1] == got[2] == got[3] == got[6] == 0  # near-dup family
+    assert got[4] == got[5] == 4
+
+
 def test_simhash_signature_matches_per_occurrence_definition(spark):
     texts = [
         "spark spark spark shuffle partition partition",

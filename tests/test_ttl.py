@@ -59,6 +59,22 @@ def test_roundtrip_lossless(spark, tdf, tmp_path):
     assert _key_set(back) == _key_set(tdf)
 
 
+def test_header_shard_is_first(spark, tdf, tmp_path):
+    """The signature + @prefix block must land in the lexicographically
+    first shard (part-00000) so filename-ordered concatenation reads like a
+    single-file Turtle document (VERDICT r2 cosmetic item, now pinned)."""
+    import os
+
+    path = str(tmp_path / "out.ttl")
+    write_ttl(tdf.repartition(4), path)
+    shards = sorted(f for f in os.listdir(path) if f.startswith("part-"))
+    assert len(shards) > 1  # header shard + >=1 body shard
+    with open(os.path.join(path, shards[0])) as f:
+        first_lines = f.read().splitlines()
+    assert first_lines[0].startswith(SIGNATURE)
+    assert any(l.startswith("@prefix") for l in first_lines)
+
+
 def test_signature_and_prefix_header(spark, tdf, tmp_path):
     path = str(tmp_path / "out.ttl")
     write_ttl(tdf, path)

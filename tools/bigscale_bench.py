@@ -34,6 +34,7 @@ QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
+    "dedup_dup_groups",
     "dedup_simhash",
     "dedup_simhash_pairs",
     # embedding near-dup at scale goes through the hyperplane-LSH path;
