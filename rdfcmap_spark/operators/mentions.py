@@ -82,20 +82,31 @@ def extract_sentences(transcripts: DataFrame) -> DataFrame:
     # Net: one heavy regex pass per sentence instead of two — measured
     # win on the extraction stage, and fewer allocations per task helps the
     # 32-thread shared-cache contention (BENCH.md scaling notes).
+    # * both grammars REQUIRE a «mention»: a sentence with no '«' can match
+    #   neither, so the mention gate is exact too. On the synthetic corpus
+    #   every sentence carries a planted structure (gate is a no-op), but on
+    #   real transcripts most prose sentences have no mention and this skips
+    #   the REL_RE NFA entirely for them — the majority of input at 10^12
+    #   turns.
+    mention_gate = F.col("sentence").contains("«")
     lit_gate = F.col("sentence").contains('"^^xsd:')
     g = sent.select(
         "conv_id",
         "turn_idx",
         "sent_idx",
         "sentence",
-        F.when(lit_gate, _extract4(F.col("sentence"), LIT_RE)).alias("lg"),
+        F.when(mention_gate & lit_gate, _extract4(F.col("sentence"), LIT_RE)).alias("lg"),
+        mention_gate.alias("has_mention"),
     )
     g = g.select(
         "conv_id",
         "turn_idx",
         "sent_idx",
         "lg",
-        F.when(F.col("lg").isNull(), _extract4(F.col("sentence"), REL_RE)).alias("rg"),
+        F.when(
+            F.col("lg").isNull() & F.col("has_mention"),
+            _extract4(F.col("sentence"), REL_RE),
+        ).alias("rg"),
     )
     form = (
         F.when(F.col("lg").isNotNull(), F.lit("literal"))
