@@ -84,6 +84,15 @@ def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(TRANSCRIPTS_ORACLE_PATH)
 
 
+def _lsh_verified(docs: DataFrame) -> DataFrame:
+    """LSH candidates + exact-Jaccard verify. The shingle frame is
+    recomputed per consumer BY DESIGN: persisting it was A/B'd at 500k docs
+    and rejected — cache blocks steal unified memory from the verify's
+    half-billion-row joins and push them to disk (>90 GB spill, DNF, vs
+    178 s recomputing; see dedup.dup_groups and BENCH.md)."""
+    return dedup.ngram_jaccard_verify(docs, dedup.lsh_candidate_pairs(docs))
+
+
 def _kg_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdfcmap_spark.plans.pipeline import run_pipeline
 
@@ -640,9 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dedup.exact_dedup(load(s, d, "documents")),
         "dedup_minhash_lsh": lambda s, d: dedup.lsh_candidate_pairs(load(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(load(s, d, "documents")),
-        "dedup_lsh_verified": lambda s, d: dedup.ngram_jaccard_verify(
-            load(s, d, "documents"), dedup.lsh_candidate_pairs(load(s, d, "documents"))
-        ),
+        "dedup_lsh_verified": lambda s, d: _lsh_verified(load(s, d, "documents")),
         "dedup_simhash": lambda s, d: dedup.simhash_signatures(load(s, d, "documents")),
         "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(load(s, d, "documents")),
         # linear-output product: doc -> canonical keep-id (exact collapse ->
@@ -666,6 +673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # corpus-scale embedding near-dup: hyperplane-banded + cosine verify
         "dedup_embedding_lsh": lambda s, d: similarity.embedding_dup_pairs_lsh(
+            load(s, d, "embeddings")
+        ),
+        # linear-output twin: vec -> canonical cluster id
+        "dedup_embedding_groups": lambda s, d: similarity.embedding_dup_groups(
             load(s, d, "embeddings")
         ),
         # --- text analysis ---
@@ -1623,6 +1634,31 @@ cand AS (
   WHERE l.vec_id < r.vec_id
 )
 SELECT DISTINCT a, b, cos_sim FROM cand WHERE cos_sim >= 0.9
+"""
+    )
+
+    sql["dedup_embedding_groups"] = (
+        "WITH RECURSIVE "
+        + _HP_CTE
+        + r""",
+cand AS (
+  SELECT l.vec_id AS a, r.vec_id AS b, """
+        + _COS.format(a="l.v", b="r.v")
+        + r""" AS cos_sim
+  FROM banded l JOIN banded r ON l.band = r.band AND l.band_val = r.band_val
+  WHERE l.vec_id < r.vec_id
+),
+vp AS (SELECT DISTINCT a, b FROM cand WHERE cos_sim >= 0.9),
+und AS (SELECT a AS src, b AS dst FROM vp UNION SELECT b AS src, a AS dst FROM vp),
+cnodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, comp) AS (
+  SELECT node, node FROM cnodes
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN und e ON e.src = r.node
+),
+mapping AS (SELECT node, min(comp) AS canonical_id FROM reach GROUP BY node)
+SELECT v.vec_id, coalesce(m.canonical_id, v.vec_id) AS canonical_id
+FROM embeddings v LEFT JOIN mapping m ON m.node = v.vec_id
 """
     )
 

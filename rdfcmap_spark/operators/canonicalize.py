@@ -260,6 +260,37 @@ def connected_components_with_count(
     return mapping, n
 
 
+def canonical_ids_for_pairs(ids: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """(id_col, canonical_id) for EVERY row of ``ids`` given an undirected
+    2-column pair/edge frame over bigint ids — the shared tail of the
+    linear-output dedup products (text :func:`~rdfcmap_spark.operators.dedup.dup_groups`,
+    embedding ``embedding_dup_groups``).
+
+    canonical = component min id; ids in no pair map to themselves. Ids are
+    zero-padded to fixed-width strings for the CC machinery (its node type
+    is string; min over zero-padded decimals == numeric min) and cast back,
+    so the result matches a numeric-min SQL oracle exactly.
+    """
+    node = lambda c: F.format_string("%019d", F.col(c))  # noqa: E731
+    a_col, b_col = pairs.columns[:2]
+    edges = pairs.select(node(a_col).alias("src"), node(b_col).alias("dst"))
+    mapping = connected_components(edges)
+    return (
+        ids.select(id_col)
+        .join(
+            mapping.withColumnRenamed("entity_id", "node"),
+            node(id_col) == F.col("node"),
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("canonical_id").cast("bigint"), F.col(id_col)).alias(
+                "canonical_id"
+            ),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 25, driver_threshold: int = DRIVER_CC_MAX_EDGES
 ) -> DataFrame:

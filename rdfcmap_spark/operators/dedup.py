@@ -59,15 +59,23 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n_perm: int = N_PERM, sh: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, seed, minhash) — k salted-md5 min-hashes per document.
 
     The k "permutations" are md5 with a seed prefix; min over a uniform hash
     per seed is the classic MinHash estimator. explode(seeds) happens
     *after* the per-doc distinct shingle set, so the blow-up is bounded by
     k × shingles and partially aggregated map-side.
+
+    ``sh`` lets a caller share ONE (ideally persisted) shingle frame across
+    the candidate and verify stages — Catalyst does not reuse exchanges
+    between the otherwise-identical shingle subplans (measured: 24 parquet
+    scans in the un-shared verify plan), so without sharing the explode +
+    distinct shuffle runs once per consumer.
     """
-    sh = shingles(docs, N_SHINGLE)
+    sh = shingles(docs, N_SHINGLE) if sh is None else sh
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("seed")
     return (
         sh.select("doc_id", "shingle", seeds)
@@ -76,10 +84,15 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     )
 
 
-def lsh_band_keys(docs: DataFrame, n_perm: int = N_PERM, n_bands: int = N_BANDS) -> DataFrame:
+def lsh_band_keys(
+    docs: DataFrame,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, band, band_key) — md5 of the sorted (seed:minhash) rows of
     each band. Equal band_key <=> equal minhash rows in that band."""
-    sig = minhash_signatures(docs, n_perm)
+    sig = minhash_signatures(docs, n_perm, sh=sh)
     rows_per_band = n_perm // n_bands
     return (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
@@ -97,14 +110,19 @@ def lsh_band_keys(docs: DataFrame, n_perm: int = N_PERM, n_bands: int = N_BANDS)
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, n_perm: int = N_PERM, n_bands: int = N_BANDS) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket.
 
     The self-join key is (band, band_key) — each bucket joins only with
     itself; AQE splits a pathological bucket (all-identical corpus) via
     skew-join. Output is the candidate set for :func:`ngram_jaccard_pairs`.
     """
-    bk = lsh_band_keys(docs, n_perm, n_bands)
+    bk = lsh_band_keys(docs, n_perm, n_bands, sh=sh)
     left = bk.select("band", "band_key", F.col("doc_id").alias("a"))
     right = bk.select("band", "band_key", F.col("doc_id").alias("b"))
     return (
@@ -139,7 +157,10 @@ def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, min_jaccard: float) 
 
 
 def ngram_jaccard_verify(
-    docs: DataFrame, candidates: DataFrame, min_jaccard: float = 0.0
+    docs: DataFrame,
+    candidates: DataFrame,
+    min_jaccard: float = 0.0,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for a **given candidate pair set** — the
     verification stage behind :func:`lsh_candidate_pairs`.
@@ -151,8 +172,12 @@ def ngram_jaccard_verify(
     shingles on ``(doc_id, shingle)``. This is the shape that survives
     100 TB: total work tracks the LSH candidate volume, which banding keeps
     ~linear in corpus size.
+
+    ``sh`` shares a precomputed shingle frame (see
+    :func:`minhash_signatures`); this function alone consumes it three
+    times (sizes + both join sides).
     """
-    sh = shingles(docs, N_SHINGLE)
+    sh = shingles(docs, N_SHINGLE) if sh is None else sh
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand = candidates.select("a", "b").distinct()
     a_sh = cand.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
@@ -223,36 +248,32 @@ def dup_groups(docs: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
     structure is unchanged — the DuckDB oracle exploits this by running the
     naive all-docs formulation.
 
-    Node ids are zero-padded to fixed width inside CC (its node type is
-    string; min over zero-padded decimals == numeric min) and cast back.
     """
     from rdfcmap_spark.operators import canonicalize
 
-    node = lambda c: F.format_string("%019d", F.col(c))  # noqa: E731
     hashed = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
     groups = hashed.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
     doc_rep = hashed.join(groups, "h").select("doc_id", "rep_id")
     rep_docs = docs.join(groups.select(F.col("rep_id").alias("doc_id")), "doc_id")
 
+    # The shingle frame feeds four consumers (minhash + the verify's
+    # sizes/a-side/b-side) and is deliberately RECOMPUTED per consumer, not
+    # persisted: a persist() was A/B'd at 500k docs and REJECTED — the
+    # cached blocks compete with the verify's half-billion-row joins for
+    # the unified memory pool, pushing their sorts/aggregations to disk
+    # (>90 GB spill, disk-full DNF, vs 178 s recomputing; BENCH.md). The
+    # recompute is one 115 MB-parquet scan + explode + map-side distinct —
+    # cheap next to execution memory. The sh= passthrough remains for
+    # callers with memory to spare.
     cand = lsh_candidate_pairs(rep_docs)
     verified = ngram_jaccard_verify(rep_docs, cand, min_jaccard=min_jaccard)
 
-    edges = (
+    pairs = (
         doc_rep.filter(F.col("doc_id") != F.col("rep_id"))
-        .select(node("doc_id").alias("src"), node("rep_id").alias("dst"))
-        .unionByName(verified.select(node("a").alias("src"), node("b").alias("dst")))
+        .select(F.col("doc_id").alias("a"), F.col("rep_id").alias("b"))
+        .unionByName(verified.select("a", "b"))
     )
-    mapping = canonicalize.connected_components(edges)
-    return (
-        docs.select("doc_id")
-        .join(mapping.withColumnRenamed("entity_id", "node"), node("doc_id") == F.col("node"), "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("canonical_id").cast("bigint"), F.col("doc_id")).alias(
-                "canonical_id"
-            ),
-        )
-    )
+    return canonicalize.canonical_ids_for_pairs(docs, pairs, "doc_id")
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:

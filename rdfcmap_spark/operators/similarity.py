@@ -347,3 +347,17 @@ def embedding_dup_pairs_lsh(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def embedding_dup_groups(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """(vec_id, canonical_id) for EVERY embedding — the linear-output twin
+    of :func:`embedding_dup_pairs_lsh`, mirroring
+    :func:`rdfcmap_spark.operators.dedup.dup_groups` for the vector
+    modality: hyperplane-LSH candidates, exact-cosine verify >= threshold,
+    connected components, canonical = component min vec_id (singletons map
+    to themselves). This is what a dedup pipeline consumes to drop all but
+    one member of each near-identical-embedding cluster."""
+    from rdfcmap_spark.operators import canonicalize
+
+    pairs = embedding_dup_pairs_lsh(embeddings, threshold).select("a", "b")
+    return canonicalize.canonical_ids_for_pairs(embeddings, pairs, "vec_id")

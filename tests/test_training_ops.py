@@ -261,6 +261,42 @@ def test_embedding_dup_pairs_lsh_matches_numpy_reference(spark):
     assert {(k, 40 + k) for k in range(6)} <= {(a, b) for a, b, _ in got}
 
 
+def test_embedding_dup_groups_clusters_planted_dups(spark):
+    """Same planted-near-dup corpus as the pairs test: every planted copy
+    must map to its source (canonical = min vec_id of the cluster); vectors
+    with no near-dup map to themselves; the mapping agrees with a driver
+    union-find over the numpy-reference pair set."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    vecs = [list(map(float, v)) for v in base]
+    for k in range(6):
+        dup = list(base[k])
+        dup[k % 16] += 0.01
+        vecs.append([float(x) for x in dup])
+    emb = _embeddings(spark, vecs)
+    got = {
+        r["vec_id"]: r["canonical_id"]
+        for r in similarity.embedding_dup_groups(emb, threshold=0.9).collect()
+    }
+    parent = {i: i for i in range(len(vecs))}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in _np_lsh_pairs(vecs, 0.9, similarity.HP_N_PLANES, similarity.HP_BANDS):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert got == {i: find(i) for i in range(len(vecs))}
+    for k in range(6):
+        assert got[40 + k] == got[k]
+
+
 def test_assign_clusters_nearest_centroid(spark):
     # two clean clusters around x-axis (label 0) and y-axis (label 1)
     emb = _embeddings(

@@ -41,6 +41,7 @@ QUERIES = [
     # dedup_embedding_cosine (exact, label-blocked) is quadratic in
     # corpus/n_labels by design and is bench-gated to small corpora
     "dedup_embedding_lsh",
+    "dedup_embedding_groups",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
     "sim_topk_bucketed",
