@@ -92,6 +92,25 @@ def test_lsh_verify_consumes_candidates(spark):
     assert "CartesianProduct" not in p
 
 
+def test_dup_groups_plan_shape(spark):
+    """The groups products must keep the pair-listing scale contracts.
+    dup_groups/embedding_dup_groups materialize CC eagerly, so their
+    RETURNED plan is the final mapping join (assert: no cartesian, and the
+    mapping side is the broadcast build). The banded-join contracts are
+    asserted on the pair stages that feed CC — the text verify is covered
+    by test_lsh_verify_consumes_candidates; here the embedding pair stage
+    must be banded on hyperplane sign values with no cartesian."""
+    docs = load(spark, SF, "documents")
+    p = plan_of(dedup.dup_groups(docs))
+    assert "CartesianProduct" not in p
+    emb = load(spark, SF, "embeddings")
+    pe_pairs = plan_of(similarity.embedding_dup_pairs_lsh(emb))
+    assert "CartesianProduct" not in pe_pairs
+    assert "band_val" in pe_pairs
+    pe = plan_of(similarity.embedding_dup_groups(emb))
+    assert "CartesianProduct" not in pe
+
+
 def test_salted_join_rejects_small_side_preserving_how(spark):
     big = spark.createDataFrame([("k", 1)], "k string, v int")
     small = spark.createDataFrame([("k", 2)], "k string, w int")
