@@ -652,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_verified": lambda s, d: _lsh_verified(load(s, d, "documents")),
         "dedup_simhash": lambda s, d: dedup.simhash_signatures(load(s, d, "documents")),
         "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(load(s, d, "documents")),
+        "dedup_simhash_groups": lambda s, d: dedup.simhash_groups(load(s, d, "documents")),
         # linear-output product: doc -> canonical keep-id (exact collapse ->
         # LSH over representatives -> verify -> connected components)
         "dedup_dup_groups": lambda s, d: dedup.dup_groups(load(s, d, "documents")),
@@ -1547,6 +1548,33 @@ cand AS (
   WHERE l.doc_id < r.doc_id
 )
 SELECT a, b, hamming FROM cand WHERE hamming <= 3
+"""
+    )
+
+    sql["dedup_simhash_groups"] = (
+        "WITH RECURSIVE "
+        + _SIMHASH_CTE
+        + r""",
+banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS band_val
+  FROM sig, UNNEST(range(0, 4)) AS b(band)
+),
+vp AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.band_val = r.band_val
+  WHERE l.doc_id < r.doc_id
+    AND bit_count(xor(l.simhash, r.simhash)) <= 3
+),
+und AS (SELECT a AS src, b AS dst FROM vp UNION SELECT b AS src, a AS dst FROM vp),
+cnodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, comp) AS (
+  SELECT node, node FROM cnodes
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN und e ON e.src = r.node
+),
+mapping AS (SELECT node, min(comp) AS canonical_id FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(m.canonical_id, d.doc_id) AS canonical_id
+FROM documents d LEFT JOIN mapping m ON m.node = d.doc_id
 """
     )
 

@@ -276,6 +276,24 @@ def dup_groups(docs: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
     return canonicalize.canonical_ids_for_pairs(docs, pairs, "doc_id")
 
 
+def simhash_groups(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """(doc_id, canonical_id) for EVERY document via SimHash near-dup pairs
+    + connected components — the linear-output twin of
+    :func:`simhash_pairs`, completing the groups trio with
+    :func:`dup_groups` (shingle-Jaccard) and
+    ``similarity.embedding_dup_groups`` (vectors). Canonical = component
+    min doc_id; docs with no near-dup map to themselves.
+
+    Scale shape inherits from :func:`simhash_pairs` (32k-bucket banding,
+    Hamming filter before the pair distinct); the CC adds ~nothing because
+    near-dup cliques are dense and collapse in one contraction round.
+    """
+    from rdfcmap_spark.operators import canonicalize
+
+    pairs = simhash_pairs(docs, max_hamming).select("a", "b")
+    return canonicalize.canonical_ids_for_pairs(docs, pairs, "doc_id")
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 60-bit SimHash over word tokens (with
     multiplicity). Token hash = first 15 md5 hex chars as a 60-bit int; each

@@ -151,6 +151,31 @@ def test_dup_groups_rep_collapse_equals_naive_all_docs(spark):
     assert got[4] == got[5] == 4
 
 
+def test_simhash_groups_matches_pairs_union_find(spark):
+    """simhash_groups must equal a driver union-find over simhash_pairs:
+    identical texts (hamming 0) cluster under the min doc_id, the unrelated
+    doc maps to itself."""
+    a = "the quick brown fox jumps over the lazy dog again today"
+    b = "completely unrelated words about spark partitions and shuffles everywhere"
+    docs = _docs(spark, [a, a, b, a])
+    got = {r["doc_id"]: r["canonical_id"] for r in dedup.simhash_groups(docs).collect()}
+    pairs = {(r["a"], r["b"]) for r in dedup.simhash_pairs(docs).collect()}
+    parent = {i: i for i in range(4)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in pairs:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    assert got == {i: find(i) for i in range(4)}
+    assert got[0] == got[1] == got[3] == 0 and got[2] == 2
+
+
 def test_simhash_signature_matches_per_occurrence_definition(spark):
     texts = [
         "spark spark spark shuffle partition partition",

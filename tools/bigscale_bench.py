@@ -37,6 +37,7 @@ QUERIES = [
     "dedup_dup_groups",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "dedup_simhash_groups",
     # embedding near-dup at scale goes through the hyperplane-LSH path;
     # dedup_embedding_cosine (exact, label-blocked) is quadratic in
     # corpus/n_labels by design and is bench-gated to small corpora
