@@ -1751,6 +1751,7 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM r WHER
 SELECT doc_id,
   CAST(length(text) AS INTEGER) AS n_chars,
   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens,
   round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(regexp_extract_all(text, '\S+')), 5) AS avg_token_len
 FROM documents
 """

@@ -26,6 +26,13 @@ from pyspark.sql import functions as F
 #: token = maximal run of non-whitespace (identical in Java regex and RE2)
 TOKEN_RE = r"\S+"
 
+#: BPE-ish pre-tokenizer (GPT-2-style: contraction suffixes, space-prefixed
+#: letter runs, digit runs, punctuation runs) — the unit LLM token budgets
+#: are estimated in. Deliberately lookahead-free so Java regex (Spark) and
+#: RE2 (DuckDB oracle) match identically; both engines use leftmost-first
+#: alternation, so counts agree byte-for-byte.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
 #: English-ish stopwords for the quality score (word-boundary matched).
 STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "on", "for"]
 
@@ -55,7 +62,9 @@ def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document token counts + average token length.
 
     ``avg_token_len`` = non-whitespace chars / tokens — a single integer
-    division rounded to 5 dp (cross-engine stable).
+    division rounded to 5 dp (cross-engine stable). ``n_bpe_tokens`` counts
+    :data:`BPE_TOKEN_RE` matches — the LLM-token-budget estimate a
+    training-data pipeline filters and packs by.
     """
     n_tokens = F.regexp_count(F.col("text"), F.lit(TOKEN_RE))
     n_nonws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
@@ -63,6 +72,9 @@ def token_stats(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).cast("bigint").alias(
+            "n_bpe_tokens"
+        ),
         F.round(n_nonws.cast("double") / n_tokens, 5).alias("avg_token_len"),
     )
 

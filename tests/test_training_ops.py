@@ -340,11 +340,17 @@ def test_assign_clusters_nearest_centroid(spark):
 
 
 def test_token_stats_hand_computed(spark):
-    docs = _docs(spark, ["ab cd ef", "  x  "])
+    docs = _docs(spark, ["ab cd ef", "  x  ", "it's 42 ok!"])
     got = {r["doc_id"]: r for r in textstats.token_stats(docs).collect()}
     assert (got[0]["n_chars"], got[0]["n_tokens"]) == (8, 3)
     assert got[0]["avg_token_len"] == pytest.approx(2.0)
     assert got[1]["n_tokens"] == 1 and got[1]["avg_token_len"] == pytest.approx(1.0)
+    # BPE-ish pre-tokens (spaces attach only as a run prefix; stray
+    # whitespace is unmatched): "ab| cd| ef"=3, "  x  "->" x"=1,
+    # "it|'s| 42| ok|!"=5 — mirrors re.findall on BPE_TOKEN_RE
+    assert got[0]["n_bpe_tokens"] == 3
+    assert got[1]["n_bpe_tokens"] == 1
+    assert got[2]["n_bpe_tokens"] == 5
 
 
 def test_langid_zh_detected(spark):
