@@ -687,6 +687,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": lambda s, d: textstats.fingerprints(load(s, d, "documents")),
         # --- multimodal plumbing (Arrow mapInPandas; deterministic fake decode) ---
         "multimodal_features": lambda s, d: multimodal.media_features(load(s, d, "documents")),
+        "multimodal_resize": lambda s, d: multimodal.resize_media(
+            multimodal.extract_features(multimodal.ingest_media(load(s, d, "documents")))
+        ),
+        "multimodal_frame_sample": lambda s, d: multimodal.sample_frames(
+            multimodal.extract_features(multimodal.ingest_media(load(s, d, "documents")))
+        ),
         # --- analytics / window coverage ---
         "tpch_q1": lambda s, d: relational.tpch_q1(load(s, d, "lineitem")),
         "events_sessionize": lambda s, d: relational.sessionize(load(s, d, "events")),
@@ -1813,6 +1819,37 @@ SELECT doc_id,
   CAST(strlen(text) % 480 AS INTEGER) AS height,
   CAST(1 + strlen(text) % 16 AS INTEGER) AS n_frames
 FROM documents
+"""
+
+    sql["multimodal_resize"] = r"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(strlen(text) % 640 AS INTEGER) AS width,
+    CAST(strlen(text) % 480 AS INTEGER) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+  CAST(CASE
+    WHEN width <= 0 OR height <= 0 THEN 0
+    WHEN width * 240 >= height * 320 THEN 320
+    ELSE (width * 240) // height END AS INTEGER) AS out_w,
+  CAST(CASE
+    WHEN width <= 0 OR height <= 0 THEN 0
+    WHEN width * 240 >= height * 320 THEN (height * 320) // width
+    ELSE 240 END AS INTEGER) AS out_h
+FROM f
+"""
+
+    sql["multimodal_frame_sample"] = r"""
+WITH f AS (
+  SELECT doc_id, md5(text) AS checksum,
+    CAST(1 + strlen(text) % 16 AS INTEGER) AS n_frames
+  FROM documents
+)
+SELECT f.doc_id,
+  CAST(g.i AS INTEGER) AS frame_idx,
+  md5(f.checksum || '|' || CAST(g.i AS VARCHAR)) AS frame_checksum
+FROM f JOIN generate_series(0, 15, 4) AS g(i) ON g.i < f.n_frames
 """
 
     sql["tpch_q1"] = r"""

@@ -104,3 +104,92 @@ def media_features(docs: DataFrame) -> DataFrame:
     return extract_features(ingest_media(docs)).select(
         "doc_id", "n_bytes", "checksum", "width", "height", "n_frames"
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_media(media_feats: DataFrame, max_w: int = 320, max_h: int = 240) -> DataFrame:
+    """Aspect-preserving fit of each image into ``max_w x max_h`` — the
+    resize *planning* stage, Arrow-batched. The pixel resample itself is the
+    stubbed decoder seam (see :func:`_fake_decode`); on a cluster with
+    codecs the batch loop would call e.g. ``PIL.Image.resize((out_w,
+    out_h))`` on the payload. All arithmetic is pure-integer (``//``) so the
+    DuckDB oracle reproduces it exactly: the binding side keeps the max
+    dimension, the other scales by the integer-floor ratio; zero-dim inputs
+    map to (0, 0).
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].to_numpy(dtype="int64")
+            h = pdf["height"].to_numpy(dtype="int64")
+            nz = (w > 0) & (h > 0)
+            w_binding = w * max_h >= h * max_w  # scale limited by width
+            ow = np.where(nz, np.where(w_binding, max_w, 0), 0)
+            oh = np.where(nz, np.where(w_binding, 0, max_h), 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ow = np.where(nz & ~w_binding, w * max_h // np.maximum(h, 1), ow)
+                oh = np.where(nz & w_binding, h * max_w // np.maximum(w, 1), oh)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_w": ow.astype("int32"),
+                    "out_h": oh.astype("int32"),
+                }
+            )
+
+    return media_feats.select("doc_id", "width", "height").mapInPandas(
+        run, RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_checksum", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media_feats: DataFrame, every_n: int = 4) -> DataFrame:
+    """One output row per sampled frame (idx 0, every_n, 2*every_n, ... <
+    n_frames) — the fan-out shape of video frame sampling, Arrow-batched.
+    ``frame_checksum`` = md5 of ``"{checksum}|{idx}"`` stands in for the
+    per-frame decode (the real ``av``-based frame grab is the stubbed
+    seam); the DuckDB oracle reproduces it with generate_series + md5.
+    Batch rows expand in Python, so a 10^4-frame video fans out inside one
+    Arrow batch without a JVM-side explode of the payload bytes."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, n_frames, checksum in zip(
+                pdf["doc_id"], pdf["n_frames"], pdf["checksum"]
+            ):
+                for i in range(0, int(n_frames or 0), every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(
+                        hashlib.md5(f"{checksum}|{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums},
+            ).astype({"doc_id": "int64", "frame_idx": "int32"})
+
+    return media_feats.select("doc_id", "n_frames", "checksum").mapInPandas(
+        run, FRAME_SCHEMA
+    )

@@ -399,6 +399,32 @@ def test_media_features_deterministic_fake_decode(spark):
         assert (r["width"], r["height"], r["n_frames"]) == (n % 640, n % 480, 1 + n % 16)
 
 
+def test_resize_media_hand_computed(spark):
+    """Both binding sides, the exact-fit case, and a zero dimension."""
+    feats = spark.createDataFrame(
+        [
+            (0, 640, 240),  # width-binding: 320 x (240*320//640)=120
+            (1, 100, 480),  # height-binding: (100*240//480)=50 x 240
+            (2, 320, 240),  # exact fit
+            (3, 0, 480),    # degenerate -> (0, 0)
+        ],
+        "doc_id bigint, width int, height int",
+    )
+    got = {r["doc_id"]: (r["out_w"], r["out_h"]) for r in multimodal.resize_media(feats).collect()}
+    assert got == {0: (320, 120), 1: (50, 240), 2: (320, 240), 3: (0, 0)}
+
+
+def test_sample_frames_fanout_and_checksum(spark):
+    feats = spark.createDataFrame(
+        [(0, 9, "abc"), (1, 1, "def")],
+        "doc_id bigint, n_frames int, checksum string",
+    )
+    rows = multimodal.sample_frames(feats, every_n=4).collect()
+    got = {(r["doc_id"], r["frame_idx"]): r["frame_checksum"] for r in rows}
+    assert set(got) == {(0, 0), (0, 4), (0, 8), (1, 0)}
+    assert got[(0, 4)] == hashlib.md5(b"abc|4").hexdigest()
+
+
 def test_extract_features_real_decode_seam_raises(spark):
     docs = _docs(spark, ["abc"])
     media = multimodal.ingest_media(docs)
