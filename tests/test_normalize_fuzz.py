@@ -48,6 +48,35 @@ def test_normalize_column_equals_python(spark):
         assert r["norm"] == normalize_label_py(r["label"]), repr(r["label"])
 
 
+_BPE_ATOMS = [
+    "it's", "don't", "we're", "I'll", "he'd", "you've", "I'm", "'", "''",
+    "abc", "ABC", "42", "3.14", "!", "!!", "a-b", " ", "  ", "\t", "\n",
+    "e2e", "x'y", "'tis", "über", "…", "a_b", "#tag", "100%", "",
+]
+
+
+def test_bpe_token_count_column_equals_re_findall(spark):
+    """The JVM regexp_count of BPE_TOKEN_RE must equal Python re.findall
+    length on adversarial concatenations — the cross-engine claim the
+    token_stats oracle rests on (Java regex / RE2 / Python re all
+    leftmost-first on this lookahead-free pattern)."""
+    import re
+
+    from rdfcmap_spark.operators.textstats import BPE_TOKEN_RE
+
+    rng = random.Random(20260819)
+    cases = [
+        "".join(rng.choice(_BPE_ATOMS) for _ in range(rng.randint(1, 8)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    rows = df.select(
+        "text", F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).alias("n")
+    ).collect()
+    for r in rows:
+        assert r["n"] == len(re.findall(BPE_TOKEN_RE, r["text"])), repr(r["text"])
+
+
 _CARD_ATOMS = ["=", "1", "23", ">", "<", ",", " ", "[", "]", "5 7", "=2", "x"]
 
 
