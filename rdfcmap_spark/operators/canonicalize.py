@@ -126,7 +126,17 @@ def connected_components_with_count(
     gate) don't need an extra count job.
     """
     spark = edges.sparkSession
-    edges = edges.select("src", "dst").localCheckpoint()
+    # SERIALIZED checkpoint (same hygiene as the contraction loop's
+    # intermediates): the default deserialized-on-heap blocks hold every
+    # edge as two Java String objects — at 39.8M edges (400k-vector
+    # embedding near-dup graph, bigscale-measured) that alone OOMed a 16 GB
+    # heap before the first contraction round. MEMORY_AND_DISK stores
+    # compact serialized bytes and spills instead.
+    from pyspark import StorageLevel
+
+    edges = edges.select("src", "dst").localCheckpoint(
+        storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     n_edges = edges.count()
     if driver_threshold and n_edges <= driver_threshold:
         return _driver_cc(edges)
