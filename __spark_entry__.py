@@ -44,11 +44,15 @@ def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fixture is write-once per (params, generator version): generation is
     deterministic, so if a matching fixture is already published we reuse it
-    instead of rewriting. The first writer publishes via an atomic
-    ``os.rename`` of a uniquely-named staging dir, so a concurrent reader can
-    never observe a half-written or clobbered fixture (a mode("overwrite")
-    rewrite deletes parquet parts under a running scan — seen as
-    FAILED_READ_FILE in concurrent harness runs)."""
+    instead of rewriting. The first writer publishes via ``os.rename`` of a
+    uniquely-named staging dir, so a concurrent reader never observes a
+    half-written fixture (a mode("overwrite") rewrite deletes parquet parts
+    under a running scan — seen as FAILED_READ_FILE in concurrent harness
+    runs). Caveat: on a params/version CHANGE the swap is two renames
+    (POSIX rename cannot replace a non-empty dir), so there is a tiny
+    ENOENT window for readers racing that one-time upgrade — params changes
+    only happen when the generator code changes, never between the driver's
+    same-version query runs."""
     import json
     import os
     import shutil

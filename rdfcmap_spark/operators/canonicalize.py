@@ -41,6 +41,40 @@ def identity_edges(sameas: DataFrame, idents: DataFrame) -> DataFrame:
     return sameas.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(star)
 
 
+def _uf_absorb(parent: dict, src_arr, dst_arr) -> None:
+    """In-place union-find absorption of an edge array pair: find with
+    path-halving, union ordered by min (the smaller id becomes the root).
+    The ONE definition both CC paths share — the driver fixed point and the
+    distributed contraction's per-partition step must stay semantically
+    identical (their equivalence is a tested contract), so the find/union
+    body exists exactly once."""
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src_arr, dst_arr):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+
+def _uf_roots(parent: dict) -> list:
+    """Resolve every node in ``parent`` to its final root (post-absorb)."""
+    out = []
+    for n in parent:
+        x = n
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        out.append(x)
+    return out
+
+
 def _driver_cc(edges: DataFrame) -> tuple[DataFrame, int]:
     """Union-find fixed point on the collected edge list (min representative
     — identical semantics to the distributed loop, asserted by tests).
@@ -59,25 +93,14 @@ def _driver_cc(edges: DataFrame) -> tuple[DataFrame, int]:
     spark = edges.sparkSession
     parent: dict[str, str] = {}
 
-    def find(x: str) -> str:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
     # Arrow-batched toPandas (one job, columnar transfer) — row collect()
     # pickles row-by-row and toLocalIterator schedules a job per partition;
     # both anti-scale
     pdf = edges.select("src", "dst").toPandas()
-    for src, dst in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-        ra, rb = find(src), find(dst)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+    _uf_absorb(parent, pdf["src"].to_numpy(), pdf["dst"].to_numpy())
 
     out = pd.DataFrame(
-        {"entity_id": list(parent.keys()), "canonical_id": [find(n) for n in parent]}
+        {"entity_id": list(parent.keys()), "canonical_id": _uf_roots(parent)}
     )
     return (
         spark.createDataFrame(out, "entity_id string, canonical_id string"),
@@ -187,22 +210,9 @@ def connected_components_with_count(
 
     def _local_uf(batches):
         parent: dict[str, str] = {}
-
-        def find(x: str) -> str:
-            parent.setdefault(x, x)
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
         for pdf in batches:
-            for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
-        nodes = list(parent.keys())
-        yield pd.DataFrame({"node": nodes, "root": [find(n) for n in nodes]})
+            _uf_absorb(parent, pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+        yield pd.DataFrame({"node": list(parent.keys()), "root": _uf_roots(parent)})
 
     # Loop-checkpoint hygiene: every round materializes a full node->root
     # mapping plus the contracted edge set, and the DEFAULT localCheckpoint

@@ -298,7 +298,16 @@ def force_layout(edges: DataFrame, iters: int = 60) -> DataFrame:
         conv = pdf["conv_id"].iloc[0]
         names = sorted(set(pdf["src"]) | set(pdf["dst"]))
         idx = {s: i for i, s in enumerate(names)}
-        pairs = sorted({(idx[a], idx[b]) for a, b in zip(pdf["src"], pdf["dst"]) if a != b})
+        # orientation-canonical: the spring model is undirected, so a
+        # reciprocal edge pair (A->B plus B->A) must not double that
+        # edge's attraction vs a one-way statement of the same link
+        pairs = sorted(
+            {
+                (min(idx[a], idx[b]), max(idx[a], idx[b]))
+                for a, b in zip(pdf["src"], pdf["dst"])
+                if a != b
+            }
+        )
         if len(names) > FORCE_MAX_NODES:
             pos = _grid_kernel(names)
         else:

@@ -131,8 +131,12 @@ def resize_media(media_feats: DataFrame, max_w: int = 320, max_h: int = 240) -> 
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            w = pdf["width"].to_numpy(dtype="int64")
-            h = pdf["height"].to_numpy(dtype="int64")
+            # FEATURES declares width/height nullable (a real decoder can
+            # fail on a corrupt payload) — NULL arrives as NaN in the Arrow
+            # batch; treat it as 0 so the row degrades to (0, 0) instead of
+            # crashing the task on the int cast
+            w = pdf["width"].fillna(0).to_numpy(dtype="int64")
+            h = pdf["height"].fillna(0).to_numpy(dtype="int64")
             nz = (w > 0) & (h > 0)
             w_binding = w * max_h >= h * max_w  # scale limited by width
             ow = np.where(nz, np.where(w_binding, max_w, 0), 0)
@@ -180,7 +184,9 @@ def sample_frames(media_feats: DataFrame, every_n: int = 4) -> DataFrame:
             for doc_id, n_frames, checksum in zip(
                 pdf["doc_id"], pdf["n_frames"], pdf["checksum"]
             ):
-                for i in range(0, int(n_frames or 0), every_n):
+                # NULL n_frames arrives as NaN (truthy!) — pd.isna, not `or`
+                n = 0 if pd.isna(n_frames) else int(n_frames)
+                for i in range(0, n, every_n):
                     ids.append(doc_id)
                     idxs.append(i)
                     sums.append(

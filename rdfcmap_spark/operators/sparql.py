@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 
 from rdfcmap_spark import vocab
 
+#: render_sparql collects the full statement list driver-side (the
+#: outside-path closure requires it); gate mirrors pathfinder_report's
+MAX_QUERY_STATEMENTS = 1_000_000
+
 #: marker predicates (VizUtil.AFV_IS_SOURCE_NODE / AFV_IS_TARGET_NODE)
 AFV_IS_SOURCE_NODE = vocab.AFV + "isSourceNode"
 AFV_IS_TARGET_NODE = vocab.AFV + "isTargetNode"
@@ -145,7 +149,7 @@ def path_statements(
 class RenderedSparql:
     text: str
     select_vars: list[str]
-    body_lines: list[str]  #: path BGP only
+    body_lines: list[str]  #: path BGP + (by default) path-subject property statements
     where_lines: list[str] = None  # type: ignore[assignment]  #: full WHERE body
 
 
@@ -247,11 +251,23 @@ def render_sparql(
 
     # SELECT list: target's non-type, non-marker properties as ?vars, in
     # deterministic (pred) order (`SparqlCreator.java:161-178`)
+    stmt_df = triples.select(
+        "subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"
+    ).localCheckpoint()
+    # loud gate, same policy as pathfinder_report's MAX_REPORT_NODES: the
+    # outside-path closure needs every statement driver-side, which is only
+    # sane for a human-sized concept map — fail clearly instead of silently
+    # OOMing the driver if a batch-scale frame is passed by mistake
+    n_stmts = stmt_df.count()
+    if n_stmts > MAX_QUERY_STATEMENTS:
+        raise ValueError(
+            f"render_sparql: {n_stmts} statements exceeds the human-readable "
+            f"gate ({MAX_QUERY_STATEMENTS}); this generates a text query from "
+            "a concept map, not a batch operator"
+        )
     stmts = [
         (r["subj"], r["pred"], r["obj_kind"], r["obj_iri"], r["obj_lexical"], r["obj_datatype"])
-        for r in triples.select(
-            "subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"
-        ).collect()
+        for r in stmt_df.collect()
     ]
     tprops = sorted(
         {

@@ -414,6 +414,19 @@ def test_resize_media_hand_computed(spark):
     assert got == {0: (320, 120), 1: (50, 240), 2: (320, 240), 3: (0, 0)}
 
 
+def test_resize_and_sample_tolerate_null_metadata(spark):
+    """FEATURES declares width/height/n_frames nullable (a real decoder can
+    fail) — NULL rows must degrade, not crash the Arrow batch."""
+    feats = spark.createDataFrame(
+        [(0, None, 240, None, "abc"), (1, 640, 240, 5, "def")],
+        "doc_id bigint, width int, height int, n_frames int, checksum string",
+    )
+    rz = {r["doc_id"]: (r["out_w"], r["out_h"]) for r in multimodal.resize_media(feats).collect()}
+    assert rz == {0: (0, 0), 1: (320, 120)}
+    fr = {(r["doc_id"], r["frame_idx"]) for r in multimodal.sample_frames(feats).collect()}
+    assert fr == {(1, 0), (1, 4)}
+
+
 def test_sample_frames_fanout_and_checksum(spark):
     feats = spark.createDataFrame(
         [(0, 9, "abc"), (1, 1, "def")],
