@@ -689,6 +689,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": lambda s, d: textstats.quality_scores(load(s, d, "documents")),
         "text_langid": lambda s, d: textstats.lang_id(load(s, d, "documents")),
         "text_fingerprint": lambda s, d: textstats.fingerprints(load(s, d, "documents")),
+        "text_repetition": lambda s, d: textstats.repetition_stats(load(s, d, "documents")),
+        # benchmark = deterministic 5% sample (doc_id % 20): in production the
+        # benchmark frame is the eval suite; here it must be derivable from
+        # the shared parquet views so the DuckDB oracle sees the same set
+        "text_decontaminate": lambda s, d: textstats.decontaminate(
+            load(s, d, "documents"),
+            load(s, d, "documents").filter(F.col("doc_id") % 20 == 0),
+        ),
+        "text_pii_scan": lambda s, d: textstats.pii_scan(load(s, d, "documents")),
         # --- multimodal plumbing (Arrow mapInPandas; deterministic fake decode) ---
         "multimodal_features": lambda s, d: multimodal.media_features(load(s, d, "documents")),
         "multimodal_resize": lambda s, d: multimodal.resize_media(
@@ -1813,6 +1822,78 @@ FROM s
 
     sql["text_fingerprint"] = (
         "WITH " + _SHINGLES_CTE + "\nSELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id"
+    )
+
+    sql["text_repetition"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+g2 AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i)
+  WHERE len(t) >= 2
+),
+g2a AS (
+  SELECT doc_id, max(c) AS max2 FROM (
+    SELECT doc_id, gram, count(*) AS c FROM g2 WHERE gram <> '' GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+g3a AS (
+  SELECT doc_id, sum(c) AS tot3, count(*) AS dst3 FROM (
+    SELECT doc_id, gram, count(*) AS c FROM g3 WHERE gram <> '' GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+),
+nt AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT nt.doc_id, nt.n_tokens,
+  coalesce(round(2 * CAST(g2a.max2 AS DOUBLE) / nt.n_tokens, 5), 0.0) AS top_2gram_frac,
+  coalesce(round(CAST(g3a.tot3 - g3a.dst3 AS DOUBLE) / g3a.tot3, 5), 0.0) AS dup_3gram_frac
+FROM nt
+LEFT JOIN g2a ON g2a.doc_id = nt.doc_id
+LEFT JOIN g3a ON g3a.doc_id = nt.doc_id
+"""
+
+    sql["text_decontaminate"] = (
+        "WITH "
+        + _SHINGLES_CTE
+        + r""",
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT sh.doc_id, count(*) AS n
+  FROM sh JOIN bench USING (shingle)
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+  coalesce(h.n, 0) >= 2 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+    )
+
+    # generated from the same PII_PATTERNS constants the Spark operator uses
+    # (patterns are lookahead-free so Java regex and RE2 count identically)
+    _PII_COUNTS = ",\n  ".join(
+        "CAST(len(regexp_extract_all(text, '"
+        + p.replace("'", "''")
+        + "')) AS BIGINT) AS n_"
+        + k
+        for k, p in textstats.PII_PATTERNS.items()
+    )
+    sql["text_pii_scan"] = (
+        "WITH c AS (\n  SELECT doc_id,\n  "
+        + _PII_COUNTS
+        + "\n  FROM documents\n)\nSELECT doc_id, "
+        + ", ".join("n_" + k for k in textstats.PII_PATTERNS)
+        + ",\n  CAST("
+        + " + ".join("n_" + k for k in textstats.PII_PATTERNS)
+        + " AS BIGINT) AS n_pii_total\nFROM c"
     )
 
     sql["multimodal_features"] = r"""

@@ -44,6 +44,8 @@ SECONDARY = [
     "sim_topk_ivf",
     "text_quality",
     "text_langid",
+    "text_repetition",
+    "text_decontaminate",
     "multimodal_features",
     "tpch_q1",
     "events_sessionize",

@@ -163,3 +163,143 @@ def fingerprints(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
     rolling-hash fingerprint of SURVEY.md's text-analysis inventory.
     """
     return shingles(docs, n).groupBy("doc_id").agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
+
+
+def ngrams_all(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) — **every occurrence** of each word n-gram (NOT
+    deduplicated, unlike :func:`shingles`): the unit the repetition signals
+    count. Same narrow split -> sequence/transform -> explode pass."""
+    with_toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")).filter(
+        F.size("t") >= n
+    )
+    idx = F.sequence(F.lit(0), F.size("t") - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)))
+    return with_toks.select("doc_id", F.explode(grams).alias("gram")).filter(F.col("gram") != "")
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", table A1 repetition filters) — the standard
+    pretraining-corpus filter for boilerplate / degenerate generation loops:
+
+    * ``top_2gram_frac`` — tokens covered by the single most frequent word
+      2-gram: ``2 * max_count / n_tokens`` (0 when fewer than 2 tokens);
+    * ``dup_3gram_frac`` — fraction of 3-gram *occurrences* that are
+      repeats: ``(total - distinct) / total`` (0 when fewer than 3 tokens).
+
+    (Gopher's duplicate-*line* fractions degenerate on single-line text and
+    are omitted; the n-gram family is the scale-relevant machinery.)
+
+    Shape at 100 TB: one shuffle keyed (doc_id, gram) with map-side partial
+    counts, then a map-side-combined rollup to doc_id — both keys carry
+    doc_id so there is no hot key regardless of how common a gram is
+    globally. Ratios are single integer divisions rounded to 5 dp
+    (cross-engine / cluster-size stable).
+    """
+    g2 = (
+        ngrams_all(docs, 2)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max2"))
+    )
+    g3 = (
+        ngrams_all(docs, 3)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("tot3"), F.count("*").alias("dst3"))
+    )
+    n_tokens = F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).cast("bigint")
+    return (
+        docs.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(g2, "doc_id", "left")
+        .join(g3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(
+                F.round(F.lit(2) * F.col("max2").cast("double") / F.col("n_tokens"), 5),
+                F.lit(0.0),
+            ).alias("top_2gram_frac"),
+            F.coalesce(
+                F.round(
+                    (F.col("tot3") - F.col("dst3")).cast("double") / F.col("tot3"), 5
+                ),
+                F.lit(0.0),
+            ).alias("dup_3gram_frac"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, n: int = N_SHINGLE, min_hits: int = 2
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents that overlap an
+    evaluation set (the GPT-3 appendix-C / PaLM n-gram-collision method):
+    a doc is ``contaminated`` when ≥ ``min_hits`` of its distinct word
+    n-grams appear anywhere in the benchmark corpus.
+
+    ``benchmark`` is any frame with (doc_id, text). Output: one row per
+    input doc — (doc_id, n_contaminated_grams, contaminated).
+
+    Shape at 100 TB: the benchmark's distinct n-gram set is small (eval
+    suites are ~10^5 docs vs 10^10 training docs) and is **broadcast**, so
+    the training side is a map-side hash semi-probe — no shuffle of the
+    corpus; the only exchange is the per-doc count keyed on doc_id. If the
+    benchmark outgrows broadcast, drop the hint and the same plan degrades
+    gracefully to a shuffled join on ``shingle``.
+    """
+    bench_grams = shingles(benchmark, n).select("shingle").distinct()
+    hits = (
+        shingles(docs, n)
+        .join(F.broadcast(bench_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_grams", F.lit(0)).cast("bigint").alias(
+                "n_contaminated_grams"
+            ),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+#: PII surface patterns. Deliberately lookahead/backreference-free so Java
+#: regex (Spark) and RE2 (DuckDB oracle) count identical non-overlapping
+#: leftmost-first matches. ``\b`` is ASCII in both engines.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9 ().-]{7,14}[0-9]",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-document PII surface counts (email / IPv4 / phone-like / SSN-like
+    patterns) + total — the scrubbing pre-pass of a training-data pipeline
+    (flag or route documents before redaction).
+
+    Pure ``regexp_count`` projections — one codegen'd pass over the text
+    column, zero shuffles, trivially partition-parallel. The pattern set is
+    a *surface* detector (high recall pre-filter feeding a precise
+    redactor), which is the part that must run at 100 TB.
+    """
+    counts = {
+        k: F.regexp_count(F.col("text"), F.lit(p)).cast("bigint")
+        for k, p in PII_PATTERNS.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return docs.select(
+        "doc_id",
+        *[counts[k].alias(f"n_{k}") for k in PII_PATTERNS],
+        total.cast("bigint").alias("n_pii_total"),
+    )

@@ -381,6 +381,86 @@ def test_fingerprint_is_min_shingle_md5(spark):
     assert textstats.fingerprints(docs).collect()[0]["fingerprint"] == expected
 
 
+def test_repetition_stats_hand_computed(spark):
+    # d0 "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] -> max count 3 of
+    # 6 tokens -> top_2gram_frac = 2*3/6 = 1.0; 3-grams = [a b a, b a b,
+    # a b a, b a b] -> 4 occurrences, 2 distinct -> dup_3gram_frac = 0.5
+    # d1 all-distinct tokens: fracs = 2/5 (every 2-gram unique) and 0.0
+    # d2 single token: no 2/3-grams -> both 0.0 (coalesced, not NULL)
+    docs = _docs(spark, ["a b a b a b", "v w x y z", "solo"])
+    got = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+    assert got[0]["n_tokens"] == 6
+    assert got[0]["top_2gram_frac"] == pytest.approx(1.0)
+    assert got[0]["dup_3gram_frac"] == pytest.approx(0.5)
+    assert got[1]["top_2gram_frac"] == pytest.approx(0.4)
+    assert got[1]["dup_3gram_frac"] == 0.0
+    assert got[2]["top_2gram_frac"] == 0.0 and got[2]["dup_3gram_frac"] == 0.0
+
+
+def test_decontaminate_threshold_and_counts(spark):
+    # benchmark doc "a b c d e" -> 3-grams {a b c, b c d, c d e}
+    # d0 shares 2 grams (contaminated at min_hits=2), d1 shares 1 (clean),
+    # d2 shares 0, d3 is the benchmark text itself (3 hits)
+    docs = _docs(spark, ["a b c d x", "x a b c y", "p q r s t", "a b c d e"])
+    bench = _docs(spark, ["a b c d e"])
+    got = {r["doc_id"]: r for r in textstats.decontaminate(docs, bench).collect()}
+    assert (got[0]["n_contaminated_grams"], got[0]["contaminated"]) == (2, True)
+    assert (got[1]["n_contaminated_grams"], got[1]["contaminated"]) == (1, False)
+    assert (got[2]["n_contaminated_grams"], got[2]["contaminated"]) == (0, False)
+    assert (got[3]["n_contaminated_grams"], got[3]["contaminated"]) == (3, True)
+
+
+def test_pii_scan_counts_each_pattern(spark):
+    docs = _docs(
+        spark,
+        [
+            "mail a@b.com and c.d+x@e.org now",
+            "host 10.0.0.1 and 192.168.1.255 up",
+            "call +1 (415) 555-0134 or 020-7946-0958 now",
+            "ssn 123-45-6789 appears once",
+            "no pii here at all",
+        ],
+    )
+    got = {r["doc_id"]: r for r in textstats.pii_scan(docs).collect()}
+    assert got[0]["n_email"] == 2 and got[0]["n_pii_total"] == 2
+    assert got[1]["n_ipv4"] == 2
+    assert got[2]["n_phone"] == 2
+    assert got[3]["n_ssn"] == 1
+    assert got[4]["n_pii_total"] == 0
+
+
+def test_pii_scan_matches_duckdb_oracle_on_adversarial_texts(spark):
+    """Cross-engine regex parity (Java regexp_count vs RE2
+    regexp_extract_all) on texts crafted to stress greedy-quantifier
+    backtracking and boundary behavior."""
+    import duckdb
+
+    texts = [
+        "a@b.co a@b@c.com x@y.z..org trailing@dot.com.",
+        "1.2.3.4.5 999.999.999.999 10.0.0.1x 1.2.3.4",
+        "+44 20 7946 0958 ext 12345678901234567890",
+        "123-45-678 1234-56-7890 123-45-6789x",
+        "--- ((((( +++ 0-0-0-0-0-0-0-0 )))) ---",
+    ]
+    docs = _docs(spark, texts)
+    got = sorted(
+        (r["doc_id"], r["n_email"], r["n_ipv4"], r["n_phone"], r["n_ssn"])
+        for r in textstats.pii_scan(docs).collect()
+    )
+    con = duckdb.connect()
+    want = []
+    for i, t in enumerate(texts):
+        row = [i]
+        for pat in textstats.PII_PATTERNS.values():
+            row.append(
+                con.sql(
+                    "SELECT len(regexp_extract_all(?, ?))", params=[t, pat]
+                ).fetchone()[0]
+            )
+        want.append(tuple(row))
+    assert got == sorted(want)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
