@@ -503,6 +503,59 @@ def _kg_sparql_outside(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(l,) for l in sorted(set(r.where_lines))], "line string")
 
 
+def _kg_sparql_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute a generated-style SPARQL BGP directly on the triples frame
+    (operators/sparql_exec.py): per-pattern pushed-filter scans hash-joined
+    on shared variables — the query side the reference delegates to an
+    external store. Instance graph: order -ex:by-> customer -ex:inNation->
+    nation -ex:inRegion-> region, plus a c_mktsegment literal."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+    from rdfcmap_spark import vocab as V
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    EX = "http://example.org/"
+    null_s = F.lit(None).cast("string")
+
+    def t(subj, pred, kind, obj_iri, lex, dt):
+        return F.struct(
+            subj.cast("string").alias("subj"), pred.cast("string").alias("pred"),
+            kind.cast("string").alias("obj_kind"), obj_iri.cast("string").alias("obj_iri"),
+            lex.cast("string").alias("obj_lexical"), dt.cast("string").alias("obj_datatype"),
+            null_s.alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    osub = F.concat(F.lit(EX + "order/"), F.col("o_orderkey").cast("string"))
+    csub = F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string"))
+    nsub = F.concat(F.lit(EX + "nation/"), F.col("n_nationkey").cast("string"))
+    ord_t = orders.select(F.explode(F.array(
+        t(osub, F.lit(EX + "by"), F.lit("iri"),
+          F.concat(F.lit(EX + "customer/"), F.col("o_custkey").cast("string")), null_s, null_s),
+    )).alias("x")).select("x.*")
+    cust_t = customer.select(F.explode(F.array(
+        t(csub, F.lit(EX + "inNation"), F.lit("iri"),
+          F.concat(F.lit(EX + "nation/"), F.col("c_nationkey").cast("string")), null_s, null_s),
+        t(csub, F.lit(EX + "mktsegment"), F.lit("literal"), null_s,
+          F.col("c_mktsegment"), F.lit(V.XSD_STRING)),
+    )).alias("x")).select("x.*")
+    nat_t = nation.select(F.explode(F.array(
+        t(nsub, F.lit(EX + "inRegion"), F.lit("iri"),
+          F.concat(F.lit(EX + "region/"), F.col("n_regionkey").cast("string")), null_s, null_s),
+    )).alias("x")).select("x.*")
+    triples = ord_t.unionByName(cust_t).unionByName(nat_t)
+    query = """
+PREFIX ex: <http://example.org/>
+SELECT ?ord ?nation ?segment WHERE {
+  ?ord ex:by ?cust .
+  ?cust ex:mktsegment ?segment .
+  ?cust ex:inNation ?nation .
+  ?nation ex:inRegion <http://example.org/region/0> .
+}
+"""
+    return execute_sparql(triples, query)
+
+
 def _o3_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic positioned concept maps from ``part``: 20 maps, dense
     0..359 coordinate range so the O3 probe-and-bump actually fires."""
@@ -642,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_langtag_roundtrip": _kg_langtag_roundtrip,
         "kg_pathfinder": _kg_pathfinder,
         "kg_sparql_outside": _kg_sparql_outside,
+        "kg_sparql_exec": _kg_sparql_exec,
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_canonical_mapping": _kg_canonical_mapping,
@@ -1431,6 +1485,16 @@ SELECT DISTINCT line FROM (
   SELECT '  <http://example.org/r' || CAST(chain.rk AS VARCHAR)
          || '> <http://example.org/hasName> ?hasName .' FROM chain
 )
+"""
+
+    sql["kg_sparql_exec"] = r"""
+SELECT 'http://example.org/order/' || CAST(o.o_orderkey AS VARCHAR) AS ord,
+       'http://example.org/nation/' || CAST(n.n_nationkey AS VARCHAR) AS nation,
+       '"' || c.c_mktsegment || '"^^http://www.w3.org/2001/XMLSchema#string' AS segment
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE n.n_regionkey = 0
 """
 
     # --- the four pipeline-level queries: full-pipeline SQL re-implementation

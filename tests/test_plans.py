@@ -184,3 +184,33 @@ def test_pipeline_has_exactly_one_shuffle(spark):
     assert len({l.strip() for l in shuffles}) <= 2 and shuffles, p[:500]
     assert p.count("BroadcastExchange") >= 3  # subj/obj/phrase dictionary probes
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_bgp_executor_pushes_constants_to_scan(spark, tmp_path):
+    """BGP pattern constants must reach the parquet scan as PushedFilters
+    (a triple store at 100 TB lives in parquet; a pattern scan that reads
+    every triple and filters post-scan is the wrong plan), and connected
+    patterns must never plan a cartesian product."""
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+    from rdfcmap_spark.schemas import TRIPLES
+
+    EX = "http://example.org/"
+    rows = [
+        (EX + "a", EX + "knows", "iri", EX + "b", None, None, None, None),
+        (EX + "b", EX + "age", "literal", None, "40", vocab.XSD + "integer", None, None),
+    ]
+    path = str(tmp_path / "triples.parquet")
+    spark.createDataFrame(rows, TRIPLES).write.parquet(path)
+    t = spark.read.parquet(path)
+    out = execute_sparql(
+        t,
+        "PREFIX ex: <http://example.org/>\n"
+        'SELECT ?x ?age WHERE {\n  ?x ex:knows ?y .\n  ?y ex:age ?age .\n}',
+    )
+    p = plan_of(out)
+    assert "PushedFilters: [IsNotNull(pred), EqualTo(pred,http://example.org/knows)" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert [tuple(r) for r in out.collect()] == [
+        (EX + "a", '"40"^^' + vocab.XSD + "integer")
+    ]
