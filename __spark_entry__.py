@@ -556,6 +556,61 @@ SELECT ?ord ?nation ?segment WHERE {
     return execute_sparql(triples, query)
 
 
+def _kg_sparql_exec_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extended executor surface beyond plain BGPs
+    (operators/sparql_exec.py): UNION branches union-by-name, OPTIONAL
+    left-joins on the shared variable, FILTER compiles to a JVM-side
+    numeric predicate (try_cast maps SPARQL's error→false rule onto SQL
+    null-drop), ORDER BY + LIMIT applied after projection. ?ord is unique
+    per result row, so the ordered LIMIT is deterministic."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+    from rdfcmap_spark import vocab as V
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    EX = "http://example.org/"
+    null_s = F.lit(None).cast("string")
+
+    def t(subj, pred, kind, obj_iri, lex, dt):
+        return F.struct(
+            subj.cast("string").alias("subj"), pred.cast("string").alias("pred"),
+            kind.cast("string").alias("obj_kind"), obj_iri.cast("string").alias("obj_iri"),
+            lex.cast("string").alias("obj_lexical"), dt.cast("string").alias("obj_datatype"),
+            null_s.alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    osub = F.concat(F.lit(EX + "order/"), F.col("o_orderkey").cast("string"))
+    csub = F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string"))
+    ord_t = orders.select(F.explode(F.array(
+        t(osub, F.lit(EX + "by"), F.lit("iri"),
+          F.concat(F.lit(EX + "customer/"), F.col("o_custkey").cast("string")), null_s, null_s),
+        t(osub, F.lit(EX + "total"), F.lit("literal"), null_s,
+          F.col("o_totalprice").cast("string"), F.lit(V.XSD + "decimal")),
+    )).alias("x")).select("x.*")
+    cust_t = customer.select(F.explode(F.array(
+        t(csub, F.lit(EX + "mktsegment"), F.lit("literal"), null_s,
+          F.col("c_mktsegment"), F.lit(V.XSD_STRING)),
+        # phone only for well-funded customers -> the OPTIONAL is meaningful
+        t(csub, F.when(F.col("c_acctbal") > 5000, F.lit(EX + "phone")),
+          F.lit("literal"), null_s, F.col("c_name"), F.lit(V.XSD_STRING)),
+    )).alias("x")).select("x.*").filter(F.col("pred").isNotNull())
+    triples = ord_t.unionByName(cust_t)
+    query = """
+PREFIX ex: <http://example.org/>
+SELECT ?ord ?segment ?phone WHERE {
+  ?ord ex:by ?cust .
+  ?ord ex:total ?total .
+  { ?cust ex:mktsegment "BUILDING" . } UNION { ?cust ex:mktsegment "AUTOMOBILE" . }
+  ?cust ex:mktsegment ?segment .
+  OPTIONAL { ?cust ex:phone ?phone . }
+  FILTER(?total > 100000)
+}
+ORDER BY ?ord
+LIMIT 2000
+"""
+    return execute_sparql(triples, query)
+
+
 def _o3_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic positioned concept maps from ``part``: 20 maps, dense
     0..359 coordinate range so the O3 probe-and-bump actually fires."""
@@ -696,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pathfinder": _kg_pathfinder,
         "kg_sparql_outside": _kg_sparql_outside,
         "kg_sparql_exec": _kg_sparql_exec,
+        "kg_sparql_exec_full": _kg_sparql_exec_full,
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_canonical_mapping": _kg_canonical_mapping,
@@ -1495,6 +1551,21 @@ FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 WHERE n.n_regionkey = 0
+"""
+
+    sql["kg_sparql_exec_full"] = r"""
+SELECT ord, segment, phone FROM (
+  SELECT 'http://example.org/order/' || CAST(o.o_orderkey AS VARCHAR) AS ord,
+         '"' || c.c_mktsegment || '"^^http://www.w3.org/2001/XMLSchema#string' AS segment,
+         CASE WHEN c.c_acctbal > 5000
+              THEN '"' || c.c_name || '"^^http://www.w3.org/2001/XMLSchema#string' END AS phone
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_totalprice > 100000
+    AND c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+)
+ORDER BY ord
+LIMIT 2000
 """
 
     # --- the four pipeline-level queries: full-pipeline SQL re-implementation

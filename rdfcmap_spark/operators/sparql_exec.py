@@ -18,7 +18,22 @@ Execution model (Spark-first, not a SPARQL-algebra port):
   shares no variable with the bound set is deferred; a genuinely
   disconnected group cross-joins, which is what its semantics require);
 * SPARQL set semantics: SELECT is bag by default, ``DISTINCT`` adds the
-  one aggregate exchange.
+  one aggregate exchange;
+* ``OPTIONAL { … }`` groups become **left outer joins** on the shared
+  variables (a group's own FILTERs are applied inside the group before the
+  left join, per SPARQL group scoping);
+* ``{ … } UNION { … }`` branches execute independently and union by name
+  (branches must bind the same variable set — the compatible-bindings
+  corner where branches differ is rejected loudly, not silently wrong);
+* ``FILTER(…)`` expressions compile to JVM-side Column predicates —
+  comparisons (numeric via ``try_cast``, so a non-numeric lexical maps
+  SPARQL's type *error* onto SQL NULL and the row drops, exactly the
+  error→false rule), ``regex`` / ``contains`` / ``strstarts`` /
+  ``strends`` / ``bound`` / ``isIRI`` / ``isLiteral`` / ``str``, and
+  ``!`` / ``&&`` / ``||`` — no Python evaluation per row anywhere;
+* ``ORDER BY`` / ``LIMIT`` / ``OFFSET`` modifiers map to
+  ``orderBy``/``limit``/``offset`` (ordering is binary-collation string
+  order over the binding encoding, documented below).
 
 Binding encoding: subjects/predicates bind the raw IRI string; objects bind
 the raw IRI for resource objects and the collision-free token
@@ -64,11 +79,25 @@ Pattern = tuple[Term, Term, Term]
 
 
 @dataclass(frozen=True)
+class Group:
+    """One ``{ … }`` graph pattern: triple patterns plus nested structure."""
+
+    patterns: list[Pattern]
+    filters: list[str]  #: raw FILTER expression texts, compiled at execution
+    optionals: list["Group"]
+    unions: list[list["Group"]]  #: each entry = the branches of one UNION chain
+
+
+@dataclass(frozen=True)
 class ParsedQuery:
     select_vars: list[str]  #: [] means SELECT *
     distinct: bool
-    patterns: list[Pattern]
+    patterns: list[Pattern]  #: top-level mandatory patterns (== group.patterns)
     prefixes: dict[str, str]
+    group: Group | None = None
+    order_by: tuple[tuple[str, bool], ...] = ()  #: (var, descending)
+    limit: int | None = None
+    offset: int | None = None
 
 
 _TERM_RE = re.compile(
@@ -99,84 +128,196 @@ def _resolve_pname(pname: str, prefixes: dict[str, str]) -> str:
     return ns + local
 
 
-def parse_query(text: str) -> ParsedQuery:
-    """Parse the BGP subset `render_sparql` emits. Comment lines (``#``) and
-    PREFIX declarations are handled; the WHERE block must contain only
-    triple statements (no OPTIONAL/FILTER/UNION — the generator never emits
-    them, and a loud error beats silently wrong bindings)."""
-    prefixes: dict[str, str] = {}
-    select_vars: list[str] = []
-    distinct = False
-    body_lines: list[str] = []
-    in_where = False
-    for raw in text.split("\n"):
-        line = raw.strip()
-        if not line or line.startswith("#"):
-            continue
-        low = line.lower()
-        if low.startswith("prefix "):
-            m = re.match(r"(?i)prefix\s+([A-Za-z][\w.-]*):\s*<([^<>]*)>", line)
-            if not m:
-                raise ValueError(f"malformed PREFIX line: {line!r}")
-            prefixes[m.group(1)] = m.group(2)
-            continue
-        if low.startswith("select"):
-            head = line
-            if "{" in head:
-                head, rest = head.split("{", 1)
-                in_where = True
-                if rest.strip():
-                    body_lines.append(rest)
-            distinct = bool(re.search(r"(?i)\bdistinct\b", head))
-            select_vars = re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", head)
-            continue
-        if not in_where:
-            if low.startswith("where"):
-                in_where = True
-                rest = line.split("{", 1)[1] if "{" in line else ""
-                if rest.strip():
-                    body_lines.append(rest)
-            continue
-        if line == "}" or line.startswith("}"):
-            in_where = False
-            continue
-        body_lines.append(line)
+def _skip_string(text: str, i: int) -> int:
+    """i points at an opening '\"'; return the index just past the close."""
+    n = len(text)
+    j = i + 1
+    while j < n and text[j] != '"':
+        j += 2 if text[j] == "\\" else 1
+    return min(j + 1, n)
 
-    for bad in ("OPTIONAL", "FILTER", "UNION", "GRAPH", "MINUS"):
-        if any(re.search(rf"(?i)\b{bad}\b", ln) for ln in body_lines):
-            raise ValueError(f"unsupported SPARQL construct in BGP executor: {bad}")
 
+def _matching(text: str, i: int, open_ch: str, close_ch: str) -> int:
+    """Index of the close matching the open at ``text[i]``, quote-aware."""
+    depth = 0
+    n = len(text)
+    j = i
+    while j < n:
+        c = text[j]
+        if c == '"':
+            j = _skip_string(text, j)
+            continue
+        if c == open_ch:
+            depth += 1
+        elif c == close_ch:
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    raise ValueError(f"unbalanced {open_ch}…{close_ch} in SPARQL text")
+
+
+def _parse_statements(body: str, prefixes: dict[str, str]) -> list[Pattern]:
+    """Parse plain triple statements (term term term '.')."""
     patterns: list[Pattern] = []
     terms: list[Term] = []
-    for line in body_lines:
-        for m in _TERM_RE.finditer(line):
-            if m.group("var"):
-                terms.append(Var(m.group("var")[1:]))
-            elif m.group("iri"):
-                terms.append(Iri(m.group("iri")[1:-1]))
-            elif m.group("lit"):
-                lex = _unescape(m.group("lit")[1:-1])
-                dt = m.group("dt")
-                lang = m.group("lang")
-                if lang:
-                    dt_iri = vocab.RDF + "langString@" + lang
-                elif dt:
-                    dt_iri = dt[1:-1] if dt.startswith("<") else _resolve_pname(dt, prefixes)
-                else:
-                    dt_iri = None
-                terms.append(Lit(lex, dt_iri))
-            elif m.group("pname"):
-                terms.append(Iri(_resolve_pname(m.group("pname"), prefixes)))
-            elif m.group("kw_a"):
-                terms.append(Iri(vocab.RDF_TYPE))
-            elif m.group("dot"):
-                if len(terms) != 3:
-                    raise ValueError(f"BGP statement is not a triple: {line!r}")
-                patterns.append((terms[0], terms[1], terms[2]))
-                terms = []
+    for m in _TERM_RE.finditer(body):
+        if m.group("var"):
+            terms.append(Var(m.group("var")[1:]))
+        elif m.group("iri"):
+            terms.append(Iri(m.group("iri")[1:-1]))
+        elif m.group("lit"):
+            lex = _unescape(m.group("lit")[1:-1])
+            dt = m.group("dt")
+            lang = m.group("lang")
+            if lang:
+                dt_iri = vocab.RDF + "langString@" + lang
+            elif dt:
+                dt_iri = dt[1:-1] if dt.startswith("<") else _resolve_pname(dt, prefixes)
+            else:
+                dt_iri = None
+            terms.append(Lit(lex, dt_iri))
+        elif m.group("pname"):
+            terms.append(Iri(_resolve_pname(m.group("pname"), prefixes)))
+        elif m.group("kw_a"):
+            terms.append(Iri(vocab.RDF_TYPE))
+        elif m.group("dot"):
+            if len(terms) != 3:
+                raise ValueError(f"BGP statement is not a triple: {body!r}")
+            patterns.append((terms[0], terms[1], terms[2]))
+            terms = []
     if terms:
         raise ValueError("BGP body ends mid-statement (missing '.')")
-    return ParsedQuery(select_vars, distinct, patterns, prefixes)
+    return patterns
+
+
+def _next_structural(body: str, i: int) -> int:
+    """First index ≥ i where an OPTIONAL/FILTER/'{' construct starts (quote-
+    and IRI-aware so keyword lookalikes inside literals don't trigger)."""
+    n = len(body)
+    j = i
+    while j < n:
+        c = body[j]
+        if c == '"':
+            j = _skip_string(body, j)
+            continue
+        if c == "<":
+            k = body.find(">", j + 1)
+            j = k + 1 if k != -1 else j + 1
+            continue
+        if c == "{":
+            return j
+        if re.match(r"(?i)(?:OPTIONAL\s*\{|FILTER\s*\()", body[j:]) and (
+            j == 0 or not (body[j - 1].isalnum() or body[j - 1] in "_:?")
+        ):
+            return j
+        j += 1
+    return n
+
+
+def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
+    """Parse one group graph pattern body (text between its braces)."""
+    for bad in ("GRAPH", "MINUS", "SERVICE", "BIND", "VALUES"):
+        # reject before structure-parsing: a loud error beats silent misparse
+        if re.search(rf"(?i)\b{bad}\s*[({{]", body) or re.search(rf"(?i)\b{bad}\s+\?", body):
+            raise ValueError(f"unsupported SPARQL construct in executor: {bad}")
+    filters: list[str] = []
+    optionals: list[Group] = []
+    unions: list[list[Group]] = []
+    plain: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        if body[i].isspace():
+            i += 1
+            continue
+        mo = re.match(r"(?i)OPTIONAL\s*\{", body[i:])
+        if mo:
+            start = i + mo.end() - 1
+            end = _matching(body, start, "{", "}")
+            optionals.append(_parse_group(body[start + 1 : end], prefixes))
+            i = end + 1
+            continue
+        mf = re.match(r"(?i)FILTER\s*\(", body[i:])
+        if mf:
+            start = i + mf.end() - 1
+            end = _matching(body, start, "(", ")")
+            filters.append(body[start + 1 : end])
+            i = end + 1
+            continue
+        if body[i] == "{":
+            branches: list[Group] = []
+            j = i
+            while True:
+                end = _matching(body, j, "{", "}")
+                branches.append(_parse_group(body[j + 1 : end], prefixes))
+                mu = re.match(r"(?i)\s*UNION\s*\{", body[end + 1 :])
+                if not mu:
+                    i = end + 1
+                    break
+                j = end + 1 + mu.end() - 1
+            if len(branches) < 2:
+                raise ValueError("braced group without UNION — flatten it into the BGP")
+            unions.append(branches)
+            continue
+        nxt = _next_structural(body, i)
+        if nxt == i:  # structural start the dispatch above didn't take: malformed
+            raise ValueError(f"malformed group graph pattern near: {body[i:i+40]!r}")
+        plain.append(body[i:nxt])
+        i = nxt
+    patterns = _parse_statements(" ".join(plain), prefixes)
+    return Group(patterns, filters, optionals, unions)
+
+
+def parse_query(text: str) -> ParsedQuery:
+    """Parse the subset the generator emits plus the common query-side
+    constructs: PREFIX declarations, ``SELECT [DISTINCT]``, a WHERE group
+    with triple statements, ``OPTIONAL { … }``, ``FILTER(…)``,
+    ``{ … } UNION { … }``, and trailing ``ORDER BY`` / ``LIMIT`` /
+    ``OFFSET``. Anything else (GRAPH/MINUS/BIND/…) raises — a loud error
+    beats silently wrong bindings."""
+    # strip full-line comments ('#' appears inside IRIs, so only line starts)
+    text = "\n".join(
+        ln for ln in text.split("\n") if not ln.lstrip().startswith("#")
+    )
+    prefixes: dict[str, str] = {}
+    for m in re.finditer(r"(?i)\bprefix\s+([A-Za-z][\w.-]*):\s*<([^<>]*)>", text):
+        prefixes[m.group(1)] = m.group(2)
+
+    msel = re.search(r"(?is)\bselect\b(.*?)\{", text)
+    if not msel:
+        raise ValueError("no SELECT … { in SPARQL text")
+    head = re.sub(r"(?i)\bwhere\b", " ", msel.group(1))
+    distinct = bool(re.search(r"(?i)\bdistinct\b", head))
+    select_vars = re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", head)
+
+    open_idx = msel.end() - 1
+    close_idx = _matching(text, open_idx, "{", "}")
+    group = _parse_group(text[open_idx + 1 : close_idx], prefixes)
+
+    tail = text[close_idx + 1 :]
+    order_by: list[tuple[str, bool]] = []
+    mo = re.search(r"(?is)\border\s+by\b(.*?)(?=\blimit\b|\boffset\b|$)", tail)
+    if mo:
+        for mm in re.finditer(
+            r"(?i)(?:(asc|desc)\s*\(\s*(\?\w+)\s*\))|(\?\w+)", mo.group(1)
+        ):
+            if mm.group(3):
+                order_by.append((mm.group(3)[1:], False))
+            else:
+                order_by.append((mm.group(2)[1:], mm.group(1).lower() == "desc"))
+    ml = re.search(r"(?i)\blimit\s+(\d+)", tail)
+    mof = re.search(r"(?i)\boffset\s+(\d+)", tail)
+
+    return ParsedQuery(
+        select_vars,
+        distinct,
+        group.patterns,
+        prefixes,
+        group=group,
+        order_by=tuple(order_by),
+        limit=int(ml.group(1)) if ml else None,
+        offset=int(mof.group(1)) if mof else None,
+    )
 
 
 def _object_binding() -> F.Column:
@@ -244,32 +385,284 @@ def _pattern_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, list[st
     return out, list(seen)
 
 
-def execute_bgp(
-    triples: DataFrame, patterns: list[Pattern], select_vars: list[str] | None = None,
-    distinct: bool = False,
-) -> DataFrame:
-    """Execute a BGP: per-pattern filtered scans hash-joined on shared
-    variables, greedy most-constants-first / connected-next order."""
-    if not patterns:
-        raise ValueError("empty BGP")
-    frames = [_pattern_frame(triples, p) for p in patterns]
+# ---------------------------------------------------------------- FILTERs
 
-    def n_consts(i: int) -> int:
-        return sum(1 for t in patterns[i] if not isinstance(t, Var))
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_NUMERIC_DTS = {
+    _XSD + t
+    for t in (
+        "integer", "int", "long", "short", "byte", "decimal", "double", "float",
+        "nonNegativeInteger", "positiveInteger", "negativeInteger",
+        "nonPositiveInteger", "unsignedInt", "unsignedLong",
+    )
+}
 
-    order = sorted(range(len(frames)), key=lambda i: (-n_consts(i), i))
+_F_TOK_RE = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<str>"(?:[^"\\]|\\.)*")(?:\^\^(?P<dt><[^<>]*>|[A-Za-z][\w.-]*:[\w.-]+))?
+    | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<iri><[^<>]*>)
+    | (?P<pname>[A-Za-z][\w.-]*:[\w.%-]+)
+    | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|\(|\)|,)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class _Opnd:
+    """A FILTER operand: a variable binding, a constant, or a str() result."""
+
+    kind: str  #: 'var' | 'num' | 'str' | 'iri' | 'lex'
+    name: str | None = None
+    num: float | None = None
+    s: str | None = None
+    dt: str | None = None
+    col: F.Column | None = None  #: only for kind == 'lex'
+
+
+def _lex_of(col: F.Column) -> F.Column:
+    """Lexical form of a binding column: strip the `"lex"^^dt` literal
+    encoding (greedy match → last `"^^`), pass IRIs through."""
+    return F.when(
+        col.startswith('"'), F.regexp_extract(col, r'^"(.*)"\^\^', 1)
+    ).otherwise(col)
+
+
+def _opnd_lex(o: _Opnd) -> F.Column:
+    if o.kind == "var":
+        return _lex_of(F.col(o.name))
+    if o.kind == "lex":
+        return o.col
+    if o.kind in ("str", "iri"):
+        return F.lit(o.s)
+    return F.lit(repr(o.num))
+
+
+def _opnd_num(o: _Opnd) -> F.Column:
+    """Numeric value; a non-numeric lexical becomes NULL (try_cast), mapping
+    SPARQL's comparison *type error* onto SQL NULL → row dropped, which is
+    exactly the SPARQL error→false FILTER rule."""
+    if o.kind == "num":
+        return F.lit(o.num)
+    if o.kind == "str":
+        return F.lit(float(o.s))
+    return _opnd_lex(o).try_cast("double")
+
+
+_CMP = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    ">": lambda a, b: a > b,
+    "<=": lambda a, b: a <= b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _compare(op: str, l: _Opnd, r: _Opnd) -> F.Column:
+    def numeric(o: _Opnd) -> bool:
+        return o.kind == "num" or (o.kind == "str" and o.dt in _NUMERIC_DTS)
+
+    if numeric(l) or numeric(r):
+        return _CMP[op](_opnd_num(l), _opnd_num(r))
+    if l.kind == "iri" or r.kind == "iri":
+        if op not in ("=", "!="):
+            raise ValueError(f"ordering comparison on IRIs: {op}")
+
+        def b(o: _Opnd) -> F.Column:
+            return F.col(o.name) if o.kind == "var" else F.lit(o.s)
+
+        return _CMP[op](b(l), b(r))
+    if l.kind == "var" and r.kind == "var":
+        if op in ("=", "!="):  # term equality on the full binding encoding
+            return _CMP[op](F.col(l.name), F.col(r.name))
+        # dynamic typing: numeric when both lexicals parse, else string order
+        ln, rn = _opnd_num(l), _opnd_num(r)
+        return F.when(
+            ln.isNotNull() & rn.isNotNull(), _CMP[op](ln, rn)
+        ).otherwise(_CMP[op](_opnd_lex(l), _opnd_lex(r)))
+    return _CMP[op](_opnd_lex(l), _opnd_lex(r))
+
+
+class _FilterParser:
+    """Recursive-descent FILTER expression → boolean pyspark Column."""
+
+    def __init__(self, text: str, prefixes: dict[str, str], bound: set[str]):
+        self.toks: list[tuple[str, str, str | None]] = []
+        pos = 0
+        while pos < len(text):
+            m = _F_TOK_RE.match(text, pos)
+            if not m:
+                raise ValueError(f"bad FILTER token near: {text[pos:pos+20]!r}")
+            pos = m.end()
+            kind = m.lastgroup if m.lastgroup != "dt" else "str"
+            if kind == "ws":
+                continue
+            self.toks.append((kind, m.group(kind), m.group("dt") if kind == "str" else None))
+        self.i = 0
+        self.prefixes = prefixes
+        self.bound = bound
+
+    def _peek(self) -> tuple[str, str, str | None] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> tuple[str, str, str | None]:
+        t = self._peek()
+        if t is None:
+            raise ValueError("FILTER expression ends unexpectedly")
+        self.i += 1
+        return t
+
+    def _expect_op(self, text: str) -> None:
+        t = self._next()
+        if t[0] != "op" or t[1] != text:
+            raise ValueError(f"expected {text!r} in FILTER, got {t[1]!r}")
+
+    def parse(self) -> F.Column:
+        c = self._or()
+        if self._peek() is not None:
+            raise ValueError(f"trailing FILTER tokens: {self.toks[self.i:]}")
+        return c
+
+    def _or(self) -> F.Column:
+        c = self._and()
+        while (t := self._peek()) and t[0] == "op" and t[1] == "||":
+            self._next()
+            c = c | self._and()
+        return c
+
+    def _and(self) -> F.Column:
+        c = self._unary()
+        while (t := self._peek()) and t[0] == "op" and t[1] == "&&":
+            self._next()
+            c = c & self._unary()
+        return c
+
+    def _unary(self) -> F.Column:
+        t = self._peek()
+        if t and t[0] == "op" and t[1] == "!":
+            self._next()
+            return ~self._unary()
+        return self._primary()
+
+    def _var(self, tok: tuple[str, str, str | None]) -> str:
+        name = tok[1][1:]
+        if name not in self.bound:
+            raise ValueError(f"FILTER references a variable the group never binds: ?{name}")
+        return name
+
+    def _primary(self) -> F.Column:
+        t = self._peek()
+        if t and t[0] == "op" and t[1] == "(":
+            self._next()
+            c = self._or()
+            self._expect_op(")")
+            return c
+        if t and t[0] == "name" and t[1].lower() in (
+            "bound", "regex", "contains", "strstarts", "strends", "isiri", "isuri",
+            "isliteral",
+        ):
+            return self._call(self._next()[1].lower())
+        left = self._operand()
+        t = self._peek()
+        if t and t[0] == "op" and t[1] in _CMP:
+            op = self._next()[1]
+            return _compare(op, left, self._operand())
+        raise ValueError("FILTER operand is not part of a comparison or boolean call")
+
+    def _call(self, fn: str) -> F.Column:
+        self._expect_op("(")
+        if fn == "bound":
+            name = self._var(self._next())
+            self._expect_op(")")
+            return F.col(name).isNotNull()
+        if fn in ("isiri", "isuri", "isliteral"):
+            name = self._var(self._next())
+            self._expect_op(")")
+            lit = F.col(name).startswith('"')
+            return lit if fn == "isliteral" else (F.col(name).isNotNull() & ~lit)
+        a = self._operand()
+        self._expect_op(",")
+        if fn == "regex":
+            pat_tok = self._next()
+            if pat_tok[0] != "str":
+                raise ValueError("regex() pattern must be a string literal")
+            pat = _unescape(pat_tok[1][1:-1])
+            flags = ""
+            if (t := self._peek()) and t[0] == "op" and t[1] == ",":
+                self._next()
+                ftok = self._next()
+                if ftok[0] != "str":
+                    raise ValueError("regex() flags must be a string literal")
+                known = {"i", "s", "m"}
+                got = set(ftok[1][1:-1])
+                if not got <= known:
+                    raise ValueError(f"unsupported regex flags: {sorted(got - known)}")
+                flags = "".join(sorted(got))
+            self._expect_op(")")
+            if flags:
+                pat = f"(?{flags}){pat}"
+            return _opnd_lex(a).rlike(pat)
+        b = self._operand()
+        self._expect_op(")")
+        la, lb = _opnd_lex(a), _opnd_lex(b)
+        if fn == "contains":
+            return la.contains(lb)
+        if fn == "strstarts":
+            return la.startswith(lb)
+        return la.endswith(lb)  # strends
+
+    def _operand(self) -> _Opnd:
+        t = self._next()
+        kind, text, dt = t
+        if kind == "var":
+            self.i -= 1
+            return _Opnd("var", name=self._var(self._next()))
+        if kind == "num":
+            return _Opnd("num", num=float(text))
+        if kind == "str":
+            dt_iri = None
+            if dt:
+                dt_iri = dt[1:-1] if dt.startswith("<") else _resolve_pname(dt, self.prefixes)
+            return _Opnd("str", s=_unescape(text[1:-1]), dt=dt_iri)
+        if kind == "iri":
+            return _Opnd("iri", s=text[1:-1])
+        if kind == "pname":
+            return _Opnd("iri", s=_resolve_pname(text, self.prefixes))
+        if kind == "name" and text.lower() == "str":
+            self._expect_op("(")
+            inner = self._operand()
+            self._expect_op(")")
+            return _Opnd("lex", col=_opnd_lex(inner))
+        raise ValueError(f"unsupported FILTER operand: {text!r}")
+
+
+def compile_filter(text: str, prefixes: dict[str, str], bound: set[str]) -> F.Column:
+    """Compile one FILTER expression into a boolean Column over the binding
+    columns — entirely JVM-side, no per-row Python."""
+    return _FilterParser(text, prefixes, bound).parse()
+
+
+def _join_units(units: list[tuple[DataFrame, list[str], int]]) -> tuple[DataFrame, set[str]]:
+    """Hash-join (frame, vars, n_consts) units on shared variables, greedy
+    most-constants-first / connected-next order. Returns (frame, bound)."""
+    order = sorted(range(len(units)), key=lambda i: (-units[i][2], i))
     remaining = list(order)
     first = remaining.pop(0)
-    acc, bound = frames[first]
-    bound = set(bound)
+    acc, bound0, _ = units[first]
+    bound = set(bound0)
     while remaining:
         best, best_shared = None, -1
         for i in remaining:
-            shared = len(bound & set(frames[i][1]))
+            shared = len(bound & set(units[i][1]))
             if shared > best_shared:
                 best, best_shared = i, shared
         remaining.remove(best)
-        nf, nvars = frames[best]
+        nf, nvars, _ = units[best]
         shared_cols = sorted(bound & set(nvars))
         if shared_cols:
             acc = acc.join(nf, shared_cols)
@@ -279,6 +672,25 @@ def execute_bgp(
         if "__exists" in acc.columns:
             acc = acc.drop("__exists")
             bound.discard("__exists")
+    if "__exists" in acc.columns:  # single fully-ground pattern
+        acc = acc.drop("__exists")
+        bound.discard("__exists")
+    return acc, bound
+
+
+def execute_bgp(
+    triples: DataFrame, patterns: list[Pattern], select_vars: list[str] | None = None,
+    distinct: bool = False,
+) -> DataFrame:
+    """Execute a plain BGP (kept as the narrow public entry point; the full
+    group execution with OPTIONAL/FILTER/UNION is `execute_group`)."""
+    if not patterns:
+        raise ValueError("empty BGP")
+    units = [
+        (*_pattern_frame(triples, p), sum(1 for t in p if not isinstance(t, Var)))
+        for p in patterns
+    ]
+    acc, bound = _join_units(units)
     if select_vars:
         names = [v.lstrip("?") for v in select_vars]  # columns drop the '?'
         missing = [v for v in names if v not in bound]
@@ -292,8 +704,82 @@ def execute_bgp(
     return acc
 
 
+def execute_group(
+    triples: DataFrame, group: Group, prefixes: dict[str, str]
+) -> tuple[DataFrame, set[str]]:
+    """Execute one group graph pattern: mandatory patterns and UNION blocks
+    hash-joined, OPTIONAL groups left-joined on their shared variables, the
+    group's FILTERs applied last (SPARQL group scoping: a filter sees the
+    whole group, including optional bindings, so ``!bound(?x)`` works)."""
+    units = [
+        (*_pattern_frame(triples, p), sum(1 for t in p if not isinstance(t, Var)))
+        for p in group.patterns
+    ]
+    for branches in group.unions:
+        executed = [execute_group(triples, b, prefixes) for b in branches]
+        varsets = [frozenset(vs) for _, vs in executed]
+        if len(set(varsets)) != 1:
+            raise ValueError(
+                f"UNION branches bind different variable sets: {sorted(map(sorted, varsets))}"
+                " — the executor requires aligned branches"
+            )
+        cols = sorted(varsets[0])
+        uf = executed[0][0].select(*cols)
+        for f, _ in executed[1:]:
+            uf = uf.unionByName(f.select(*cols))
+        units.append((uf, cols, 0))
+    if not units:
+        raise ValueError("group graph pattern has no triple patterns or UNION blocks")
+    acc, bound = _join_units(units)
+    optional_vars: set[str] = set()
+    for og in group.optionals:
+        f, ovars = execute_group(triples, og, prefixes)
+        join_vars = bound & set(ovars)
+        if join_vars & optional_vars:
+            raise ValueError(
+                "OPTIONAL joins on a variable another OPTIONAL introduced"
+                f" ({sorted(join_vars & optional_vars)}) — SPARQL's unbound-"
+                "compatible semantics diverge from SQL null joins here"
+            )
+        new = set(ovars) - bound
+        if join_vars:
+            acc = acc.join(f, sorted(join_vars), "left")
+        else:
+            acc = acc.join(f, F.lit(True), "left")
+        bound |= set(ovars)
+        optional_vars |= new
+    for ftext in group.filters:
+        acc = acc.filter(compile_filter(ftext, prefixes, bound))
+    return acc, bound
+
+
 def execute_sparql(triples: DataFrame, query_text: str) -> DataFrame:
     """Parse + execute a generated SPARQL query against the triples frame —
-    one binding row per BGP match, one column per SELECT variable."""
+    one binding row per group-pattern match, one column per SELECT variable,
+    ORDER BY / LIMIT / OFFSET applied after projection."""
     q = parse_query(query_text)
-    return execute_bgp(triples, q.patterns, q.select_vars or None, q.distinct)
+    acc, bound = execute_group(triples, q.group, q.prefixes)
+    if q.select_vars:
+        names = [v.lstrip("?") for v in q.select_vars]
+        missing = [v for v in names if v not in bound]
+        if missing:
+            raise ValueError(f"SELECT variables never bound in the query: {missing}")
+        acc = acc.select(*names)
+        scope = names
+    else:
+        scope = sorted(bound)
+        acc = acc.select(*scope)
+    if q.distinct:
+        acc = acc.distinct()
+    if q.order_by:
+        bad = [v for v, _ in q.order_by if v not in scope]
+        if bad:
+            raise ValueError(f"ORDER BY variables outside the projection: {bad}")
+        acc = acc.orderBy(
+            *[F.col(v).desc() if d else F.col(v).asc() for v, d in q.order_by]
+        )
+    if q.offset:
+        acc = acc.offset(q.offset)
+    if q.limit is not None:
+        acc = acc.limit(q.limit)
+    return acc

@@ -56,8 +56,10 @@ SELECT DISTINCT ?x ?age WHERE {
 
 
 def test_parse_rejects_non_bgp_constructs():
-    with pytest.raises(ValueError, match="FILTER"):
-        se.parse_query("SELECT ?x WHERE {\n  FILTER(?x > 3)\n}")
+    with pytest.raises(ValueError, match="MINUS"):
+        se.parse_query("SELECT ?x WHERE {\n  ?x ex:p ?y .\n  MINUS { ?x ex:q ?z . }\n}")
+    with pytest.raises(ValueError, match="BIND"):
+        se.parse_query("SELECT ?x WHERE {\n  ?x ex:p ?y .\n  BIND(?y AS ?z)\n}")
 
 
 def test_two_hop_join_and_literal_constant(spark):
@@ -144,3 +146,141 @@ def test_generated_query_round_trip(spark):
             se.lit_binding("target title", vocab.XSD_STRING),
         )
     ]
+
+
+# ---------------------------------------------------------------------------
+# group graph patterns: OPTIONAL / FILTER / UNION + solution modifiers
+# ---------------------------------------------------------------------------
+
+
+def _shop(spark):
+    """orders o1..o3 -by-> customers with segment literals; phone only on c1;
+    integer totals on every order."""
+    XI = vocab.XSD + "integer"
+    rows = []
+    for o, c, total in [("o1", "c1", "150000"), ("o2", "c2", "50000"), ("o3", "c3", "200000")]:
+        rows.append((EX + o, EX + "by", "iri", EX + c, None, None))
+        rows.append((EX + o, EX + "total", "literal", None, total, XI))
+    for c, seg in [("c1", "BUILDING"), ("c2", "AUTO"), ("c3", "AUTO")]:
+        rows.append((EX + c, EX + "seg", "literal", None, seg, vocab.XSD_STRING))
+    rows.append((EX + "c1", EX + "phone", "literal", None, "11-222", vocab.XSD_STRING))
+    return _triples(spark, rows)
+
+
+def test_optional_left_join_keeps_unmatched(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?ord ?phone WHERE {
+  ?ord ex:by ?cust .
+  OPTIONAL { ?cust ex:phone ?phone . }
+}""",
+    )
+    got = {r["ord"]: r["phone"] for r in out.collect()}
+    assert got == {
+        EX + "o1": se.lit_binding("11-222", vocab.XSD_STRING),
+        EX + "o2": None,
+        EX + "o3": None,
+    }
+
+
+def test_filter_numeric_comparison_and_not_bound(spark):
+    t = _shop(spark)
+    big = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?ord WHERE {
+  ?ord ex:total ?total .
+  FILTER(?total > 100000)
+}""",
+    )
+    assert sorted(r["ord"] for r in big.collect()) == [EX + "o1", EX + "o3"]
+    nophone = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?cust WHERE {
+  ?ord ex:by ?cust .
+  OPTIONAL { ?cust ex:phone ?p . }
+  FILTER(!bound(?p))
+}""",
+    )
+    assert sorted(r["cust"] for r in nophone.collect()) == [EX + "c2", EX + "c3"]
+
+
+def test_filter_regex_contains_boolean_ops(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?cust WHERE {
+  ?cust ex:seg ?s .
+  FILTER(regex(?s, "^bui", "i") || (contains(?s, "UT") && strends(?s, "O")))
+}""",
+    )
+    assert sorted(r["cust"] for r in out.collect()) == [EX + "c1", EX + "c2", EX + "c3"]
+
+
+def test_filter_non_numeric_lexical_drops_row(spark):
+    """SPARQL: a type error in a comparison makes the FILTER false — the
+    try_cast NULL maps exactly onto that, so the string-segment row drops."""
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?cust WHERE {
+  ?cust ex:seg ?s .
+  FILTER(?s > 5)
+}""",
+    )
+    assert out.count() == 0
+
+
+def test_union_branches_and_var_alignment(spark):
+    t = _shop(spark)
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?cust WHERE {
+  { ?cust ex:seg "BUILDING" . } UNION { ?cust ex:phone "11-222" . }
+}""",
+    )
+    # c1 matches both branches: UNION is bag semantics -> two rows
+    assert sorted(r["cust"] for r in out.collect()) == [EX + "c1", EX + "c1"]
+    with pytest.raises(ValueError, match="different variable sets"):
+        se.execute_sparql(
+            t,
+            """PREFIX ex: <http://example.org/>
+SELECT ?a WHERE {
+  { ?a ex:seg ?s . } UNION { ?a ex:phone ?p . }
+}""",
+        )
+
+
+def test_order_by_limit_offset(spark):
+    q = """PREFIX ex: <http://example.org/>
+SELECT ?ord ?total WHERE {
+  ?ord ex:total ?total .
+} ORDER BY DESC(?ord) LIMIT 2 OFFSET 1"""
+    out = se.execute_sparql(_shop(spark), q)
+    assert [r["ord"] for r in out.collect()] == [EX + "o2", EX + "o1"]
+
+
+def test_optional_scoped_filter_applies_inside_group(spark):
+    """A FILTER inside the OPTIONAL restricts the optional match only — the
+    outer row survives with an unbound phone instead of being dropped."""
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?cust ?phone WHERE {
+  ?ord ex:by ?cust .
+  OPTIONAL { ?cust ex:phone ?phone . FILTER(strstarts(?phone, "99")) }
+}""",
+    )
+    got = {r["cust"]: r["phone"] for r in out.collect()}
+    assert got == {EX + "c1": None, EX + "c2": None, EX + "c3": None}
+
+
+def test_filter_unbound_var_is_loud(spark):
+    with pytest.raises(ValueError, match="never binds"):
+        se.execute_sparql(
+            _shop(spark),
+            "PREFIX ex: <http://example.org/>\nSELECT ?c WHERE {\n  ?c ex:seg ?s .\n  FILTER(?zzz > 1)\n}",
+        )
