@@ -611,6 +611,61 @@ LIMIT 2000
     return execute_sparql(triples, query)
 
 
+def _kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path execution (operators/sparql_exec.py + graph.py
+    transitive_closure): per-customer order-succession edges (window lead),
+    then ``?a ex:next+ ?b`` closes the chain transitively (pointer-doubling,
+    predicate filter pushed below the closure) and ``ex:by/ex:inNation``
+    composes a two-step sequence path. Oracle: the closure of a successor
+    chain is exactly the (earlier, later) pairs within each customer."""
+    from pyspark.sql import Window
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    EX = "http://example.org/"
+    null_s = F.lit(None).cast("string")
+
+    def t(subj, pred, obj_iri):
+        return F.struct(
+            subj.cast("string").alias("subj"), pred.cast("string").alias("pred"),
+            F.lit("iri").alias("obj_kind"), obj_iri.cast("string").alias("obj_iri"),
+            null_s.alias("obj_lexical"), null_s.alias("obj_datatype"),
+            null_s.alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    osub = F.concat(F.lit(EX + "order/"), F.col("o_orderkey").cast("string"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    succ = (
+        orders.select("o_orderkey", "o_custkey",
+                      F.lead("o_orderkey").over(w).alias("succ_key"))
+        .filter(F.col("succ_key").isNotNull())
+    )
+    next_t = succ.select(t(
+        F.concat(F.lit(EX + "order/"), F.col("o_orderkey").cast("string")),
+        F.lit(EX + "next"),
+        F.concat(F.lit(EX + "order/"), F.col("succ_key").cast("string")),
+    ).alias("x")).select("x.*")
+    by_t = orders.select(t(
+        osub, F.lit(EX + "by"),
+        F.concat(F.lit(EX + "customer/"), F.col("o_custkey").cast("string")),
+    ).alias("x")).select("x.*")
+    nat_t = customer.select(t(
+        F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string")),
+        F.lit(EX + "inNation"),
+        F.concat(F.lit(EX + "nation/"), F.col("c_nationkey").cast("string")),
+    ).alias("x")).select("x.*")
+    triples = next_t.unionByName(by_t).unionByName(nat_t)
+    query = """
+PREFIX ex: <http://example.org/>
+SELECT ?a ?b ?n WHERE {
+  ?a ex:next+ ?b .
+  ?b ex:by/ex:inNation ?n .
+}
+"""
+    return execute_sparql(triples, query)
+
+
 def _o3_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic positioned concept maps from ``part``: 20 maps, dense
     0..359 coordinate range so the O3 probe-and-bump actually fires."""
@@ -752,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_outside": _kg_sparql_outside,
         "kg_sparql_exec": _kg_sparql_exec,
         "kg_sparql_exec_full": _kg_sparql_exec_full,
+        "kg_sparql_path": _kg_sparql_path,
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_canonical_mapping": _kg_canonical_mapping,
@@ -1566,6 +1622,15 @@ SELECT ord, segment, phone FROM (
 )
 ORDER BY ord
 LIMIT 2000
+"""
+
+    sql["kg_sparql_path"] = r"""
+SELECT 'http://example.org/order/' || CAST(o1.o_orderkey AS VARCHAR) AS a,
+       'http://example.org/order/' || CAST(o2.o_orderkey AS VARCHAR) AS b,
+       'http://example.org/nation/' || CAST(c.c_nationkey AS VARCHAR) AS n
+FROM orders o1
+JOIN orders o2 ON o2.o_custkey = o1.o_custkey AND o2.o_orderkey > o1.o_orderkey
+JOIN customer c ON c.c_custkey = o1.o_custkey
 """
 
     # --- the four pipeline-level queries: full-pipeline SQL re-implementation

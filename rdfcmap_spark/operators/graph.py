@@ -146,3 +146,53 @@ def cycle_break_edges(edges: DataFrame) -> list[tuple[str, str]]:
                 color[node] = BLACK
                 stack.pop()
     return breaks
+
+
+def transitive_closure(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """edges(src, dst) -> every (src, dst) connected by a directed path of
+    ≥1 edges — the executor's ``p+`` property path.
+
+    Pointer-doubling, not step-by-one: after round *k* the frame holds all
+    paths of length ≤ 2^k, so ``max_rounds=16`` reaches diameter 65,536 in
+    at most 16 shuffle rounds (each: one equi-join on the closure frame +
+    distinct + anti-join against the known set). Serialized
+    ``MEMORY_AND_DISK`` checkpoints truncate lineage and keep the loop
+    frames off the 16 GB heap (same discipline as the contraction CC);
+    superseded checkpoints are unpersisted eagerly.
+
+    Scale note: a transitive closure is inherently O(Σ reach(v)) output —
+    linear rounds, but the OUTPUT can be quadratic in chain length (a
+    K-node chain yields K²/2 pairs). That is the operator's contract, not
+    an implementation accident; callers at corpus scale bound it by
+    filtering the edge relation first (the executor pushes the pattern's
+    predicate constant into the edge scan).
+    """
+    from pyspark import StorageLevel
+
+    _lvl = StorageLevel.MEMORY_AND_DISK
+    closure = edges.select("src", "dst").distinct().localCheckpoint(storageLevel=_lvl)
+    for _ in range(max_rounds):
+        # self-joins of a checkpointed frame by alias hit analyzer attribute
+        # collisions (key-not-found during the next checkpoint); rename
+        # projections mint fresh attribute ids, which sidesteps it
+        right = closure.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
+        known = closure.select(F.col("src").alias("ks"), F.col("dst").alias("kd"))
+        grown = (
+            closure.join(right, F.col("dst") == F.col("mid"))
+            .select("src", F.col("dst2").alias("dst"))
+            .distinct()
+            .join(
+                known,
+                (F.col("src") == F.col("ks")) & (F.col("dst") == F.col("kd")),
+                "left_anti",
+            )
+            .localCheckpoint(storageLevel=_lvl)
+        )
+        if grown.isEmpty():
+            grown.unpersist()
+            break
+        prev = closure
+        closure = closure.unionByName(grown).localCheckpoint(storageLevel=_lvl)
+        prev.unpersist()
+        grown.unpersist()
+    return closure

@@ -74,8 +74,25 @@ class Lit:
     dt: str | None = None  #: datatype IRI (None -> xsd:string)
 
 
+@dataclass(frozen=True)
+class PathStep:
+    """One step of a property path: an IRI, optionally inverted (``^p``),
+    optionally transitively repeated (``p+``)."""
+
+    iri: str
+    inverse: bool = False
+    many: str = ""  #: '' or '+'
+
+
+@dataclass(frozen=True)
+class Path:
+    """A ``/``-sequence of path steps in predicate position."""
+
+    steps: tuple[PathStep, ...]
+
+
 Term = Var | Iri | Lit
-Pattern = tuple[Term, Term, Term]
+Pattern = tuple[Term, "Term | Path", Term]
 
 
 @dataclass(frozen=True)
@@ -109,6 +126,9 @@ _TERM_RE = re.compile(
     | (?P<pname>[A-Za-z][\w.-]*:[\w.%-]*)
     | (?P<kw_a>\ba\b)
     | (?P<dot>\.)
+    | (?P<pathmod>[+*?])
+    | (?P<caret>\^)
+    | (?P<slash>/)
     """,
     re.VERBOSE,
 )
@@ -157,36 +177,104 @@ def _matching(text: str, i: int, open_ch: str, close_ch: str) -> int:
     raise ValueError(f"unbalanced {open_ch}…{close_ch} in SPARQL text")
 
 
+def _term_of(m: re.Match, prefixes: dict[str, str]) -> Term | None:
+    """Build a Var/Iri/Lit from a _TERM_RE match, or None for non-terms."""
+    if m.group("var"):
+        return Var(m.group("var")[1:])
+    if m.group("iri"):
+        return Iri(m.group("iri")[1:-1])
+    if m.group("lit"):
+        lex = _unescape(m.group("lit")[1:-1])
+        dt = m.group("dt")
+        lang = m.group("lang")
+        if lang:
+            dt_iri = vocab.RDF + "langString@" + lang
+        elif dt:
+            dt_iri = dt[1:-1] if dt.startswith("<") else _resolve_pname(dt, prefixes)
+        else:
+            dt_iri = None
+        return Lit(lex, dt_iri)
+    if m.group("pname"):
+        return Iri(_resolve_pname(m.group("pname"), prefixes))
+    if m.group("kw_a"):
+        return Iri(vocab.RDF_TYPE)
+    return None
+
+
 def _parse_statements(body: str, prefixes: dict[str, str]) -> list[Pattern]:
-    """Parse plain triple statements (term term term '.')."""
+    """Parse triple statements: subject, predicate (a plain term or a
+    property path — ``^p`` inverse, ``p+`` transitive, ``p1/p2`` sequence),
+    object, '.'."""
     patterns: list[Pattern] = []
-    terms: list[Term] = []
+    phase = "subj"
+    subj: Term | None = None
+    pred: Term | Path | None = None
+    obj: Term | None = None
+    steps: list[PathStep] = []
+    pending_inv = False
+    after_step = False  # a step IRI just completed; a modifier may attach
+
+    def finish_pred() -> Term | Path:
+        if len(steps) == 1 and not steps[0].inverse and not steps[0].many:
+            return Iri(steps[0].iri)
+        return Path(tuple(steps))
+
     for m in _TERM_RE.finditer(body):
-        if m.group("var"):
-            terms.append(Var(m.group("var")[1:]))
-        elif m.group("iri"):
-            terms.append(Iri(m.group("iri")[1:-1]))
-        elif m.group("lit"):
-            lex = _unescape(m.group("lit")[1:-1])
-            dt = m.group("dt")
-            lang = m.group("lang")
-            if lang:
-                dt_iri = vocab.RDF + "langString@" + lang
-            elif dt:
-                dt_iri = dt[1:-1] if dt.startswith("<") else _resolve_pname(dt, prefixes)
-            else:
-                dt_iri = None
-            terms.append(Lit(lex, dt_iri))
-        elif m.group("pname"):
-            terms.append(Iri(_resolve_pname(m.group("pname"), prefixes)))
-        elif m.group("kw_a"):
-            terms.append(Iri(vocab.RDF_TYPE))
-        elif m.group("dot"):
-            if len(terms) != 3:
+        if m.group("dot"):
+            if phase == "pred" and after_step:
                 raise ValueError(f"BGP statement is not a triple: {body!r}")
-            patterns.append((terms[0], terms[1], terms[2]))
-            terms = []
-    if terms:
+            if phase != "done":
+                raise ValueError(f"BGP statement is not a triple: {body!r}")
+            patterns.append((subj, pred, obj))
+            phase, subj, pred, obj = "subj", None, None, None
+            steps, pending_inv, after_step = [], False, False
+            continue
+        if m.group("caret"):
+            if phase != "pred" or after_step:
+                raise ValueError("'^' must directly precede a path step IRI")
+            pending_inv = True
+            continue
+        if m.group("pathmod"):
+            if phase != "pred" or not after_step:
+                raise ValueError("path modifier without a preceding step")
+            if m.group("pathmod") != "+":
+                raise ValueError(
+                    f"only '+' path repetition is supported, not {m.group('pathmod')!r}"
+                    " ('*' needs zero-length-path semantics over all graph nodes)"
+                )
+            steps[-1] = PathStep(steps[-1].iri, steps[-1].inverse, "+")
+            continue
+        if m.group("slash"):
+            if phase != "pred" or not after_step:
+                raise ValueError("'/' without a preceding path step")
+            after_step = False
+            continue
+        term = _term_of(m, prefixes)
+        if phase == "subj":
+            subj = term
+            phase = "pred"
+        elif phase == "pred":
+            if after_step:  # the path ended; this term is the object
+                pred = finish_pred()
+                obj = term
+                phase = "done"
+            elif isinstance(term, Var):
+                if steps or pending_inv:
+                    raise ValueError("a variable cannot appear inside a property path")
+                pred = term
+                phase = "obj"
+            elif isinstance(term, Lit):
+                raise ValueError("literal in predicate position")
+            else:
+                steps.append(PathStep(term.iri, pending_inv, ""))
+                pending_inv = False
+                after_step = True
+        elif phase == "obj":
+            obj = term
+            phase = "done"
+        else:
+            raise ValueError(f"unexpected term after the object in: {body!r}")
+    if phase != "subj":
         raise ValueError("BGP body ends mid-statement (missing '.')")
     return patterns
 
@@ -340,11 +428,67 @@ def lit_binding(lex: str, dt: str | None = None) -> str:
     return f'"{lex}"^^{dt or vocab.XSD_STRING}'
 
 
+def _step_edges(triples: DataFrame, step: PathStep) -> DataFrame:
+    """(src, dst) edge relation for one path step. The predicate constant is
+    a pushed-down filter on the scan BEFORE any closure, so a ``p+`` only
+    ever closes over p-edges, never the whole graph."""
+    df = triples.filter(F.col("pred") == step.iri)
+    src: F.Column = F.col("subj")
+    dst: F.Column = _object_binding()
+    if step.inverse:
+        src, dst = dst, src
+    edges = df.select(src.alias("src"), dst.alias("dst"))
+    if step.many == "+":
+        from rdfcmap_spark.operators.graph import transitive_closure
+
+        edges = transitive_closure(edges)
+    return edges
+
+
+def _path_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, list[str]]:
+    """A pattern whose predicate is a property path: compose the step edge
+    relations by equi-join, then apply the subject/object constants or
+    variable bindings exactly like a plain pattern."""
+    s, path, o = pat
+    acc = _step_edges(triples, path.steps[0])
+    for st in path.steps[1:]:
+        nxt = _step_edges(triples, st)
+        acc = (
+            acc.alias("l")
+            .join(nxt.alias("r"), F.col("l.dst") == F.col("r.src"))
+            .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
+        )
+    df = acc
+    bind: dict[str, F.Column] = {}
+    if isinstance(s, Var):
+        bind[s.name] = F.col("src")
+    elif isinstance(s, Iri):
+        df = df.filter(F.col("src") == s.iri)
+    else:
+        raise ValueError("literal in subject position")
+    if isinstance(o, Var):
+        if o.name in bind:
+            df = df.filter(F.col("src") == F.col("dst"))  # ?x p+ ?x: cycles
+        else:
+            bind[o.name] = F.col("dst")
+    elif isinstance(o, Iri):
+        df = df.filter(F.col("dst") == o.iri)
+    else:
+        df = df.filter(F.col("dst") == lit_binding(o.lex, o.dt))
+    if not bind:  # fully ground path: pure existence constraint
+        probe = df.select(F.lit(1).alias("__exists")).limit(1)
+        return probe, []
+    out = df.select(*[c.alias(n) for n, c in bind.items()])
+    return out, list(bind)
+
+
 def _pattern_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, list[str]]:
     """One pattern -> (frame of binding columns, bound var names). Constants
     become filters (pushed to the scan); a variable repeated inside the
     pattern adds the equality filter its semantics require."""
     s, p, o = pat
+    if isinstance(p, Path):
+        return _path_frame(triples, pat)
     df = triples
     bind: list[tuple[str, F.Column]] = []
     if isinstance(s, Var):
@@ -564,7 +708,7 @@ class _FilterParser:
             return c
         if t and t[0] == "name" and t[1].lower() in (
             "bound", "regex", "contains", "strstarts", "strends", "isiri", "isuri",
-            "isliteral",
+            "isliteral", "langmatches",
         ):
             return self._call(self._next()[1].lower())
         left = self._operand()
@@ -610,6 +754,14 @@ class _FilterParser:
         b = self._operand()
         self._expect_op(")")
         la, lb = _opnd_lex(a), _opnd_lex(b)
+        if fn == "langmatches":
+            # RFC 4647 basic filtering: "*" matches any tagged literal;
+            # a range matches the tag itself or any subtag extension
+            # (langMatches("en-US" tag, "en") is true)
+            la_low, lb_low = F.lower(la), F.lower(lb)
+            return F.when(lb == "*", la != "").otherwise(
+                (la_low == lb_low) | la_low.startswith(F.concat(lb_low, F.lit("-")))
+            )
         if fn == "contains":
             return la.contains(lb)
         if fn == "strstarts":
@@ -638,6 +790,20 @@ class _FilterParser:
             inner = self._operand()
             self._expect_op(")")
             return _Opnd("lex", col=_opnd_lex(inner))
+        if kind == "name" and text.lower() == "lang":
+            # the tag rides in the binding's datatype suffix
+            # (schemas.py: obj_datatype = rdf:langString@<tag>); '' for
+            # plain/typed literals and IRIs, like SPARQL's lang() on
+            # untagged literals
+            self._expect_op("(")
+            name = self._var(self._next())
+            self._expect_op(")")
+            return _Opnd(
+                "lex",
+                col=F.regexp_extract(
+                    F.col(name), r"\^\^.*langString@([A-Za-z0-9-]+)$", 1
+                ),
+            )
         raise ValueError(f"unsupported FILTER operand: {text!r}")
 
 

@@ -284,3 +284,100 @@ def test_filter_unbound_var_is_loud(spark):
             _shop(spark),
             "PREFIX ex: <http://example.org/>\nSELECT ?c WHERE {\n  ?c ex:seg ?s .\n  FILTER(?zzz > 1)\n}",
         )
+
+
+def test_lang_and_langmatches(spark):
+    """Language-tagged literals (obj_datatype = rdf:langString@tag) are
+    selectable by tag: lang() extracts it, langMatches does RFC 4647 basic
+    filtering including the "*" range and subtag extension."""
+    LS = vocab.RDF + "langString@"
+    t = _triples(
+        spark,
+        [
+            (EX + "d1", EX + "label", "literal", None, "colour", LS + "en-GB"),
+            (EX + "d2", EX + "label", "literal", None, "color", LS + "en"),
+            (EX + "d3", EX + "label", "literal", None, "Farbe", LS + "de"),
+            (EX + "d4", EX + "label", "literal", None, "plain", vocab.XSD_STRING),
+        ],
+    )
+    en = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?s WHERE { ?s ex:label ?l . FILTER(langMatches(lang(?l), "en")) }""",
+    )
+    assert sorted(r["s"] for r in en.collect()) == [EX + "d1", EX + "d2"]
+    anytag = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?s WHERE { ?s ex:label ?l . FILTER(langMatches(lang(?l), "*")) }""",
+    )
+    assert sorted(r["s"] for r in anytag.collect()) == [EX + "d1", EX + "d2", EX + "d3"]
+    exact = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?s WHERE { ?s ex:label ?l . FILTER(lang(?l) = "de") }""",
+    )
+    assert [r["s"] for r in exact.collect()] == [EX + "d3"]
+
+
+def _chain(spark):
+    """a -next-> b -next-> c -next-> d, plus a -by-> c1 -inNation-> n1."""
+    rows = [
+        (EX + "a", EX + "next", "iri", EX + "b", None, None),
+        (EX + "b", EX + "next", "iri", EX + "c", None, None),
+        (EX + "c", EX + "next", "iri", EX + "d", None, None),
+        (EX + "a", EX + "by", "iri", EX + "c1", None, None),
+        (EX + "c1", EX + "inNation", "iri", EX + "n1", None, None),
+    ]
+    return _triples(spark, rows)
+
+
+def test_path_transitive_plus(spark):
+    out = se.execute_sparql(
+        _chain(spark),
+        "PREFIX ex: <http://example.org/>\nSELECT ?x ?y WHERE { ?x ex:next+ ?y . }",
+    )
+    got = sorted((r["x"][-1], r["y"][-1]) for r in out.collect())
+    assert got == [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+
+
+def test_path_sequence_and_inverse(spark):
+    t = _chain(spark)
+    seq = se.execute_sparql(
+        t,
+        "PREFIX ex: <http://example.org/>\nSELECT ?n WHERE { <http://example.org/a> ex:by/ex:inNation ?n . }",
+    )
+    assert [r["n"] for r in seq.collect()] == [EX + "n1"]
+    # ?x ^next c  ≡  c next ?x  → d
+    inv = se.execute_sparql(
+        t,
+        "PREFIX ex: <http://example.org/>\nSELECT ?x WHERE { ?x ^ex:next <http://example.org/c> . }",
+    )
+    assert [r["x"] for r in inv.collect()] == [EX + "d"]
+    # inverse + transitive compose: ?y ^next+ a ≡ a next+ ?y
+    invp = se.execute_sparql(
+        t,
+        "PREFIX ex: <http://example.org/>\nSELECT ?y WHERE { ?y ^ex:next+ <http://example.org/a> . }",
+    )
+    assert sorted(r["y"][-1] for r in invp.collect()) == ["b", "c", "d"]
+
+
+def test_path_joins_with_plain_patterns(spark):
+    out = se.execute_sparql(
+        _chain(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?y ?n WHERE {
+  ?x ex:next+ ?y .
+  ?x ex:by/ex:inNation ?n .
+}""",
+    )
+    got = sorted((r["y"][-1], r["n"][-1]) for r in out.collect())
+    assert got == [("b", "1"), ("c", "1"), ("d", "1")]
+
+
+def test_path_star_rejected_loudly(spark):
+    with pytest.raises(ValueError, match="path repetition"):
+        se.execute_sparql(
+            _chain(spark),
+            "PREFIX ex: <http://example.org/>\nSELECT ?x ?y WHERE { ?x ex:next* ?y . }",
+        )
