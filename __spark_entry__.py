@@ -666,6 +666,108 @@ SELECT ?a ?b ?n WHERE {
     return execute_sparql(triples, query)
 
 
+def _kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregation surface (operators/sparql_exec.py `_aggregate`):
+    COUNT(*) / COUNT(DISTINCT) / SUM + GROUP BY compile to one
+    hash-aggregate exchange over the BGP join. SUM goes through the lexical
+    try_cast; the summed values are integer-valued so the double sum is
+    exact and order-independent. MIN is over the IRI binding string (no
+    float-formatting parity risk vs the oracle)."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+    from rdfcmap_spark import vocab as V
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    EX = "http://example.org/"
+    null_s = F.lit(None).cast("string")
+
+    def t(subj, pred, kind, obj_iri, lex, dt):
+        return F.struct(
+            subj.cast("string").alias("subj"), pred.cast("string").alias("pred"),
+            kind.cast("string").alias("obj_kind"), obj_iri.cast("string").alias("obj_iri"),
+            lex.cast("string").alias("obj_lexical"), dt.cast("string").alias("obj_datatype"),
+            null_s.alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    osub = F.concat(F.lit(EX + "order/"), F.col("o_orderkey").cast("string"))
+    csub = F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string"))
+    ord_t = orders.select(F.explode(F.array(
+        t(osub, F.lit(EX + "by"), F.lit("iri"),
+          F.concat(F.lit(EX + "customer/"), F.col("o_custkey").cast("string")), null_s, null_s),
+        t(osub, F.lit(EX + "okey"), F.lit("literal"), null_s,
+          F.col("o_orderkey").cast("string"), F.lit(V.XSD + "integer")),
+    )).alias("x")).select("x.*")
+    nat_t = customer.select(t(
+        csub, F.lit(EX + "inNation"), F.lit("iri"),
+        F.concat(F.lit(EX + "nation/"), F.col("c_nationkey").cast("string")),
+        null_s, null_s,
+    ).alias("x")).select("x.*")
+    triples = ord_t.unionByName(nat_t)
+    query = """
+PREFIX ex: <http://example.org/>
+SELECT ?nation (COUNT(*) AS ?n_orders) (COUNT(DISTINCT ?cust) AS ?n_custs)
+       (SUM(?okey) AS ?key_sum) (MIN(?ord) AS ?first_ord) WHERE {
+  ?ord ex:by ?cust .
+  ?cust ex:inNation ?nation .
+  ?ord ex:okey ?okey .
+}
+GROUP BY ?nation
+ORDER BY ?nation
+"""
+    return execute_sparql(triples, query)
+
+
+def _kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT-form execution (operators/sparql_exec.py `_construct`):
+    rule-based triple materialization — the WHERE bindings instantiate a
+    two-pattern template into a TRIPLES-shaped frame with set semantics
+    (one distinct exchange). The ?ord pattern makes 'has at least one
+    order' an EXISTS-style gate the oracle mirrors with a semi-join."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+    from rdfcmap_spark import vocab as V
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    EX = "http://example.org/"
+    null_s = F.lit(None).cast("string")
+
+    def t(subj, pred, kind, obj_iri, lex, dt):
+        return F.struct(
+            subj.cast("string").alias("subj"), pred.cast("string").alias("pred"),
+            kind.cast("string").alias("obj_kind"), obj_iri.cast("string").alias("obj_iri"),
+            lex.cast("string").alias("obj_lexical"), dt.cast("string").alias("obj_datatype"),
+            null_s.alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    osub = F.concat(F.lit(EX + "order/"), F.col("o_orderkey").cast("string"))
+    csub = F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string"))
+    ord_t = orders.select(t(
+        osub, F.lit(EX + "by"), F.lit("iri"),
+        F.concat(F.lit(EX + "customer/"), F.col("o_custkey").cast("string")),
+        null_s, null_s,
+    ).alias("x")).select("x.*")
+    cust_t = customer.select(F.explode(F.array(
+        t(csub, F.lit(EX + "inNation"), F.lit("iri"),
+          F.concat(F.lit(EX + "nation/"), F.col("c_nationkey").cast("string")), null_s, null_s),
+        t(csub, F.lit(EX + "mktsegment"), F.lit("literal"), null_s,
+          F.col("c_mktsegment"), F.lit(V.XSD_STRING)),
+    )).alias("x")).select("x.*")
+    triples = ord_t.unionByName(cust_t)
+    query = """
+PREFIX ex: <http://example.org/>
+CONSTRUCT {
+  ?cust ex:orderedIn ?nation .
+  ?cust ex:label ?seg .
+  ?cust a ex:ActiveCustomer .
+} WHERE {
+  ?ord ex:by ?cust .
+  ?cust ex:inNation ?nation .
+  ?cust ex:mktsegment ?seg .
+}
+"""
+    return execute_sparql(triples, query)
+
+
 def _o3_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic positioned concept maps from ``part``: 20 maps, dense
     0..359 coordinate range so the O3 probe-and-bump actually fires."""
@@ -808,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_exec": _kg_sparql_exec,
         "kg_sparql_exec_full": _kg_sparql_exec_full,
         "kg_sparql_path": _kg_sparql_path,
+        "kg_sparql_agg": _kg_sparql_agg,
+        "kg_sparql_construct": _kg_sparql_construct,
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_canonical_mapping": _kg_canonical_mapping,
@@ -1631,6 +1735,45 @@ SELECT 'http://example.org/order/' || CAST(o1.o_orderkey AS VARCHAR) AS a,
 FROM orders o1
 JOIN orders o2 ON o2.o_custkey = o1.o_custkey AND o2.o_orderkey > o1.o_orderkey
 JOIN customer c ON c.c_custkey = o1.o_custkey
+"""
+
+    sql["kg_sparql_agg"] = r"""
+SELECT 'http://example.org/nation/' || CAST(c.c_nationkey AS VARCHAR) AS nation,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT c.c_custkey) AS n_custs,
+       SUM(CAST(o.o_orderkey AS DOUBLE)) AS key_sum,
+       MIN('http://example.org/order/' || CAST(o.o_orderkey AS VARCHAR)) AS first_ord
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY nation
+ORDER BY nation
+"""
+
+    sql["kg_sparql_construct"] = r"""
+WITH active AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+  FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+)
+SELECT DISTINCT * FROM (
+  SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS subj,
+         'http://example.org/orderedIn' AS pred,
+         'iri' AS obj_kind,
+         'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR) AS obj_iri,
+         CAST(NULL AS VARCHAR) AS obj_lexical,
+         CAST(NULL AS VARCHAR) AS obj_datatype
+  FROM active
+  UNION ALL
+  SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR),
+         'http://example.org/label', 'literal', NULL,
+         c_mktsegment, 'http://www.w3.org/2001/XMLSchema#string'
+  FROM active
+  UNION ALL
+  SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR),
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri',
+         'http://example.org/ActiveCustomer', NULL, NULL
+  FROM active
+)
 """
 
     # --- the four pipeline-level queries: full-pipeline SQL re-implementation

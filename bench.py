@@ -52,6 +52,9 @@ SECONDARY = [
     "events_hourly_rollup",
     "kg_title_ladder",
     "kg_ontology",
+    "kg_sparql_exec_full",
+    "kg_sparql_path",
+    "kg_sparql_agg",
 ]
 
 

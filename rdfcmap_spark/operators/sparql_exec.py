@@ -33,7 +33,14 @@ Execution model (Spark-first, not a SPARQL-algebra port):
   ``!`` / ``&&`` / ``||`` — no Python evaluation per row anywhere;
 * ``ORDER BY`` / ``LIMIT`` / ``OFFSET`` modifiers map to
   ``orderBy``/``limit``/``offset`` (ordering is binary-collation string
-  order over the binding encoding, documented below).
+  order over the binding encoding, documented below);
+* aggregates ``(COUNT|SUM|AVG|MIN|MAX([DISTINCT] ?v|*) AS ?alias)`` with
+  ``GROUP BY`` map to one hash-aggregate exchange (map-side partial
+  aggregation for free); SUM/AVG go through the same try_cast-to-double
+  lexical extraction as FILTER comparisons;
+* property paths in predicate position: ``p+`` (transitive closure via
+  distributed pointer-doubling, predicate filter pushed below the
+  closure), ``^p`` (inverse), ``p1/p2`` (sequence composition).
 
 Binding encoding: subjects/predicates bind the raw IRI string; objects bind
 the raw IRI for resource objects and the collision-free token
@@ -106,6 +113,18 @@ class Group:
 
 
 @dataclass(frozen=True)
+class SelectItem:
+    """One SELECT clause entry: a plain variable, or an aggregate
+    ``(AGG([DISTINCT] ?v|*) AS ?alias)``."""
+
+    var: str | None = None  #: plain variable name (no '?')
+    agg: str | None = None  #: 'count' | 'sum' | 'avg' | 'min' | 'max'
+    target: str | None = None  #: aggregated var name, or '*' (COUNT only)
+    distinct: bool = False
+    alias: str | None = None  #: output column name (no '?')
+
+
+@dataclass(frozen=True)
 class ParsedQuery:
     select_vars: list[str]  #: [] means SELECT *
     distinct: bool
@@ -115,6 +134,10 @@ class ParsedQuery:
     order_by: tuple[tuple[str, bool], ...] = ()  #: (var, descending)
     limit: int | None = None
     offset: int | None = None
+    select_items: tuple[SelectItem, ...] = ()
+    group_by: tuple[str, ...] = ()
+    form: str = "select"  #: 'select' | 'construct' | 'ask'
+    template: tuple[Pattern, ...] = ()  #: CONSTRUCT template patterns
 
 
 _TERM_RE = re.compile(
@@ -131,6 +154,15 @@ _TERM_RE = re.compile(
     | (?P<slash>/)
     """,
     re.VERBOSE,
+)
+
+_SEL_ITEM_RE = re.compile(
+    r"""\(\s*(?P<agg>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<dist>DISTINCT\s+)?
+        (?P<tgt>\?[A-Za-z_][A-Za-z0-9_]*|\*)\s*\)\s+AS\s+
+        (?P<alias>\?[A-Za-z_][A-Za-z0-9_]*)\s*\)
+      | (?P<plain>\?[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.I | re.VERBOSE,
 )
 
 _UNESCAPE = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\t": "\t", "\\r": "\r"}
@@ -371,18 +403,85 @@ def parse_query(text: str) -> ParsedQuery:
     for m in re.finditer(r"(?i)\bprefix\s+([A-Za-z][\w.-]*):\s*<([^<>]*)>", text):
         prefixes[m.group(1)] = m.group(2)
 
+    mform = re.search(r"(?i)\b(select|construct|ask)\b", text)
+    if not mform:
+        raise ValueError("no SELECT / CONSTRUCT / ASK in SPARQL text")
+    form = mform.group(1).lower()
+
+    if form in ("construct", "ask"):
+        template: tuple[Pattern, ...] = ()
+        pos = mform.end()
+        if form == "construct":
+            topen = text.index("{", pos)
+            tclose = _matching(text, topen, "{", "}")
+            template = tuple(_parse_statements(text[topen + 1 : tclose], prefixes))
+            if not template:
+                raise ValueError("empty CONSTRUCT template")
+            for s, p, o in template:
+                if isinstance(p, Path):
+                    raise ValueError("property path in a CONSTRUCT template")
+            pos = tclose + 1
+        open_idx = text.index("{", pos)
+        close_idx = _matching(text, open_idx, "{", "}")
+        group = _parse_group(text[open_idx + 1 : close_idx], prefixes)
+        tail = text[close_idx + 1 :]
+        if re.search(r"(?i)\b(order\s+by|group\s+by|having)\b", tail):
+            raise ValueError(f"solution modifiers are not supported on {form.upper()}")
+        ml = re.search(r"(?i)\blimit\s+(\d+)", tail)
+        return ParsedQuery(
+            [],
+            False,
+            group.patterns,
+            prefixes,
+            group=group,
+            limit=int(ml.group(1)) if ml else None,
+            form=form,
+            template=template,
+        )
+
     msel = re.search(r"(?is)\bselect\b(.*?)\{", text)
     if not msel:
         raise ValueError("no SELECT … { in SPARQL text")
     head = re.sub(r"(?i)\bwhere\b", " ", msel.group(1))
-    distinct = bool(re.search(r"(?i)\bdistinct\b", head))
-    select_vars = re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", head)
+    # DISTINCT must follow SELECT directly — \bdistinct\b anywhere would
+    # false-positive on COUNT(DISTINCT ?v)
+    distinct = bool(re.match(r"(?i)\s*distinct\b", head))
+    if distinct:
+        head = re.sub(r"(?i)^\s*distinct\b", " ", head)
+    select_items: list[SelectItem] = []
+    for mi in _SEL_ITEM_RE.finditer(head):
+        if mi.group("plain"):
+            select_items.append(SelectItem(var=mi.group("plain")[1:]))
+        else:
+            tgt = mi.group("tgt")
+            agg = mi.group("agg").lower()
+            if tgt == "*" and agg != "count":
+                raise ValueError(f"{agg.upper()}(*) is not a SPARQL aggregate")
+            select_items.append(
+                SelectItem(
+                    agg=agg,
+                    target=tgt if tgt == "*" else tgt[1:],
+                    distinct=bool(mi.group("dist")),
+                    alias=mi.group("alias")[1:],
+                )
+            )
+    select_vars = ["?" + (it.var or it.alias) for it in select_items]
 
     open_idx = msel.end() - 1
     close_idx = _matching(text, open_idx, "{", "}")
     group = _parse_group(text[open_idx + 1 : close_idx], prefixes)
 
     tail = text[close_idx + 1 :]
+    if re.search(r"(?i)\bhaving\b", tail):
+        raise ValueError("HAVING is not supported — filter before aggregation")
+    mg = re.search(
+        r"(?is)\bgroup\s+by\b(.*?)(?=\border\b|\blimit\b|\boffset\b|$)", tail
+    )
+    group_by = (
+        tuple(v[1:] for v in re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", mg.group(1)))
+        if mg
+        else ()
+    )
     order_by: list[tuple[str, bool]] = []
     mo = re.search(r"(?is)\border\s+by\b(.*?)(?=\blimit\b|\boffset\b|$)", tail)
     if mo:
@@ -405,6 +504,8 @@ def parse_query(text: str) -> ParsedQuery:
         order_by=tuple(order_by),
         limit=int(ml.group(1)) if ml else None,
         offset=int(mof.group(1)) if mof else None,
+        select_items=tuple(select_items),
+        group_by=group_by,
     )
 
 
@@ -919,12 +1020,139 @@ def execute_group(
     return acc, bound
 
 
+def _aggregate(acc: DataFrame, bound: set[str], q: ParsedQuery) -> DataFrame:
+    """SPARQL aggregation → one hash-aggregate exchange (map-side partials
+    for free). COUNT works on the binding columns directly; SUM/AVG extract
+    the lexical form and ``try_cast`` to double (a non-numeric binding
+    aggregates as NULL — SPARQL's error semantics); MIN/MAX compare the
+    binding encoding (binary string order, same as ORDER BY)."""
+    if q.distinct:
+        raise ValueError("SELECT DISTINCT with aggregates is not supported")
+    plain = [it.var for it in q.select_items if it.var]
+    targets = [it.target for it in q.select_items if it.agg and it.target != "*"]
+    missing = [v for v in {*plain, *q.group_by, *targets} if v not in bound]
+    if missing:
+        raise ValueError(f"SELECT/GROUP BY variables never bound: {sorted(missing)}")
+    stray = [v for v in plain if v not in q.group_by]
+    if stray:
+        raise ValueError(f"non-aggregated SELECT variables outside GROUP BY: {stray}")
+
+    def agg_col(it: SelectItem) -> F.Column:
+        if it.agg == "count":
+            if it.target == "*":
+                c = F.count(F.lit(1))
+            elif it.distinct:
+                c = F.count_distinct(F.col(it.target))
+            else:
+                c = F.count(F.col(it.target))
+            return c
+        if it.agg in ("sum", "avg"):
+            num = _lex_of(F.col(it.target)).try_cast("double")
+            if it.distinct:
+                if it.agg == "avg":
+                    raise ValueError("AVG(DISTINCT) is not supported")
+                return F.sum_distinct(num)
+            return F.sum(num) if it.agg == "sum" else F.avg(num)
+        col = F.col(it.target)
+        return F.min(col) if it.agg == "min" else F.max(col)
+
+    aggs = [agg_col(it).alias(it.alias) for it in q.select_items if it.agg]
+    grouped = acc.groupBy(*q.group_by) if q.group_by else acc.groupBy()
+    out = grouped.agg(*aggs)
+    names = [it.var or it.alias for it in q.select_items]
+    out = out.select(*names)
+    if q.order_by:
+        bad = [v for v, _ in q.order_by if v not in names]
+        if bad:
+            raise ValueError(f"ORDER BY variables outside the projection: {bad}")
+        out = out.orderBy(*[F.col(v).desc() if d else F.col(v).asc() for v, d in q.order_by])
+    if q.offset:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
+def _construct(acc: DataFrame, bound: set[str], q: ParsedQuery) -> DataFrame:
+    """Instantiate the CONSTRUCT template per binding row and union the
+    results into a TRIPLES-shaped frame (set semantics: one distinct
+    exchange). The object binding encoding is decoded back into
+    obj_kind/obj_iri/obj_lexical/obj_datatype columns."""
+    null_s = F.lit(None).cast("string")
+
+    def node_col(term: Term, position: str) -> F.Column:
+        if isinstance(term, Var):
+            if term.name not in bound:
+                raise ValueError(f"CONSTRUCT template variable never bound: ?{term.name}")
+            return F.col(term.name)
+        if isinstance(term, Iri):
+            return F.lit(term.iri)
+        raise ValueError(f"literal in template {position} position")
+
+    frames = []
+    for s, p, o in q.template:
+        subj = node_col(s, "subject")
+        pred = node_col(p, "predicate")
+        if isinstance(o, Lit):
+            kind = F.lit("literal")
+            obj_iri = null_s
+            lex = F.lit(o.lex)
+            dt = F.lit(o.dt or vocab.XSD_STRING)
+        elif isinstance(o, Iri):
+            kind = F.lit("iri")
+            obj_iri = F.lit(o.iri)
+            lex, dt = null_s, null_s
+        else:
+            if o.name not in bound:
+                raise ValueError(f"CONSTRUCT template variable never bound: ?{o.name}")
+            b = F.col(o.name)
+            is_lit = b.startswith('"')
+            kind = F.when(is_lit, F.lit("literal")).otherwise(F.lit("iri"))
+            obj_iri = F.when(~is_lit, b)
+            lex = F.when(is_lit, _lex_of(b))
+            # greedy match -> the LAST "^^ delimiter, same as _lex_of
+            dt = F.when(is_lit, F.regexp_extract(b, r'^".*"\^\^(.*)$', 1))
+        frames.append(
+            acc.select(
+                subj.alias("subj"),
+                pred.alias("pred"),
+                kind.alias("obj_kind"),
+                obj_iri.alias("obj_iri"),
+                lex.alias("obj_lexical"),
+                dt.alias("obj_datatype"),
+            ).filter(
+                # an unbound (OPTIONAL-null) variable anywhere in the
+                # template skips that instantiation, per SPARQL CONSTRUCT
+                F.col("subj").isNotNull()
+                & F.col("pred").isNotNull()
+                & (F.col("obj_iri").isNotNull() | F.col("obj_lexical").isNotNull())
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    out = out.distinct()
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
 def execute_sparql(triples: DataFrame, query_text: str) -> DataFrame:
     """Parse + execute a generated SPARQL query against the triples frame —
     one binding row per group-pattern match, one column per SELECT variable,
-    ORDER BY / LIMIT / OFFSET applied after projection."""
+    ORDER BY / LIMIT / OFFSET applied after projection. CONSTRUCT returns a
+    TRIPLES-shaped frame; ASK returns a single boolean `ask` row."""
     q = parse_query(query_text)
     acc, bound = execute_group(triples, q.group, q.prefixes)
+    if q.form == "construct":
+        return _construct(acc, bound, q)
+    if q.form == "ask":
+        return acc.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+    agg_items = [it for it in q.select_items if it.agg]
+    if q.group_by and not agg_items:
+        raise ValueError("GROUP BY without an aggregate in SELECT")
+    if agg_items:
+        return _aggregate(acc, bound, q)
     if q.select_vars:
         names = [v.lstrip("?") for v in q.select_vars]
         missing = [v for v in names if v not in bound]

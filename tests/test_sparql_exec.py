@@ -381,3 +381,125 @@ def test_path_star_rejected_loudly(spark):
             _chain(spark),
             "PREFIX ex: <http://example.org/>\nSELECT ?x ?y WHERE { ?x ex:next* ?y . }",
         )
+
+
+# ---------------------------------------------------------------------------
+# aggregates: COUNT/SUM/AVG/MIN/MAX + GROUP BY
+# ---------------------------------------------------------------------------
+
+
+def test_aggregate_group_by(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?seg (COUNT(*) AS ?n) (SUM(?total) AS ?revenue) WHERE {
+  ?ord ex:by ?cust .
+  ?ord ex:total ?total .
+  ?cust ex:seg ?seg .
+} GROUP BY ?seg ORDER BY ?seg""",
+    )
+    rows = [(r["seg"], r["n"], r["revenue"]) for r in out.collect()]
+    assert rows == [
+        (se.lit_binding("AUTO", vocab.XSD_STRING), 2, 250000.0),
+        (se.lit_binding("BUILDING", vocab.XSD_STRING), 1, 150000.0),
+    ]
+
+
+def test_aggregate_global_and_distinct_count(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT (COUNT(DISTINCT ?cust) AS ?n_cust) (AVG(?total) AS ?mean) (MIN(?ord) AS ?first) WHERE {
+  ?ord ex:by ?cust .
+  ?ord ex:total ?total .
+}""",
+    )
+    r = out.collect()[0]
+    assert r["n_cust"] == 3
+    assert abs(r["mean"] - (150000 + 50000 + 200000) / 3) < 1e-9
+    assert r["first"] == EX + "o1"
+
+
+def test_aggregate_validation_is_loud(spark):
+    t = _shop(spark)
+    with pytest.raises(ValueError, match="outside GROUP BY"):
+        se.execute_sparql(
+            t,
+            """PREFIX ex: <http://example.org/>
+SELECT ?cust (COUNT(*) AS ?n) WHERE { ?ord ex:by ?cust . }""",
+        )
+    with pytest.raises(ValueError, match="GROUP BY without an aggregate"):
+        se.execute_sparql(
+            t,
+            "PREFIX ex: <http://example.org/>\nSELECT ?cust WHERE { ?ord ex:by ?cust . } GROUP BY ?cust",
+        )
+    with pytest.raises(ValueError, match="HAVING"):
+        se.execute_sparql(
+            t,
+            """PREFIX ex: <http://example.org/>
+SELECT ?cust (COUNT(*) AS ?n) WHERE { ?ord ex:by ?cust . } GROUP BY ?cust HAVING (?n > 1)""",
+        )
+
+
+def test_aggregate_non_numeric_sum_is_null(spark):
+    """SUM over a non-numeric literal: the try_cast yields NULL per row, so
+    the aggregate is NULL — SPARQL's error, not a crash or a zero."""
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT (SUM(?seg) AS ?s) WHERE { ?cust ex:seg ?seg . }""",
+    )
+    assert out.collect()[0]["s"] is None
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT / ASK query forms
+# ---------------------------------------------------------------------------
+
+
+def test_construct_builds_triples_frame(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+CONSTRUCT {
+  ?cust ex:label ?seg .
+  ?cust a ex:Customer .
+} WHERE {
+  ?ord ex:by ?cust .
+  ?cust ex:seg ?seg .
+}""",
+    )
+    assert out.columns == [
+        "subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"
+    ]
+    rows = {(r["subj"], r["pred"], r["obj_kind"], r["obj_iri"], r["obj_lexical"])
+            for r in out.collect()}
+    # distinct set semantics: one typed triple + one label triple per customer
+    assert (EX + "c1", vocab.RDF_TYPE, "iri", EX + "Customer", None) in rows
+    assert (EX + "c2", EX + "label", "literal", None, "AUTO") in rows
+    assert len(rows) == 6
+
+
+def test_construct_skips_unbound_optional_instantiations(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+CONSTRUCT { ?cust ex:contact ?phone . } WHERE {
+  ?ord ex:by ?cust .
+  OPTIONAL { ?cust ex:phone ?phone . }
+}""",
+    )
+    rows = [(r["subj"], r["obj_lexical"]) for r in out.collect()]
+    assert rows == [(EX + "c1", "11-222")]
+
+
+def test_ask_form(spark):
+    t = _shop(spark)
+    yes = se.execute_sparql(
+        t, 'PREFIX ex: <http://example.org/>\nASK { ?c ex:seg "BUILDING" . }'
+    )
+    assert [r["ask"] for r in yes.collect()] == [True]
+    no = se.execute_sparql(
+        t, 'PREFIX ex: <http://example.org/>\nASK { ?c ex:seg "MACHINERY" . }'
+    )
+    assert [r["ask"] for r in no.collect()] == [False]
