@@ -768,6 +768,49 @@ CONSTRUCT {
     return execute_sparql(triples, query)
 
 
+def _kg_sparql_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER NOT EXISTS execution (operators/sparql_exec.py): the subgroup
+    (with its own inner FILTER) runs as a group, then anti-joins the outer
+    bindings on the shared variable — one LeftAnti hash join, no correlated
+    subquery. Orders whose customer does NOT have a balance over 5000."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+    from rdfcmap_spark import vocab as V
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    EX = "http://example.org/"
+    null_s = F.lit(None).cast("string")
+
+    def t(subj, pred, kind, obj_iri, lex, dt):
+        return F.struct(
+            subj.cast("string").alias("subj"), pred.cast("string").alias("pred"),
+            kind.cast("string").alias("obj_kind"), obj_iri.cast("string").alias("obj_iri"),
+            lex.cast("string").alias("obj_lexical"), dt.cast("string").alias("obj_datatype"),
+            null_s.alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    ord_t = orders.select(t(
+        F.concat(F.lit(EX + "order/"), F.col("o_orderkey").cast("string")),
+        F.lit(EX + "by"), F.lit("iri"),
+        F.concat(F.lit(EX + "customer/"), F.col("o_custkey").cast("string")),
+        null_s, null_s,
+    ).alias("x")).select("x.*")
+    bal_t = customer.select(t(
+        F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string")),
+        F.lit(EX + "balance"), F.lit("literal"), null_s,
+        F.col("c_acctbal").cast("string"), F.lit(V.XSD + "decimal"),
+    ).alias("x")).select("x.*")
+    triples = ord_t.unionByName(bal_t)
+    query = """
+PREFIX ex: <http://example.org/>
+SELECT ?ord WHERE {
+  ?ord ex:by ?cust .
+  FILTER NOT EXISTS { ?cust ex:balance ?b . FILTER(?b > 5000) }
+}
+"""
+    return execute_sparql(triples, query)
+
+
 def _o3_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic positioned concept maps from ``part``: 20 maps, dense
     0..359 coordinate range so the O3 probe-and-bump actually fires."""
@@ -912,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path": _kg_sparql_path,
         "kg_sparql_agg": _kg_sparql_agg,
         "kg_sparql_construct": _kg_sparql_construct,
+        "kg_sparql_not_exists": _kg_sparql_not_exists,
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_canonical_mapping": _kg_canonical_mapping,
@@ -1773,6 +1817,15 @@ SELECT DISTINCT * FROM (
          'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri',
          'http://example.org/ActiveCustomer', NULL, NULL
   FROM active
+)
+"""
+
+    sql["kg_sparql_not_exists"] = r"""
+SELECT 'http://example.org/order/' || CAST(o.o_orderkey AS VARCHAR) AS ord
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000
 )
 """
 

@@ -40,7 +40,10 @@ Execution model (Spark-first, not a SPARQL-algebra port):
   lexical extraction as FILTER comparisons;
 * property paths in predicate position: ``p+`` (transitive closure via
   distributed pointer-doubling, predicate filter pushed below the
-  closure), ``^p`` (inverse), ``p1/p2`` (sequence composition).
+  closure), ``^p`` (inverse), ``p1/p2`` (sequence composition);
+* ``FILTER [NOT] EXISTS { … }`` → left-semi / left-anti joins on the
+  shared variables; ``MINUS { … }`` → left-anti (disjoint-domain MINUS is
+  a no-op per spec). GRAPH/SERVICE/BIND/VALUES remain loud errors.
 
 Binding encoding: subjects/predicates bind the raw IRI string; objects bind
 the raw IRI for resource objects and the collision-free token
@@ -110,6 +113,9 @@ class Group:
     filters: list[str]  #: raw FILTER expression texts, compiled at execution
     optionals: list["Group"]
     unions: list[list["Group"]]  #: each entry = the branches of one UNION chain
+    exists: tuple["Group", ...] = ()  #: FILTER EXISTS { … } subgroups
+    not_exists: tuple["Group", ...] = ()  #: FILTER NOT EXISTS { … } subgroups
+    minuses: tuple["Group", ...] = ()  #: MINUS { … } subgroups
 
 
 @dataclass(frozen=True)
@@ -327,9 +333,10 @@ def _next_structural(body: str, i: int) -> int:
             continue
         if c == "{":
             return j
-        if re.match(r"(?i)(?:OPTIONAL\s*\{|FILTER\s*\()", body[j:]) and (
-            j == 0 or not (body[j - 1].isalnum() or body[j - 1] in "_:?")
-        ):
+        if re.match(
+            r"(?i)(?:OPTIONAL\s*\{|FILTER\s*\(|FILTER\s+(?:NOT\s+)?EXISTS\s*\{|MINUS\s*\{)",
+            body[j:],
+        ) and (j == 0 or not (body[j - 1].isalnum() or body[j - 1] in "_:?")):
             return j
         j += 1
     return n
@@ -337,13 +344,16 @@ def _next_structural(body: str, i: int) -> int:
 
 def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
     """Parse one group graph pattern body (text between its braces)."""
-    for bad in ("GRAPH", "MINUS", "SERVICE", "BIND", "VALUES"):
+    for bad in ("GRAPH", "SERVICE", "BIND", "VALUES"):
         # reject before structure-parsing: a loud error beats silent misparse
         if re.search(rf"(?i)\b{bad}\s*[({{]", body) or re.search(rf"(?i)\b{bad}\s+\?", body):
             raise ValueError(f"unsupported SPARQL construct in executor: {bad}")
     filters: list[str] = []
     optionals: list[Group] = []
     unions: list[list[Group]] = []
+    exists: list[Group] = []
+    not_exists: list[Group] = []
+    minuses: list[Group] = []
     plain: list[str] = []
     i, n = 0, len(body)
     while i < n:
@@ -355,6 +365,21 @@ def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
             start = i + mo.end() - 1
             end = _matching(body, start, "{", "}")
             optionals.append(_parse_group(body[start + 1 : end], prefixes))
+            i = end + 1
+            continue
+        me = re.match(r"(?i)FILTER\s+(NOT\s+)?EXISTS\s*\{", body[i:])
+        if me:
+            start = i + me.end() - 1
+            end = _matching(body, start, "{", "}")
+            sub = _parse_group(body[start + 1 : end], prefixes)
+            (not_exists if me.group(1) else exists).append(sub)
+            i = end + 1
+            continue
+        mm = re.match(r"(?i)MINUS\s*\{", body[i:])
+        if mm:
+            start = i + mm.end() - 1
+            end = _matching(body, start, "{", "}")
+            minuses.append(_parse_group(body[start + 1 : end], prefixes))
             i = end + 1
             continue
         mf = re.match(r"(?i)FILTER\s*\(", body[i:])
@@ -385,7 +410,10 @@ def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
         plain.append(body[i:nxt])
         i = nxt
     patterns = _parse_statements(" ".join(plain), prefixes)
-    return Group(patterns, filters, optionals, unions)
+    return Group(
+        patterns, filters, optionals, unions,
+        tuple(exists), tuple(not_exists), tuple(minuses),
+    )
 
 
 def parse_query(text: str) -> ParsedQuery:
@@ -1015,6 +1043,21 @@ def execute_group(
             acc = acc.join(f, F.lit(True), "left")
         bound |= set(ovars)
         optional_vars |= new
+    for sub, how, is_minus in (
+        [(g, "left_semi", False) for g in group.exists]
+        + [(g, "left_anti", False) for g in group.not_exists]
+        + [(g, "left_anti", True) for g in group.minuses]
+    ):
+        f, svars = execute_group(triples, sub, prefixes)
+        shared = sorted(bound & svars)
+        if not shared:
+            if is_minus:
+                continue  # MINUS with disjoint domains removes nothing (spec)
+            raise ValueError(
+                "EXISTS/NOT EXISTS subgroup shares no variable with the outer group"
+            )
+        # semi/anti joins never duplicate left rows — no distinct needed
+        acc = acc.join(f.select(*shared), shared, how)
     for ftext in group.filters:
         acc = acc.filter(compile_filter(ftext, prefixes, bound))
     return acc, bound

@@ -214,3 +214,30 @@ def test_bgp_executor_pushes_constants_to_scan(spark, tmp_path):
     assert [tuple(r) for r in out.collect()] == [
         (EX + "a", '"40"^^' + vocab.XSD + "integer")
     ]
+
+
+def test_not_exists_plans_left_anti_join(spark, tmp_path):
+    """FILTER NOT EXISTS must plan as ONE LeftAnti hash join on the shared
+    variable — not a correlated per-row probe, not a cartesian."""
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+    from rdfcmap_spark.schemas import TRIPLES
+
+    EX = "http://example.org/"
+    rows = [
+        (EX + "o1", EX + "by", "iri", EX + "c1", None, None, None, None),
+        (EX + "c1", EX + "balance", "literal", None, "9000", vocab.XSD + "decimal", None, None),
+    ]
+    path = str(tmp_path / "ne_triples.parquet")
+    spark.createDataFrame(rows, TRIPLES).write.parquet(path)
+    t = spark.read.parquet(path)
+    out = execute_sparql(
+        t,
+        "PREFIX ex: <http://example.org/>\n"
+        "SELECT ?ord WHERE {\n  ?ord ex:by ?cust .\n"
+        "  FILTER NOT EXISTS { ?cust ex:balance ?b . FILTER(?b > 5000) }\n}",
+    )
+    p = plan_of(out)
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert out.count() == 0  # c1's balance disqualifies the only order

@@ -56,8 +56,8 @@ SELECT DISTINCT ?x ?age WHERE {
 
 
 def test_parse_rejects_non_bgp_constructs():
-    with pytest.raises(ValueError, match="MINUS"):
-        se.parse_query("SELECT ?x WHERE {\n  ?x ex:p ?y .\n  MINUS { ?x ex:q ?z . }\n}")
+    with pytest.raises(ValueError, match="GRAPH"):
+        se.parse_query("SELECT ?x WHERE {\n  ?x ex:p ?y .\n  GRAPH ?g { ?x ex:q ?z . }\n}")
     with pytest.raises(ValueError, match="BIND"):
         se.parse_query("SELECT ?x WHERE {\n  ?x ex:p ?y .\n  BIND(?y AS ?z)\n}")
 
@@ -503,3 +503,68 @@ def test_ask_form(spark):
         t, 'PREFIX ex: <http://example.org/>\nASK { ?c ex:seg "MACHINERY" . }'
     )
     assert [r["ask"] for r in no.collect()] == [False]
+
+
+# ---------------------------------------------------------------------------
+# FILTER [NOT] EXISTS and MINUS
+# ---------------------------------------------------------------------------
+
+
+def test_not_exists_anti_join(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?cust WHERE {
+  ?ord ex:by ?cust .
+  FILTER NOT EXISTS { ?cust ex:phone ?p . }
+}""",
+    )
+    assert sorted(r["cust"] for r in out.collect()) == [EX + "c2", EX + "c3"]
+
+
+def test_exists_semi_join_with_inner_filter(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?ord WHERE {
+  ?ord ex:by ?cust .
+  FILTER EXISTS { ?ord ex:total ?t . FILTER(?t >= 150000) }
+}""",
+    )
+    assert sorted(r["ord"] for r in out.collect()) == [EX + "o1", EX + "o3"]
+
+
+def test_minus_removes_compatible_bindings(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?ord WHERE {
+  ?ord ex:by ?cust .
+  MINUS { ?ord ex:by <http://example.org/c1> . }
+}""",
+    )
+    assert sorted(r["ord"] for r in out.collect()) == [EX + "o2", EX + "o3"]
+
+
+def test_minus_disjoint_domain_is_noop(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?ord WHERE {
+  ?ord ex:total ?t .
+  MINUS { ?x ex:phone ?p . }
+}""",
+    )
+    assert out.count() == 3  # spec: disjoint domains remove nothing
+
+
+def test_exists_no_shared_var_is_loud(spark):
+    with pytest.raises(ValueError, match="shares no variable"):
+        se.execute_sparql(
+            _shop(spark),
+            """PREFIX ex: <http://example.org/>
+SELECT ?ord WHERE {
+  ?ord ex:total ?t .
+  FILTER NOT EXISTS { ?x ex:phone ?p . }
+}""",
+        )
