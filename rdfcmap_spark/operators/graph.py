@@ -171,28 +171,28 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
 
     _lvl = StorageLevel.MEMORY_AND_DISK
     closure = edges.select("src", "dst").distinct().localCheckpoint(storageLevel=_lvl)
+    n = closure.count()
     for _ in range(max_rounds):
-        # self-joins of a checkpointed frame by alias hit analyzer attribute
-        # collisions (key-not-found during the next checkpoint); rename
-        # projections mint fresh attribute ids, which sidesteps it
+        # ONE materialization per round: next = distinct(closure ∪ closure²),
+        # convergence by count. (A grown-minus-known anti-join variant costs
+        # a second eager checkpoint per round — measured slower at any scale
+        # where the fixed per-materialization cost matters.) Self-joins of a
+        # checkpointed frame by alias hit analyzer attribute collisions
+        # (key-not-found during the next checkpoint); rename projections
+        # mint fresh attribute ids, which sidesteps it.
         right = closure.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
-        known = closure.select(F.col("src").alias("ks"), F.col("dst").alias("kd"))
-        grown = (
-            closure.join(right, F.col("dst") == F.col("mid"))
-            .select("src", F.col("dst2").alias("dst"))
-            .distinct()
-            .join(
-                known,
-                (F.col("src") == F.col("ks")) & (F.col("dst") == F.col("kd")),
-                "left_anti",
+        nxt = (
+            closure.unionByName(
+                closure.join(right, F.col("dst") == F.col("mid"))
+                .select("src", F.col("dst2").alias("dst"))
             )
+            .distinct()
             .localCheckpoint(storageLevel=_lvl)
         )
-        if grown.isEmpty():
-            grown.unpersist()
+        m = nxt.count()
+        if m == n:
+            nxt.unpersist()
             break
-        prev = closure
-        closure = closure.unionByName(grown).localCheckpoint(storageLevel=_lvl)
-        prev.unpersist()
-        grown.unpersist()
+        closure.unpersist()
+        closure, n = nxt, m
     return closure
