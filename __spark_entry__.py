@@ -811,6 +811,45 @@ SELECT ?ord WHERE {
     return execute_sparql(triples, query)
 
 
+def _kg_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE + VALUES execution (operators/sparql_exec.py): the inline
+    VALUES table broadcast-joins into the BGP as the most selective unit,
+    then DESCRIBE semi-joins the triples frame once against the matched
+    node set and returns their distinct subject-description graph."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+    from rdfcmap_spark import vocab as V
+
+    customer = load(spark, sf_dir, "customer")
+    EX = "http://example.org/"
+    null_s = F.lit(None).cast("string")
+
+    def t(subj, pred, kind, obj_iri, lex, dt):
+        return F.struct(
+            subj.cast("string").alias("subj"), pred.cast("string").alias("pred"),
+            kind.cast("string").alias("obj_kind"), obj_iri.cast("string").alias("obj_iri"),
+            lex.cast("string").alias("obj_lexical"), dt.cast("string").alias("obj_datatype"),
+            null_s.alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    csub = F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string"))
+    triples = customer.select(F.explode(F.array(
+        t(csub, F.lit(EX + "mktsegment"), F.lit("literal"), null_s,
+          F.col("c_mktsegment"), F.lit(V.XSD_STRING)),
+        t(csub, F.lit(EX + "inNation"), F.lit("iri"),
+          F.concat(F.lit(EX + "nation/"), F.col("c_nationkey").cast("string")), null_s, null_s),
+        t(csub, F.lit(EX + "hasName"), F.lit("literal"), null_s,
+          F.col("c_name"), F.lit(V.XSD_STRING)),
+    )).alias("x")).select("x.*")
+    query = """
+PREFIX ex: <http://example.org/>
+DESCRIBE ?cust WHERE {
+  VALUES ?seg { "BUILDING" "MACHINERY" }
+  ?cust ex:mktsegment ?seg .
+}
+"""
+    return execute_sparql(triples, query)
+
+
 def _o3_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic positioned concept maps from ``part``: 20 maps, dense
     0..359 coordinate range so the O3 probe-and-bump actually fires."""
@@ -956,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": _kg_sparql_agg,
         "kg_sparql_construct": _kg_sparql_construct,
         "kg_sparql_not_exists": _kg_sparql_not_exists,
+        "kg_sparql_describe": _kg_sparql_describe,
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_canonical_mapping": _kg_canonical_mapping,
@@ -1827,6 +1867,28 @@ WHERE NOT EXISTS (
   SELECT 1 FROM customer c
   WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000
 )
+"""
+
+    sql["kg_sparql_describe"] = r"""
+WITH m AS (
+  SELECT * FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+)
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS subj,
+       'http://example.org/mktsegment' AS pred,
+       'literal' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_iri,
+       c_mktsegment AS obj_lexical,
+       'http://www.w3.org/2001/XMLSchema#string' AS obj_datatype
+FROM m
+UNION ALL
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR),
+       'http://example.org/inNation', 'iri',
+       'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR), NULL, NULL
+FROM m
+UNION ALL
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR),
+       'http://example.org/hasName', 'literal', NULL,
+       c_name, 'http://www.w3.org/2001/XMLSchema#string'
+FROM m
 """
 
     # --- the four pipeline-level queries: full-pipeline SQL re-implementation

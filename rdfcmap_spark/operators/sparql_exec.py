@@ -43,7 +43,11 @@ Execution model (Spark-first, not a SPARQL-algebra port):
   closure), ``^p`` (inverse), ``p1/p2`` (sequence composition);
 * ``FILTER [NOT] EXISTS { … }`` → left-semi / left-anti joins on the
   shared variables; ``MINUS { … }`` → left-anti (disjoint-domain MINUS is
-  a no-op per spec). GRAPH/SERVICE/BIND/VALUES remain loud errors.
+  a no-op per spec);
+* ``VALUES`` inline tables → broadcast frames joined first (the most
+  selective unit; UNDEF is rejected — unbound-compatible join semantics
+  diverge from SQL null joins); ``DESCRIBE`` → one left-semi
+  node-description scan. GRAPH/SERVICE/BIND remain loud errors.
 
 Binding encoding: subjects/predicates bind the raw IRI string; objects bind
 the raw IRI for resource objects and the collision-free token
@@ -116,6 +120,8 @@ class Group:
     exists: tuple["Group", ...] = ()  #: FILTER EXISTS { … } subgroups
     not_exists: tuple["Group", ...] = ()  #: FILTER NOT EXISTS { … } subgroups
     minuses: tuple["Group", ...] = ()  #: MINUS { … } subgroups
+    #: VALUES blocks: (var names, rows of binding-encoded strings)
+    values: tuple[tuple[tuple[str, ...], tuple[tuple[str, ...], ...]], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -142,8 +148,9 @@ class ParsedQuery:
     offset: int | None = None
     select_items: tuple[SelectItem, ...] = ()
     group_by: tuple[str, ...] = ()
-    form: str = "select"  #: 'select' | 'construct' | 'ask'
+    form: str = "select"  #: 'select' | 'construct' | 'ask' | 'describe'
     template: tuple[Pattern, ...] = ()  #: CONSTRUCT template patterns
+    describe_iris: tuple[str, ...] = ()  #: constant DESCRIBE targets
 
 
 _TERM_RE = re.compile(
@@ -334,7 +341,8 @@ def _next_structural(body: str, i: int) -> int:
         if c == "{":
             return j
         if re.match(
-            r"(?i)(?:OPTIONAL\s*\{|FILTER\s*\(|FILTER\s+(?:NOT\s+)?EXISTS\s*\{|MINUS\s*\{)",
+            r"(?i)(?:OPTIONAL\s*\{|FILTER\s*\(|FILTER\s+(?:NOT\s+)?EXISTS\s*\{"
+            r"|MINUS\s*\{|VALUES\s*[(?])",
             body[j:],
         ) and (j == 0 or not (body[j - 1].isalnum() or body[j - 1] in "_:?")):
             return j
@@ -342,9 +350,57 @@ def _next_structural(body: str, i: int) -> int:
     return n
 
 
+def _binding_of(term: Term) -> str:
+    """The binding-encoded string a constant term contributes (VALUES rows)."""
+    if isinstance(term, Iri):
+        return term.iri
+    if isinstance(term, Lit):
+        return lit_binding(term.lex, term.dt)
+    raise ValueError("variable inside a VALUES data row")
+
+
+def _parse_values(block: str, vars_text: str, prefixes: dict[str, str]):
+    """One VALUES block -> (var names, rows of binding strings)."""
+    if re.search(r"(?i)\bUNDEF\b", block):
+        raise ValueError(
+            "UNDEF in VALUES is not supported (unbound-compatible join"
+            " semantics diverge from SQL null joins)"
+        )
+    names = tuple(v[1:] for v in re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", vars_text))
+    if not names:
+        raise ValueError("VALUES with no variables")
+    terms: list[str] = []
+    rows: list[tuple[str, ...]] = []
+    depth_rows = "(" in block
+    if depth_rows:
+        for mrow in re.finditer(r"\(([^()]*)\)", block):
+            row = [
+                _binding_of(t)
+                for t in (_term_of(m, prefixes) for m in _TERM_RE.finditer(mrow.group(1)))
+                if t is not None
+            ]
+            if len(row) != len(names):
+                raise ValueError(
+                    f"VALUES row width {len(row)} != variable count {len(names)}"
+                )
+            rows.append(tuple(row))
+    else:
+        if len(names) != 1:
+            raise ValueError("multi-variable VALUES rows must be parenthesized")
+        terms = [
+            _binding_of(t)
+            for t in (_term_of(m, prefixes) for m in _TERM_RE.finditer(block))
+            if t is not None
+        ]
+        rows = [(v,) for v in terms]
+    if not rows:
+        raise ValueError("empty VALUES block")
+    return names, tuple(rows)
+
+
 def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
     """Parse one group graph pattern body (text between its braces)."""
-    for bad in ("GRAPH", "SERVICE", "BIND", "VALUES"):
+    for bad in ("GRAPH", "SERVICE", "BIND"):
         # reject before structure-parsing: a loud error beats silent misparse
         if re.search(rf"(?i)\b{bad}\s*[({{]", body) or re.search(rf"(?i)\b{bad}\s+\?", body):
             raise ValueError(f"unsupported SPARQL construct in executor: {bad}")
@@ -354,6 +410,7 @@ def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
     exists: list[Group] = []
     not_exists: list[Group] = []
     minuses: list[Group] = []
+    values_blocks: list = []
     plain: list[str] = []
     i, n = 0, len(body)
     while i < n:
@@ -380,6 +437,15 @@ def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
             start = i + mm.end() - 1
             end = _matching(body, start, "{", "}")
             minuses.append(_parse_group(body[start + 1 : end], prefixes))
+            i = end + 1
+            continue
+        mv = re.match(r"(?i)VALUES\s*(\([^)]*\)|\?[A-Za-z_][A-Za-z0-9_]*)\s*\{", body[i:])
+        if mv:
+            start = i + mv.end() - 1
+            end = _matching(body, start, "{", "}")
+            values_blocks.append(
+                _parse_values(body[start + 1 : end], mv.group(1), prefixes)
+            )
             i = end + 1
             continue
         mf = re.match(r"(?i)FILTER\s*\(", body[i:])
@@ -412,7 +478,7 @@ def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
     patterns = _parse_statements(" ".join(plain), prefixes)
     return Group(
         patterns, filters, optionals, unions,
-        tuple(exists), tuple(not_exists), tuple(minuses),
+        tuple(exists), tuple(not_exists), tuple(minuses), tuple(values_blocks),
     )
 
 
@@ -431,10 +497,35 @@ def parse_query(text: str) -> ParsedQuery:
     for m in re.finditer(r"(?i)\bprefix\s+([A-Za-z][\w.-]*):\s*<([^<>]*)>", text):
         prefixes[m.group(1)] = m.group(2)
 
-    mform = re.search(r"(?i)\b(select|construct|ask)\b", text)
+    mform = re.search(r"(?i)\b(select|construct|ask|describe)\b", text)
     if not mform:
-        raise ValueError("no SELECT / CONSTRUCT / ASK in SPARQL text")
+        raise ValueError("no SELECT / CONSTRUCT / ASK / DESCRIBE in SPARQL text")
     form = mform.group(1).lower()
+
+    if form == "describe":
+        rest = text[mform.end() :]
+        brace = rest.find("{")
+        head = rest if brace == -1 else rest[:brace]
+        dvars = re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", head)
+        iris = [m[1:-1] for m in re.findall(r"<[^<>]*>", head)]
+        iris += [
+            _resolve_pname(p, prefixes)
+            for p in re.findall(r"(?<![<?\w])([A-Za-z][\w.-]*:[\w.%-]+)", head)
+            if not re.match(r"(?i)where$", p)
+        ]
+        if not dvars and not iris:
+            raise ValueError("DESCRIBE with no targets")
+        group = None
+        if brace != -1:
+            open_idx = mform.end() + brace
+            close_idx = _matching(text, open_idx, "{", "}")
+            group = _parse_group(text[open_idx + 1 : close_idx], prefixes)
+        elif dvars:
+            raise ValueError("DESCRIBE ?var requires a WHERE group")
+        return ParsedQuery(
+            dvars, False, group.patterns if group else [], prefixes,
+            group=group, form="describe", describe_iris=tuple(iris),
+        )
 
     if form in ("construct", "ask"):
         template: tuple[Pattern, ...] = ()
@@ -1010,6 +1101,13 @@ def execute_group(
         (*_pattern_frame(triples, p), sum(1 for t in p if not isinstance(t, Var)))
         for p in group.patterns
     ]
+    for names, rows in group.values:
+        vf = triples.sparkSession.createDataFrame(
+            list(rows), ", ".join(f"{n} string" for n in names)
+        )
+        # an inline table is by construction tiny: broadcast it, and give it
+        # top join priority (it is the most selective unit)
+        units.append((F.broadcast(vf), list(names), 3))
     for branches in group.unions:
         executed = [execute_group(triples, b, prefixes) for b in branches]
         varsets = [frozenset(vs) for _, vs in executed]
@@ -1180,12 +1278,47 @@ def _construct(acc: DataFrame, bound: set[str], q: ParsedQuery) -> DataFrame:
     return out
 
 
+def _describe(triples: DataFrame, q: ParsedQuery) -> DataFrame:
+    """DESCRIBE: every triple whose subject is a described node — one
+    left-semi join of the triples frame against the distinct node set (the
+    graph is scanned once however many nodes match; AQE converts the semi
+    join to broadcast at runtime when the node set is small, and a
+    million-node DESCRIBE still works as a shuffle join — no forced
+    broadcast)."""
+    spark = triples.sparkSession
+    frames = []
+    if q.select_vars:
+        acc, bound = execute_group(triples, q.group, q.prefixes)
+        names = [v.lstrip("?") for v in q.select_vars]
+        missing = [v for v in names if v not in bound]
+        if missing:
+            raise ValueError(f"DESCRIBE variables never bound: {missing}")
+        for v in names:
+            frames.append(acc.select(F.col(v).alias("node")))
+    if q.describe_iris:
+        frames.append(
+            spark.createDataFrame([(i,) for i in q.describe_iris], "node string")
+        )
+    nodes = frames[0]
+    for f in frames[1:]:
+        nodes = nodes.unionByName(f)
+    nodes = nodes.distinct()
+    return (
+        triples.join(nodes, F.col("subj") == F.col("node"), "left_semi")
+        .select("subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype")
+        .distinct()
+    )
+
+
 def execute_sparql(triples: DataFrame, query_text: str) -> DataFrame:
     """Parse + execute a generated SPARQL query against the triples frame —
     one binding row per group-pattern match, one column per SELECT variable,
     ORDER BY / LIMIT / OFFSET applied after projection. CONSTRUCT returns a
-    TRIPLES-shaped frame; ASK returns a single boolean `ask` row."""
+    TRIPLES-shaped frame; ASK returns a single boolean `ask` row; DESCRIBE
+    returns the distinct subject-description graph of its targets."""
     q = parse_query(query_text)
+    if q.form == "describe":
+        return _describe(triples, q)
     acc, bound = execute_group(triples, q.group, q.prefixes)
     if q.form == "construct":
         return _construct(acc, bound, q)

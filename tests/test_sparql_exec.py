@@ -568,3 +568,76 @@ SELECT ?ord WHERE {
   FILTER NOT EXISTS { ?x ex:phone ?p . }
 }""",
         )
+
+
+# ---------------------------------------------------------------------------
+# VALUES and DESCRIBE
+# ---------------------------------------------------------------------------
+
+
+def test_values_single_var_restricts_bindings(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?ord ?cust WHERE {
+  VALUES ?cust { <http://example.org/c1> <http://example.org/c3> }
+  ?ord ex:by ?cust .
+}""",
+    )
+    got = sorted((r["ord"][-2:], r["cust"][-2:]) for r in out.collect())
+    assert got == [("o1", "c1"), ("o3", "c3")]
+
+
+def test_values_multi_var_rows_join(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?ord ?label WHERE {
+  VALUES (?cust ?label) {
+    (<http://example.org/c1> "first")
+    (<http://example.org/c2> "second")
+  }
+  ?ord ex:by ?cust .
+}""",
+    )
+    got = sorted((r["ord"][-2:], r["label"]) for r in out.collect())
+    assert got == [
+        ("o1", se.lit_binding("first", vocab.XSD_STRING)),
+        ("o2", se.lit_binding("second", vocab.XSD_STRING)),
+    ]
+
+
+def test_values_undef_rejected(spark):
+    with pytest.raises(ValueError, match="UNDEF"):
+        se.execute_sparql(
+            _shop(spark),
+            "PREFIX ex: <http://example.org/>\n"
+            "SELECT ?o WHERE { VALUES ?c { UNDEF } ?o ex:by ?c . }",
+        )
+
+
+def test_describe_iri_constant(spark):
+    out = se.execute_sparql(
+        _shop(spark), "DESCRIBE <http://example.org/c1>"
+    )
+    rows = {(r["pred"], r["obj_lexical"]) for r in out.collect()}
+    assert rows == {(EX + "seg", "BUILDING"), (EX + "phone", "11-222")}
+    assert out.columns == [
+        "subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"
+    ]
+
+
+def test_describe_var_with_where(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+DESCRIBE ?cust WHERE { ?cust ex:seg "AUTO" . }""",
+    )
+    subjects = {r["subj"] for r in out.collect()}
+    assert subjects == {EX + "c2", EX + "c3"}
+    assert out.count() == 2  # one seg triple each; no phones on c2/c3
+
+
+def test_describe_var_without_where_is_loud(spark):
+    with pytest.raises(ValueError, match="WHERE"):
+        se.execute_sparql(_shop(spark), "DESCRIBE ?x")
