@@ -850,6 +850,52 @@ DESCRIBE ?cust WHERE {
     return execute_sparql(triples, query)
 
 
+def _kg_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIND execution (operators/sparql_exec.py `compile_bind`): value
+    expressions become `withColumn` binding-encoded columns — arithmetic in
+    double (integer-valued here, so the double→string lexical is
+    formatting-stable vs DuckDB), IF/CONCAT/LCASE/STRLEN string logic, and
+    a group FILTER that references a BIND variable (whole-group filter
+    scope). No per-row Python anywhere."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+    from rdfcmap_spark import vocab as V
+
+    customer = load(spark, sf_dir, "customer")
+    EX = "http://example.org/"
+    null_s = F.lit(None).cast("string")
+
+    def t(subj, pred, kind, obj_iri, lex, dt):
+        return F.struct(
+            subj.cast("string").alias("subj"), pred.cast("string").alias("pred"),
+            kind.cast("string").alias("obj_kind"), obj_iri.cast("string").alias("obj_iri"),
+            lex.cast("string").alias("obj_lexical"), dt.cast("string").alias("obj_datatype"),
+            null_s.alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    csub = F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string"))
+    triples = customer.select(F.explode(F.array(
+        t(csub, F.lit(EX + "key"), F.lit("literal"), null_s,
+          F.col("c_custkey").cast("string"), F.lit(V.XSD + "integer")),
+        t(csub, F.lit(EX + "balance"), F.lit("literal"), null_s,
+          F.col("c_acctbal").cast("string"), F.lit(V.XSD + "decimal")),
+        t(csub, F.lit(EX + "mktsegment"), F.lit("literal"), null_s,
+          F.col("c_mktsegment"), F.lit(V.XSD_STRING)),
+    )).alias("x")).select("x.*")
+    query = """
+PREFIX ex: <http://example.org/>
+SELECT ?cust ?score ?tier ?seglen WHERE {
+  ?cust ex:key ?key .
+  ?cust ex:balance ?bal .
+  ?cust ex:mktsegment ?seg .
+  BIND(?key * 3 + 7 AS ?score)
+  BIND(IF(?bal > 5000, "high", CONCAT("low-", LCASE(?seg))) AS ?tier)
+  BIND(STRLEN(?seg) AS ?seglen)
+  FILTER(?score > 40)
+}
+"""
+    return execute_sparql(triples, query)
+
+
 def _o3_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic positioned concept maps from ``part``: 20 maps, dense
     0..359 coordinate range so the O3 probe-and-bump actually fires."""
@@ -996,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": _kg_sparql_construct,
         "kg_sparql_not_exists": _kg_sparql_not_exists,
         "kg_sparql_describe": _kg_sparql_describe,
+        "kg_sparql_bind": _kg_sparql_bind,
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_canonical_mapping": _kg_canonical_mapping,
@@ -1889,6 +1936,19 @@ SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR),
        'http://example.org/hasName', 'literal', NULL,
        c_name, 'http://www.w3.org/2001/XMLSchema#string'
 FROM m
+"""
+
+    sql["kg_sparql_bind"] = r"""
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS cust,
+       '"' || CAST(CAST(c_custkey AS DOUBLE) * 3 + 7 AS VARCHAR)
+           || '"^^http://www.w3.org/2001/XMLSchema#double' AS score,
+       '"' || CASE WHEN c_acctbal > 5000 THEN 'high'
+                   ELSE 'low-' || LOWER(c_mktsegment) END
+           || '"^^http://www.w3.org/2001/XMLSchema#string' AS tier,
+       '"' || CAST(CAST(LENGTH(c_mktsegment) AS DOUBLE) AS VARCHAR)
+           || '"^^http://www.w3.org/2001/XMLSchema#double' AS seglen
+FROM customer
+WHERE CAST(c_custkey AS DOUBLE) * 3 + 7 > 40
 """
 
     # --- the four pipeline-level queries: full-pipeline SQL re-implementation

@@ -47,7 +47,14 @@ Execution model (Spark-first, not a SPARQL-algebra port):
 * ``VALUES`` inline tables → broadcast frames joined first (the most
   selective unit; UNDEF is rejected — unbound-compatible join semantics
   diverge from SQL null joins); ``DESCRIBE`` → one left-semi
-  node-description scan. GRAPH/SERVICE/BIND remain loud errors.
+  node-description scan;
+* ``BIND(expr AS ?var)`` → ``withColumn`` over the joined group: arithmetic
+  (evaluated in double, result ``xsd:double``), STR/STRLEN/UCASE/LCASE/
+  CONCAT/SUBSTR/REPLACE (result ``xsd:string``), IF/COALESCE (binding
+  passthrough). Scoping divergence, documented: the expression sees the
+  whole group's bindings (the spec scopes it to *preceding* patterns);
+  rebinding an in-scope variable is the same loud error as the spec.
+  GRAPH/SERVICE remain loud errors.
 
 Binding encoding: subjects/predicates bind the raw IRI string; objects bind
 the raw IRI for resource objects and the collision-free token
@@ -122,6 +129,8 @@ class Group:
     minuses: tuple["Group", ...] = ()  #: MINUS { … } subgroups
     #: VALUES blocks: (var names, rows of binding-encoded strings)
     values: tuple[tuple[tuple[str, ...], tuple[tuple[str, ...], ...]], ...] = ()
+    #: BIND clauses in textual order: (raw expression text, target var name)
+    binds: tuple[tuple[str, str], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -342,7 +351,7 @@ def _next_structural(body: str, i: int) -> int:
             return j
         if re.match(
             r"(?i)(?:OPTIONAL\s*\{|FILTER\s*\(|FILTER\s+(?:NOT\s+)?EXISTS\s*\{"
-            r"|MINUS\s*\{|VALUES\s*[(?])",
+            r"|MINUS\s*\{|VALUES\s*[(?]|BIND\s*\()",
             body[j:],
         ) and (j == 0 or not (body[j - 1].isalnum() or body[j - 1] in "_:?")):
             return j
@@ -400,9 +409,11 @@ def _parse_values(block: str, vars_text: str, prefixes: dict[str, str]):
 
 def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
     """Parse one group graph pattern body (text between its braces)."""
-    for bad in ("GRAPH", "SERVICE", "BIND"):
+    for bad in ("GRAPH", "SERVICE"):
         # reject before structure-parsing: a loud error beats silent misparse
-        if re.search(rf"(?i)\b{bad}\s*[({{]", body) or re.search(rf"(?i)\b{bad}\s+\?", body):
+        if re.search(rf"(?i)\b{bad}\s*[({{]", body) or re.search(
+            rf"(?i)\b{bad}\s+[?<]", body
+        ):
             raise ValueError(f"unsupported SPARQL construct in executor: {bad}")
     filters: list[str] = []
     optionals: list[Group] = []
@@ -411,6 +422,7 @@ def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
     not_exists: list[Group] = []
     minuses: list[Group] = []
     values_blocks: list = []
+    binds: list[tuple[str, str]] = []
     plain: list[str] = []
     i, n = 0, len(body)
     while i < n:
@@ -448,6 +460,19 @@ def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
             )
             i = end + 1
             continue
+        mb = re.match(r"(?i)BIND\s*\(", body[i:])
+        if mb:
+            start = i + mb.end() - 1
+            end = _matching(body, start, "(", ")")
+            inner = body[start + 1 : end]
+            # greedy .* → the LAST "AS ?var" tail, so string constants that
+            # happen to contain " AS " don't split the expression early
+            ma = re.match(r"(?is)^(.*)\bAS\s+\?([A-Za-z_][A-Za-z0-9_]*)\s*$", inner)
+            if not ma:
+                raise ValueError("BIND must have the form BIND(expr AS ?var)")
+            binds.append((ma.group(1).strip(), ma.group(2)))
+            i = end + 1
+            continue
         mf = re.match(r"(?i)FILTER\s*\(", body[i:])
         if mf:
             start = i + mf.end() - 1
@@ -479,6 +504,7 @@ def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
     return Group(
         patterns, filters, optionals, unions,
         tuple(exists), tuple(not_exists), tuple(minuses), tuple(values_blocks),
+        tuple(binds),
     )
 
 
@@ -487,7 +513,7 @@ def parse_query(text: str) -> ParsedQuery:
     constructs: PREFIX declarations, ``SELECT [DISTINCT]``, a WHERE group
     with triple statements, ``OPTIONAL { … }``, ``FILTER(…)``,
     ``{ … } UNION { … }``, and trailing ``ORDER BY`` / ``LIMIT`` /
-    ``OFFSET``. Anything else (GRAPH/MINUS/BIND/…) raises — a loud error
+    ``OFFSET``. Anything else (GRAPH/SERVICE/…) raises — a loud error
     beats silently wrong bindings."""
     # strip full-line comments ('#' appears inside IRIs, so only line starts)
     text = "\n".join(
@@ -770,7 +796,7 @@ _F_TOK_RE = re.compile(
     | (?P<iri><[^<>]*>)
     | (?P<pname>[A-Za-z][\w.-]*:[\w.%-]+)
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|\(|\)|,)
+    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|\(|\)|,|\+|-|\*|/)
     """,
     re.VERBOSE,
 )
@@ -778,14 +804,17 @@ _F_TOK_RE = re.compile(
 
 @dataclass
 class _Opnd:
-    """A FILTER operand: a variable binding, a constant, or a str() result."""
+    """A FILTER/BIND operand: a variable binding, a constant, or a computed
+    column — 'lex' holds a lexical-form column, 'numcol' a double column
+    (arithmetic results), 'bind' a fully binding-encoded column (IF/COALESCE
+    passthrough)."""
 
-    kind: str  #: 'var' | 'num' | 'str' | 'iri' | 'lex'
+    kind: str  #: 'var' | 'num' | 'str' | 'iri' | 'lex' | 'numcol' | 'bind'
     name: str | None = None
     num: float | None = None
     s: str | None = None
     dt: str | None = None
-    col: F.Column | None = None  #: only for kind == 'lex'
+    col: F.Column | None = None  #: for kind in ('lex', 'numcol', 'bind')
 
 
 def _lex_of(col: F.Column) -> F.Column:
@@ -801,6 +830,10 @@ def _opnd_lex(o: _Opnd) -> F.Column:
         return _lex_of(F.col(o.name))
     if o.kind == "lex":
         return o.col
+    if o.kind == "numcol":
+        return o.col.cast("string")
+    if o.kind == "bind":
+        return _lex_of(o.col)
     if o.kind in ("str", "iri"):
         return F.lit(o.s)
     return F.lit(repr(o.num))
@@ -812,6 +845,8 @@ def _opnd_num(o: _Opnd) -> F.Column:
     exactly the SPARQL error→false FILTER rule."""
     if o.kind == "num":
         return F.lit(o.num)
+    if o.kind == "numcol":
+        return o.col
     if o.kind == "str":
         return F.lit(float(o.s))
     return _opnd_lex(o).try_cast("double")
@@ -829,7 +864,10 @@ _CMP = {
 
 def _compare(op: str, l: _Opnd, r: _Opnd) -> F.Column:
     def numeric(o: _Opnd) -> bool:
-        return o.kind == "num" or (o.kind == "str" and o.dt in _NUMERIC_DTS)
+        return (
+            o.kind in ("num", "numcol")
+            or (o.kind == "str" and o.dt in _NUMERIC_DTS)
+        )
 
     if numeric(l) or numeric(r):
         return _CMP[op](_opnd_num(l), _opnd_num(r))
@@ -852,8 +890,44 @@ def _compare(op: str, l: _Opnd, r: _Opnd) -> F.Column:
     return _CMP[op](_opnd_lex(l), _opnd_lex(r))
 
 
+def _binding_encode(o: _Opnd) -> F.Column:
+    """A value expression's result as a binding-encoded column (module
+    docstring encoding: raw IRI strings, ``"lex"^^dt`` literals). A NULL
+    lexical propagates to a NULL binding — SPARQL's expression-error →
+    unbound BIND rule."""
+    if o.kind == "var":
+        return F.col(o.name)
+    if o.kind == "bind":
+        return o.col
+    if o.kind == "iri":
+        return F.lit(o.s)
+    if o.kind == "num":
+        return F.lit(f'"{o.num}"^^{vocab.XSD_DOUBLE}')
+    if o.kind == "numcol":
+        return F.concat(
+            F.lit('"'), o.col.cast("string"), F.lit('"^^' + vocab.XSD_DOUBLE)
+        )
+    if o.kind == "str":
+        return F.lit(f'"{o.s}"^^{o.dt or vocab.XSD_STRING}')
+    return F.concat(F.lit('"'), o.col, F.lit('"^^' + vocab.XSD_STRING))  # lex
+
+
+def _num_binop(op: str, l: _Opnd, r: _Opnd) -> _Opnd:
+    """Arithmetic evaluated in double; non-numeric lexicals are NULL
+    (try_cast) and division by zero is NULL (try_divide), not an ANSI
+    throw — both map SPARQL expression errors onto unbound results."""
+    ln, rn = _opnd_num(l), _opnd_num(r)
+    if op == "/":
+        col = F.try_divide(ln, rn)
+    else:
+        col = {"+": ln + rn, "-": ln - rn, "*": ln * rn}[op]
+    return _Opnd("numcol", col=col)
+
+
 class _FilterParser:
-    """Recursive-descent FILTER expression → boolean pyspark Column."""
+    """Recursive-descent FILTER/BIND expression → pyspark Column (boolean
+    for FILTER via :meth:`parse`, binding-encoded for BIND via
+    :meth:`parse_value`)."""
 
     def __init__(self, text: str, prefixes: dict[str, str], bound: set[str]):
         self.toks: list[tuple[str, str, str | None]] = []
@@ -892,6 +966,12 @@ class _FilterParser:
             raise ValueError(f"trailing FILTER tokens: {self.toks[self.i:]}")
         return c
 
+    def parse_value(self) -> F.Column:
+        o = self._operand()
+        if self._peek() is not None:
+            raise ValueError(f"trailing BIND tokens: {self.toks[self.i:]}")
+        return _binding_encode(o)
+
     def _or(self) -> F.Column:
         c = self._and()
         while (t := self._peek()) and t[0] == "op" and t[1] == "||":
@@ -922,10 +1002,16 @@ class _FilterParser:
     def _primary(self) -> F.Column:
         t = self._peek()
         if t and t[0] == "op" and t[1] == "(":
+            save = self.i
             self._next()
-            c = self._or()
-            self._expect_op(")")
-            return c
+            try:
+                c = self._or()
+                self._expect_op(")")
+                return c
+            except ValueError:
+                # not a boolean group — backtrack and re-read it as an
+                # arithmetic group heading a comparison: ((?a + 1) * 2 > 4)
+                self.i = save
         if t and t[0] == "name" and t[1].lower() in (
             "bound", "regex", "contains", "strstarts", "strends", "isiri", "isuri",
             "isliteral", "langmatches",
@@ -989,8 +1075,50 @@ class _FilterParser:
         return la.endswith(lb)  # strends
 
     def _operand(self) -> _Opnd:
+        """Value expression: additive precedence level."""
+        left = self._mult()
+        while t := self._peek():
+            if t[0] == "op" and t[1] in ("+", "-"):
+                self._next()
+                left = _num_binop(t[1], left, self._mult())
+            elif t[0] == "num" and t[1][0] in "+-":
+                # the num token swallowed the sign: '?a -1' → num('-1')
+                self._next()
+                left = _num_binop(t[1][0], left, _Opnd("num", num=float(t[1][1:])))
+            else:
+                break
+        return left
+
+    def _mult(self) -> _Opnd:
+        left = self._value_atom()
+        while (t := self._peek()) and t[0] == "op" and t[1] in ("*", "/"):
+            self._next()
+            left = _num_binop(t[1], left, self._value_atom())
+        return left
+
+    def _args_until_close(self) -> list[_Opnd]:
+        """Comma-separated value expressions up to the closing paren
+        (the opening paren is already consumed)."""
+        parts = [self._operand()]
+        while (t := self._peek()) and t[0] == "op" and t[1] == ",":
+            self._next()
+            parts.append(self._operand())
+        self._expect_op(")")
+        return parts
+
+    def _str_const(self, what: str) -> str:
+        tok = self._next()
+        if tok[0] != "str":
+            raise ValueError(f"{what} must be a string literal")
+        return _unescape(tok[1][1:-1])
+
+    def _value_atom(self) -> _Opnd:
         t = self._next()
         kind, text, dt = t
+        if kind == "op" and text == "(":
+            inner = self._operand()
+            self._expect_op(")")
+            return inner
         if kind == "var":
             self.i -= 1
             return _Opnd("var", name=self._var(self._next()))
@@ -1024,13 +1152,64 @@ class _FilterParser:
                     F.col(name), r"\^\^.*langString@([A-Za-z0-9-]+)$", 1
                 ),
             )
-        raise ValueError(f"unsupported FILTER operand: {text!r}")
+        if kind == "name" and text.lower() == "strlen":
+            self._expect_op("(")
+            (inner,) = self._args_until_close()
+            return _Opnd("numcol", col=F.length(_opnd_lex(inner)).cast("double"))
+        if kind == "name" and text.lower() in ("ucase", "lcase"):
+            self._expect_op("(")
+            (inner,) = self._args_until_close()
+            f = F.upper if text.lower() == "ucase" else F.lower
+            return _Opnd("lex", col=f(_opnd_lex(inner)))
+        if kind == "name" and text.lower() == "concat":
+            self._expect_op("(")
+            parts = self._args_until_close()
+            return _Opnd("lex", col=F.concat(*[_opnd_lex(p) for p in parts]))
+        if kind == "name" and text.lower() == "substr":
+            self._expect_op("(")
+            args = self._args_until_close()
+            if len(args) not in (2, 3) or any(a.kind != "num" for a in args[1:]):
+                raise ValueError("SUBSTR needs (expr, start[, length]) numeric constants")
+            start = int(args[1].num)
+            length = int(args[2].num) if len(args) == 3 else (1 << 31) - 1
+            return _Opnd("lex", col=F.substring(_opnd_lex(args[0]), start, length))
+        if kind == "name" and text.lower() == "replace":
+            self._expect_op("(")
+            inner = self._operand()
+            self._expect_op(",")
+            pat = self._str_const("REPLACE() pattern")
+            self._expect_op(",")
+            rep = self._str_const("REPLACE() replacement")
+            self._expect_op(")")
+            return _Opnd("lex", col=F.regexp_replace(_opnd_lex(inner), pat, rep))
+        if kind == "name" and text.lower() == "if":
+            self._expect_op("(")
+            cond = self._or()
+            self._expect_op(",")
+            a = self._operand()
+            self._expect_op(",")
+            b = self._operand()
+            self._expect_op(")")
+            return _Opnd(
+                "bind", col=F.when(cond, _binding_encode(a)).otherwise(_binding_encode(b))
+            )
+        if kind == "name" and text.lower() == "coalesce":
+            self._expect_op("(")
+            parts = self._args_until_close()
+            return _Opnd("bind", col=F.coalesce(*[_binding_encode(p) for p in parts]))
+        raise ValueError(f"unsupported FILTER/BIND operand: {text!r}")
 
 
 def compile_filter(text: str, prefixes: dict[str, str], bound: set[str]) -> F.Column:
     """Compile one FILTER expression into a boolean Column over the binding
     columns — entirely JVM-side, no per-row Python."""
     return _FilterParser(text, prefixes, bound).parse()
+
+
+def compile_bind(text: str, prefixes: dict[str, str], bound: set[str]) -> F.Column:
+    """Compile one BIND value expression into a binding-encoded Column —
+    entirely JVM-side, no per-row Python."""
+    return _FilterParser(text, prefixes, bound).parse_value()
 
 
 def _join_units(units: list[tuple[DataFrame, list[str], int]]) -> tuple[DataFrame, set[str]]:
@@ -1156,6 +1335,16 @@ def execute_group(
             )
         # semi/anti joins never duplicate left rows — no distinct needed
         acc = acc.join(f.select(*shared), shared, how)
+    for expr_text, var in group.binds:
+        if var in bound:
+            raise ValueError(
+                f"BIND target ?{var} is already in scope in the group"
+                " (a static error per the SPARQL spec)"
+            )
+        acc = acc.withColumn(var, compile_bind(expr_text, prefixes, bound))
+        bound.add(var)
+    # FILTERs run after BINDs: SPARQL scopes a group's filters over the
+    # whole group, including BIND-introduced variables
     for ftext in group.filters:
         acc = acc.filter(compile_filter(ftext, prefixes, bound))
     return acc, bound

@@ -58,8 +58,11 @@ SELECT DISTINCT ?x ?age WHERE {
 def test_parse_rejects_non_bgp_constructs():
     with pytest.raises(ValueError, match="GRAPH"):
         se.parse_query("SELECT ?x WHERE {\n  ?x ex:p ?y .\n  GRAPH ?g { ?x ex:q ?z . }\n}")
-    with pytest.raises(ValueError, match="BIND"):
-        se.parse_query("SELECT ?x WHERE {\n  ?x ex:p ?y .\n  BIND(?y AS ?z)\n}")
+    with pytest.raises(ValueError, match="SERVICE"):
+        se.parse_query(
+            "SELECT ?x WHERE {\n  ?x ex:p ?y .\n"
+            "  SERVICE <http://remote/sparql> { ?x ex:q ?z . }\n}"
+        )
 
 
 def test_two_hop_join_and_literal_constant(spark):
@@ -641,3 +644,113 @@ DESCRIBE ?cust WHERE { ?cust ex:seg "AUTO" . }""",
 def test_describe_var_without_where_is_loud(spark):
     with pytest.raises(ValueError, match="WHERE"):
         se.execute_sparql(_shop(spark), "DESCRIBE ?x")
+
+
+# ---------------------------------------------------------------------------
+# BIND
+# ---------------------------------------------------------------------------
+
+
+def test_bind_arithmetic_and_filter_scope(spark):
+    # the group's FILTER sees the BIND variable (whole-group filter scope)
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?ord ?half WHERE {
+  ?ord ex:total ?t .
+  BIND(?t / 2 AS ?half)
+  FILTER(?half >= 75000)
+}""",
+    )
+    got = sorted((r["ord"][-2:], r["half"]) for r in out.collect())
+    assert got == [
+        ("o1", se.lit_binding("75000.0", vocab.XSD_DOUBLE)),
+        ("o3", se.lit_binding("100000.0", vocab.XSD_DOUBLE)),
+    ]
+
+
+def test_bind_string_functions(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?cust ?tag WHERE {
+  ?cust ex:seg ?seg .
+  BIND(CONCAT(LCASE(?seg), "#", SUBSTR(STR(?cust), 20, 2)) AS ?tag)
+}""",
+    )
+    tags = sorted(r["tag"] for r in out.collect())
+    assert tags == [
+        se.lit_binding("auto#c2"),
+        se.lit_binding("auto#c3"),
+        se.lit_binding("building#c1"),
+    ]
+
+
+def test_bind_if_and_coalesce_over_optional(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?cust ?contact ?size WHERE {
+  ?cust ex:seg ?seg .
+  OPTIONAL { ?cust ex:phone ?ph . }
+  BIND(COALESCE(?ph, "unlisted") AS ?contact)
+  BIND(IF(STRLEN(?seg) > 4, "long", "short") AS ?size)
+}""",
+    )
+    got = {
+        r["cust"][-2:]: (r["contact"], r["size"]) for r in out.collect()
+    }
+    assert got == {
+        "c1": (se.lit_binding("11-222"), se.lit_binding("long")),
+        "c2": (se.lit_binding("unlisted"), se.lit_binding("short")),
+        "c3": (se.lit_binding("unlisted"), se.lit_binding("short")),
+    }
+
+
+def test_bind_replace_and_numeric_error_is_unbound(spark):
+    # REPLACE rewrites the lexical; arithmetic on a non-numeric literal
+    # yields an unbound (NULL) binding, not a crash (expression-error rule)
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?cust ?clean ?bogus WHERE {
+  ?cust ex:phone ?ph .
+  BIND(REPLACE(?ph, "-", "") AS ?clean)
+  BIND(?ph * 2 AS ?bogus)
+}""",
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["clean"] == se.lit_binding("11222")
+    assert rows[0]["bogus"] is None
+
+
+def test_bind_rebinding_in_scope_var_is_loud(spark):
+    with pytest.raises(ValueError, match="already in scope"):
+        se.execute_sparql(
+            _shop(spark),
+            "PREFIX ex: <http://example.org/>\n"
+            "SELECT ?o WHERE { ?o ex:total ?t . BIND(?t AS ?o) }",
+        )
+
+
+def test_bind_malformed_is_loud(spark):
+    with pytest.raises(ValueError, match="BIND must have the form"):
+        se.execute_sparql(
+            _shop(spark),
+            "PREFIX ex: <http://example.org/>\n"
+            "SELECT ?o WHERE { ?o ex:total ?t . BIND(?t + 1) }",
+        )
+
+
+def test_filter_parenthesized_arithmetic_comparison(spark):
+    # the backtracking path: '(' opens an arithmetic group, not a boolean one
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?ord WHERE {
+  ?ord ex:total ?t .
+  FILTER((?t + 100000) * 2 >= 500000)
+}""",
+    )
+    assert sorted(r["ord"][-2:] for r in out.collect()) == ["o1", "o3"]
