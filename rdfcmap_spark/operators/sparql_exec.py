@@ -135,14 +135,16 @@ class Group:
 
 @dataclass(frozen=True)
 class SelectItem:
-    """One SELECT clause entry: a plain variable, or an aggregate
-    ``(AGG([DISTINCT] ?v|*) AS ?alias)``."""
+    """One SELECT clause entry: a plain variable, an aggregate
+    ``(AGG([DISTINCT] ?v|*) AS ?alias)``, or a projection expression
+    ``(expr AS ?alias)`` (the BIND value grammar)."""
 
     var: str | None = None  #: plain variable name (no '?')
     agg: str | None = None  #: 'count' | 'sum' | 'avg' | 'min' | 'max'
     target: str | None = None  #: aggregated var name, or '*' (COUNT only)
     distinct: bool = False
     alias: str | None = None  #: output column name (no '?')
+    expr: str | None = None  #: raw value-expression text (non-aggregate)
 
 
 @dataclass(frozen=True)
@@ -178,11 +180,10 @@ _TERM_RE = re.compile(
     re.VERBOSE,
 )
 
-_SEL_ITEM_RE = re.compile(
+_SEL_AGG_RE = re.compile(
     r"""\(\s*(?P<agg>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<dist>DISTINCT\s+)?
         (?P<tgt>\?[A-Za-z_][A-Za-z0-9_]*|\*)\s*\)\s+AS\s+
         (?P<alias>\?[A-Za-z_][A-Za-z0-9_]*)\s*\)
-      | (?P<plain>\?[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.I | re.VERBOSE,
 )
@@ -594,22 +595,50 @@ def parse_query(text: str) -> ParsedQuery:
     if distinct:
         head = re.sub(r"(?i)^\s*distinct\b", " ", head)
     select_items: list[SelectItem] = []
-    for mi in _SEL_ITEM_RE.finditer(head):
-        if mi.group("plain"):
-            select_items.append(SelectItem(var=mi.group("plain")[1:]))
-        else:
-            tgt = mi.group("tgt")
-            agg = mi.group("agg").lower()
-            if tgt == "*" and agg != "count":
-                raise ValueError(f"{agg.upper()}(*) is not a SPARQL aggregate")
-            select_items.append(
-                SelectItem(
-                    agg=agg,
-                    target=tgt if tgt == "*" else tgt[1:],
-                    distinct=bool(mi.group("dist")),
-                    alias=mi.group("alias")[1:],
+    hi, hn = 0, len(head)
+    while hi < hn:
+        ch = head[hi]
+        if ch.isspace():
+            hi += 1
+            continue
+        if ch == "(":
+            hend = _matching(head, hi, "(", ")")
+            chunk = head[hi : hend + 1]
+            magg = _SEL_AGG_RE.fullmatch(chunk)
+            if magg:
+                tgt = magg.group("tgt")
+                agg = magg.group("agg").lower()
+                if tgt == "*" and agg != "count":
+                    raise ValueError(f"{agg.upper()}(*) is not a SPARQL aggregate")
+                select_items.append(
+                    SelectItem(
+                        agg=agg,
+                        target=tgt if tgt == "*" else tgt[1:],
+                        distinct=bool(magg.group("dist")),
+                        alias=magg.group("alias")[1:],
+                    )
                 )
-            )
+            else:
+                # projection expression: (expr AS ?alias), the BIND grammar
+                ma = re.match(
+                    r"(?is)^(.*)\bAS\s+\?([A-Za-z_][A-Za-z0-9_]*)\s*$", chunk[1:-1]
+                )
+                if not ma:
+                    raise ValueError(f"unsupported SELECT item: {chunk!r}")
+                select_items.append(
+                    SelectItem(expr=ma.group(1).strip(), alias=ma.group(2))
+                )
+            hi = hend + 1
+            continue
+        mp = re.match(r"\?[A-Za-z_][A-Za-z0-9_]*", head[hi:])
+        if mp:
+            select_items.append(SelectItem(var=mp.group(0)[1:]))
+            hi += mp.end()
+            continue
+        if ch == "*":  # SELECT * — no explicit items
+            hi += 1
+            continue
+        raise ValueError(f"unsupported SELECT head near: {head[hi:hi+30]!r}")
     select_vars = ["?" + (it.var or it.alias) for it in select_items]
 
     open_idx = msel.end() - 1
@@ -1514,10 +1543,24 @@ def execute_sparql(triples: DataFrame, query_text: str) -> DataFrame:
     if q.form == "ask":
         return acc.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
     agg_items = [it for it in q.select_items if it.agg]
+    expr_items = [it for it in q.select_items if it.expr]
     if q.group_by and not agg_items:
         raise ValueError("GROUP BY without an aggregate in SELECT")
     if agg_items:
+        if expr_items:
+            raise ValueError(
+                "projection expressions alongside aggregates are not supported"
+            )
         return _aggregate(acc, bound, q)
+    # SELECT expressions evaluate in item order, so a later expression can
+    # reference an earlier alias (SPARQL select-expression scoping)
+    for it in expr_items:
+        if it.alias in bound:
+            raise ValueError(
+                f"SELECT expression alias ?{it.alias} is already in scope"
+            )
+        acc = acc.withColumn(it.alias, compile_bind(it.expr, q.prefixes, bound))
+        bound.add(it.alias)
     if q.select_vars:
         names = [v.lstrip("?") for v in q.select_vars]
         missing = [v for v in names if v not in bound]

@@ -754,3 +754,53 @@ SELECT ?ord WHERE {
 }""",
     )
     assert sorted(r["ord"][-2:] for r in out.collect()) == ["o1", "o3"]
+
+
+def test_select_expression_projection(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?ord (?t / 1000 AS ?kilo) (CONCAT("seg:", ?seg) AS ?label) WHERE {
+  ?ord ex:by ?cust .
+  ?ord ex:total ?t .
+  ?cust ex:seg ?seg .
+}
+ORDER BY ?ord""",
+    )
+    assert out.columns == ["ord", "kilo", "label"]
+    rows = out.collect()
+    assert [r["kilo"] for r in rows] == [
+        se.lit_binding("150.0", vocab.XSD_DOUBLE),
+        se.lit_binding("50.0", vocab.XSD_DOUBLE),
+        se.lit_binding("200.0", vocab.XSD_DOUBLE),
+    ]
+    assert rows[0]["label"] == se.lit_binding("seg:BUILDING")
+
+
+def test_select_expression_sees_earlier_alias(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT (?t / 1000 AS ?kilo) (?kilo * 2 AS ?twice) WHERE {
+  <http://example.org/o1> ex:total ?t .
+}""",
+    )
+    r = out.collect()[0]
+    assert r["twice"] == se.lit_binding("300.0", vocab.XSD_DOUBLE)
+
+
+def test_select_expression_with_aggregate_is_loud(spark):
+    with pytest.raises(ValueError, match="alongside aggregates"):
+        se.execute_sparql(
+            _shop(spark),
+            "PREFIX ex: <http://example.org/>\n"
+            "SELECT (COUNT(*) AS ?n) (?t * 2 AS ?d) WHERE { ?o ex:total ?t . }",
+        )
+
+
+def test_select_head_garbage_is_loud(spark):
+    with pytest.raises(ValueError, match="unsupported SELECT"):
+        se.parse_query(
+            "PREFIX ex: <http://example.org/>\n"
+            "SELECT ?x $bogus WHERE { ?x ex:p ?y . }"
+        )
