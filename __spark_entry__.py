@@ -104,7 +104,10 @@ def _kg_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.triples
 
 
-def _kg_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _synth_identity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sameAs ∪ shared-identifier star edges from the synthetic transcripts
+    (the pipeline's exact identity-edge derivation, shared by the
+    canonical-mapping and incremental-canonicalization driver queries)."""
     from rdfcmap_spark.operators import canonicalize
     from rdfcmap_spark.plans.pipeline import linked_sentences
     from rdfcmap_spark import vocab
@@ -124,8 +127,28 @@ def _kg_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("pred_iri") == vocab.DCT + "identifier") & F.col("lex_valid"))
         .select(F.col("subj_entity").alias("entity_id"), F.col("obj_lexical").alias("value"))
     )
-    edges = canonicalize.identity_edges(sameas, idents)
-    return canonicalize.connected_components(edges)
+    return canonicalize.identity_edges(sameas, idents)
+
+
+def _kg_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdfcmap_spark.operators import canonicalize
+
+    return canonicalize.connected_components(_synth_identity_edges(spark, sf_dir))
+
+
+def _kg_incremental_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental canonicalization: split the identity edges into two
+    deterministic batches, canonicalize batch 1, then merge batch 2 via
+    :func:`canonicalize.merge_mapping` — the result must equal the
+    full-recompute mapping (the oracle is the SAME recursive-CTE mapping
+    over ALL edges as kg_canonical_mapping), proving the maintenance path
+    is exact, not approximate."""
+    from rdfcmap_spark.operators import canonicalize
+
+    edges = _synth_identity_edges(spark, sf_dir).localCheckpoint()
+    batch = F.pmod(F.xxhash64("src", "dst"), F.lit(2))
+    m1 = canonicalize.connected_components(edges.filter(batch == 0))
+    return canonicalize.merge_mapping(m1, edges.filter(batch == 1))
 
 
 def _kg_staged_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1046,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_canonical_mapping": _kg_canonical_mapping,
+        "kg_incremental_canon": _kg_incremental_canon,
         "kg_staged_resume": _kg_staged_resume,
         "kg_ttl_roundtrip": _kg_ttl_roundtrip,
         # --- streaming (oracle-checked against the batch SQL) ---
@@ -1961,6 +1985,9 @@ WHERE CAST(c_custkey AS DOUBLE) * 3 + 7 > 40
     sql["kg_staged_resume"] = _oracle.pipeline_full_sql()
     sql["kg_ttl_roundtrip"] = _oracle.ttl_roundtrip_sql()
     sql["kg_canonical_mapping"] = _oracle.canonical_mapping_sql()
+    # incremental merge must reproduce the FULL-recompute mapping exactly —
+    # same oracle as the one-shot query
+    sql["kg_incremental_canon"] = _oracle.canonical_mapping_sql()
 
     sql["dedup_exact"] = r"""
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -280,6 +280,78 @@ def connected_components_with_count(
     return mapping, n
 
 
+def merge_mapping(
+    old_mapping: DataFrame,
+    new_edges: DataFrame,
+    max_iter: int = 25,
+    driver_threshold: int = DRIVER_CC_MAX_EDGES,
+) -> DataFrame:
+    """Incrementally fold a batch of new identity edges into an existing
+    canonical mapping WITHOUT recomputing components over the historical
+    edge set — the maintenance path of the north_star's resumable pipeline
+    (new conversations land, their sameAs / shared-identifier edges must
+    merge into yesterday's canonicalization).
+
+    Contract (pinned by tests + the ``kg_incremental_canon`` oracle):
+    ``merge_mapping(connected_components(E1), E2)`` equals
+    ``connected_components(E1 ∪ E2)`` exactly, for ANY split — including
+    the min-IRI representative, because the old representative is its
+    component's min, so the min over merged old representatives (what the
+    delta CC computes) IS the min over the merged full component.
+
+    Physical shape, and why it scales to 10^12 turns:
+
+    * both endpoints of the batch rewrite onto their current canonical
+      (components contract to supernodes) — one join of the BATCH against
+      the mapping (at scale, store the mapping bucketed by ``entity_id``
+      and this probe is co-located; self-loops, i.e. edges internal to an
+      existing component, drop out here);
+    * connected components run over the rewritten batch only — per-batch
+      cost tracks |E2|, never history;
+    * the patch is a join of the old mapping against the delta on
+      ``canonical_id`` — the delta is bounded by the batch's node count,
+      so it is broadcast whenever it fits (same size gate as
+      :func:`rewrite_triples`), leaving the big mapping un-shuffled.
+
+    Reference parity: rdfcmap re-runs the whole conversion per file
+    (`App.java` main flow) — incremental maintenance has no counterpart
+    there and is required by the north_star's checkpoint/resume rule.
+    """
+    src_m = old_mapping.select(
+        F.col("entity_id").alias("src"), F.col("canonical_id").alias("c_src")
+    )
+    dst_m = old_mapping.select(
+        F.col("entity_id").alias("dst"), F.col("canonical_id").alias("c_dst")
+    )
+    rewritten = (
+        new_edges.select("src", "dst")
+        .join(src_m, "src", "left")
+        .join(dst_m, "dst", "left")
+        .select(
+            F.coalesce("c_src", "src").alias("src"),
+            F.coalesce("c_dst", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    delta, n_delta = connected_components_with_count(
+        rewritten, max_iter, driver_threshold
+    )
+    d = delta.select(
+        F.col("entity_id").alias("old_c"), F.col("canonical_id").alias("new_c")
+    )
+    if n_delta <= BROADCAST_MAPPING_MAX_ROWS:
+        d = F.broadcast(d)
+    patched = old_mapping.join(
+        d, old_mapping["canonical_id"] == d["old_c"], "left"
+    ).select(
+        "entity_id", F.coalesce("new_c", "canonical_id").alias("canonical_id")
+    )
+    # delta nodes absent from the old mapping are genuinely new entities
+    # (old canonicals always have an entity row — CC emits root->root)
+    fresh = delta.join(old_mapping.select("entity_id"), "entity_id", "left_anti")
+    return patched.unionByName(fresh)
+
+
 def canonical_ids_for_pairs(ids: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """(id_col, canonical_id) for EVERY row of ``ids`` given an undirected
     2-column pair/edge frame over bigint ids — the shared tail of the

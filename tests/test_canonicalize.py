@@ -191,3 +191,75 @@ def test_rewrite_prov_min_arbitrary_conv_charset(spark):
         )
         row = rewrite_triples(tri, mapping, n_mapping=0).collect()[0]
         assert row["conv_id"] == c and row["turn_idx"] == 5
+
+
+# ---------------------------------------------------------------------------
+# incremental canonicalization: merge_mapping(cc(E1), E2) == cc(E1 ∪ E2)
+
+
+def _full_vs_incremental(spark, edges, split):
+    """Assert the incremental merge reproduces the full recompute for a
+    given (E1, E2) split; returns the full mapping for extra checks."""
+    from rdfcmap_spark.operators.canonicalize import merge_mapping
+
+    e1 = [e for i, e in enumerate(edges) if split(i, e)]
+    e2 = [e for i, e in enumerate(edges) if not split(i, e)]
+    schema = "src string, dst string"
+    full = sorted(
+        map(tuple, connected_components(spark.createDataFrame(edges, schema)).collect())
+    )
+    m1 = connected_components(spark.createDataFrame(e1, schema) if e1
+                              else spark.createDataFrame([], schema))
+    merged = merge_mapping(
+        m1, spark.createDataFrame(e2, schema) if e2 else spark.createDataFrame([], schema)
+    )
+    assert sorted(map(tuple, merged.collect())) == full
+    return full
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_merge_mapping_equals_full(spark, name):
+    edges = CASES[name]
+    # three splits: interleaved, first-half/second-half, all-in-batch-2
+    _full_vs_incremental(spark, edges, lambda i, e: i % 2 == 0)
+    _full_vs_incremental(spark, edges, lambda i, e: i < len(edges) // 2)
+    _full_vs_incremental(spark, edges, lambda i, e: False)
+
+
+def test_merge_mapping_bridges_and_new_min(spark):
+    """Batch 2 bridges two old components AND introduces a new node that
+    becomes the merged component's min representative."""
+    from rdfcmap_spark.operators.canonicalize import merge_mapping
+
+    e1 = [("m1", "m2"), ("m2", "m3"), ("z1", "z2")]
+    # "aaa" < every old node: the patched rows must all re-point to it
+    e2 = [("m3", "z1"), ("aaa", "m1")]
+    full = _full_vs_incremental(spark, e1 + e2, lambda i, e: e in e1)
+    comp = dict(full)
+    assert comp["m1"] == comp["z2"] == comp["aaa"] == "aaa"
+
+
+def test_merge_mapping_empty_batch_is_identity(spark):
+    from rdfcmap_spark.operators.canonicalize import merge_mapping
+
+    m = connected_components(
+        spark.createDataFrame([("a", "b"), ("c", "d")], "src string, dst string")
+    )
+    merged = merge_mapping(m, m.sparkSession.createDataFrame([], "src string, dst string"))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, m.collect()))
+
+
+def test_merge_mapping_distributed_delta(spark):
+    """The delta CC below runs through the distributed contraction path
+    (driver_threshold=0) — same result as the driver path."""
+    from rdfcmap_spark.operators.canonicalize import merge_mapping
+
+    edges = CASES["random_sparse"]
+    e1, e2 = edges[: len(edges) // 2], edges[len(edges) // 2 :]
+    schema = "src string, dst string"
+    full = sorted(
+        map(tuple, connected_components(spark.createDataFrame(edges, schema)).collect())
+    )
+    m1 = connected_components(spark.createDataFrame(e1, schema))
+    merged = merge_mapping(m1, spark.createDataFrame(e2, schema), driver_threshold=0)
+    assert sorted(map(tuple, merged.collect())) == full
