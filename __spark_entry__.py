@@ -689,14 +689,10 @@ SELECT ?a ?b ?n WHERE {
     return execute_sparql(triples, query)
 
 
-def _kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPARQL aggregation surface (operators/sparql_exec.py `_aggregate`):
-    COUNT(*) / COUNT(DISTINCT) / SUM + GROUP BY compile to one
-    hash-aggregate exchange over the BGP join. SUM goes through the lexical
-    try_cast; the summed values are integer-valued so the double sum is
-    exact and order-independent. MIN is over the IRI binding string (no
-    float-formatting parity risk vs the oracle)."""
-    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+def _order_nation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H orders/customer rendered as triples — the shared input of the
+    SPARQL aggregation-surface driver queries (order -by-> customer,
+    order -okey-> integer literal, customer -inNation-> nation IRI)."""
     from rdfcmap_spark import vocab as V
 
     orders = load(spark, sf_dir, "orders")
@@ -725,7 +721,19 @@ def _kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(EX + "nation/"), F.col("c_nationkey").cast("string")),
         null_s, null_s,
     ).alias("x")).select("x.*")
-    triples = ord_t.unionByName(nat_t)
+    return ord_t.unionByName(nat_t)
+
+
+def _kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregation surface (operators/sparql_exec.py `_aggregate`):
+    COUNT(*) / COUNT(DISTINCT) / SUM + GROUP BY compile to one
+    hash-aggregate exchange over the BGP join. SUM goes through the lexical
+    try_cast; the summed values are integer-valued so the double sum is
+    exact and order-independent. MIN is over the IRI binding string (no
+    float-formatting parity risk vs the oracle)."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+
+    triples = _order_nation_triples(spark, sf_dir)
     query = """
 PREFIX ex: <http://example.org/>
 SELECT ?nation (COUNT(*) AS ?n_orders) (COUNT(DISTINCT ?cust) AS ?n_custs)
@@ -735,6 +743,34 @@ SELECT ?nation (COUNT(*) AS ?n_orders) (COUNT(DISTINCT ?cust) AS ?n_custs)
   ?ord ex:okey ?okey .
 }
 GROUP BY ?nation
+ORDER BY ?nation
+"""
+    return execute_sparql(triples, query)
+
+
+def _kg_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + GROUP_CONCAT + SAMPLE (operators/sparql_exec.py
+    `_aggregate` / `_rewrite_having`): the HAVING constraints mix a grouped
+    variable (the nation-IRI cut really filters groups at every sf — 25
+    nations always exist) with hidden aggregate columns (COUNT DISTINCT /
+    SUM rewritten to __hN, computed in the same hash aggregate, dropped
+    before projection). GROUP_CONCAT concatenates sorted-DISTINCT customer
+    IRIs (oracle: string_agg ORDER BY); SAMPLE is the deterministic binding
+    MIN."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+
+    triples = _order_nation_triples(spark, sf_dir)
+    query = """
+PREFIX ex: <http://example.org/>
+SELECT ?nation (COUNT(*) AS ?n_orders)
+       (GROUP_CONCAT(DISTINCT ?cust; SEPARATOR=",") AS ?custs)
+       (SAMPLE(?ord) AS ?any_ord) WHERE {
+  ?ord ex:by ?cust .
+  ?cust ex:inNation ?nation .
+  ?ord ex:okey ?okey .
+}
+GROUP BY ?nation
+HAVING (?nation >= "http://example.org/nation/10") (COUNT(DISTINCT ?cust) >= 1) (SUM(?okey) > 0)
 ORDER BY ?nation
 """
     return execute_sparql(triples, query)
@@ -1062,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_exec_full": _kg_sparql_exec_full,
         "kg_sparql_path": _kg_sparql_path,
         "kg_sparql_agg": _kg_sparql_agg,
+        "kg_sparql_having": _kg_sparql_having,
         "kg_sparql_construct": _kg_sparql_construct,
         "kg_sparql_not_exists": _kg_sparql_not_exists,
         "kg_sparql_describe": _kg_sparql_describe,
@@ -1901,6 +1938,21 @@ SELECT 'http://example.org/nation/' || CAST(c.c_nationkey AS VARCHAR) AS nation,
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY nation
+ORDER BY nation
+"""
+
+    sql["kg_sparql_having"] = r"""
+SELECT 'http://example.org/nation/' || CAST(c.c_nationkey AS VARCHAR) AS nation,
+       COUNT(*) AS n_orders,
+       string_agg(DISTINCT 'http://example.org/customer/' || CAST(c.c_custkey AS VARCHAR),
+                  ',' ORDER BY 'http://example.org/customer/' || CAST(c.c_custkey AS VARCHAR)) AS custs,
+       MIN('http://example.org/order/' || CAST(o.o_orderkey AS VARCHAR)) AS any_ord
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY nation
+HAVING nation >= 'http://example.org/nation/10'
+   AND COUNT(DISTINCT c.c_custkey) >= 1
+   AND SUM(CAST(o.o_orderkey AS DOUBLE)) > 0
 ORDER BY nation
 """
 

@@ -34,10 +34,13 @@ Execution model (Spark-first, not a SPARQL-algebra port):
 * ``ORDER BY`` / ``LIMIT`` / ``OFFSET`` modifiers map to
   ``orderBy``/``limit``/``offset`` (ordering is binary-collation string
   order over the binding encoding, documented below);
-* aggregates ``(COUNT|SUM|AVG|MIN|MAX([DISTINCT] ?v|*) AS ?alias)`` with
-  ``GROUP BY`` map to one hash-aggregate exchange (map-side partial
-  aggregation for free); SUM/AVG go through the same try_cast-to-double
-  lexical extraction as FILTER comparisons;
+* aggregates ``(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT([DISTINCT]
+  ?v|*) AS ?alias)`` with ``GROUP BY`` map to one hash-aggregate exchange
+  (map-side partial aggregation for free); SUM/AVG go through the same
+  try_cast-to-double lexical extraction as FILTER comparisons;
+  GROUP_CONCAT honors ``; SEPARATOR="…"`` and concatenates sorted
+  lexical forms (deterministic); ``HAVING`` compiles to a
+  post-aggregation filter over hidden aggregate columns;
 * property paths in predicate position: ``p+`` (transitive closure via
   distributed pointer-doubling, predicate filter pushed below the
   closure), ``^p`` (inverse), ``p1/p2`` (sequence composition);
@@ -140,11 +143,12 @@ class SelectItem:
     ``(expr AS ?alias)`` (the BIND value grammar)."""
 
     var: str | None = None  #: plain variable name (no '?')
-    agg: str | None = None  #: 'count' | 'sum' | 'avg' | 'min' | 'max'
+    agg: str | None = None  #: 'count'|'sum'|'avg'|'min'|'max'|'sample'|'group_concat'
     target: str | None = None  #: aggregated var name, or '*' (COUNT only)
     distinct: bool = False
     alias: str | None = None  #: output column name (no '?')
     expr: str | None = None  #: raw value-expression text (non-aggregate)
+    sep: str | None = None  #: GROUP_CONCAT separator (default ' ' per spec)
 
 
 @dataclass(frozen=True)
@@ -162,6 +166,10 @@ class ParsedQuery:
     form: str = "select"  #: 'select' | 'construct' | 'ask' | 'describe'
     template: tuple[Pattern, ...] = ()  #: CONSTRUCT template patterns
     describe_iris: tuple[str, ...] = ()  #: constant DESCRIBE targets
+    #: HAVING constraint with aggregate calls rewritten to ?__hN hidden
+    #: variables, plus the hidden aggregates themselves (alias = __hN)
+    having: str | None = None
+    having_aggs: tuple[SelectItem, ...] = ()
 
 
 _TERM_RE = re.compile(
@@ -180,13 +188,20 @@ _TERM_RE = re.compile(
     re.VERBOSE,
 )
 
+#: the aggregate-call grammar shared by SELECT (with the trailing AS) and
+#: HAVING (bare calls): AGG([DISTINCT] ?v|*) with GROUP_CONCAT's optional
+#: `; SEPARATOR="..."` clause
+_AGG_CALL = r"""(?P<agg>COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*
+        (?P<dist>DISTINCT\s+)?
+        (?P<tgt>\?[A-Za-z_][A-Za-z0-9_]*|\*)\s*
+        (?:;\s*SEPARATOR\s*=\s*"(?P<sep>(?:[^"\\]|\\.)*)"\s*)?\)"""
+
 _SEL_AGG_RE = re.compile(
-    r"""\(\s*(?P<agg>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<dist>DISTINCT\s+)?
-        (?P<tgt>\?[A-Za-z_][A-Za-z0-9_]*|\*)\s*\)\s+AS\s+
-        (?P<alias>\?[A-Za-z_][A-Za-z0-9_]*)\s*\)
-    """,
+    r"\(\s*" + _AGG_CALL + r"\s+AS\s+(?P<alias>\?[A-Za-z_][A-Za-z0-9_]*)\s*\)",
     re.I | re.VERBOSE,
 )
+
+_HAVING_AGG_RE = re.compile(_AGG_CALL, re.I | re.VERBOSE)
 
 _UNESCAPE = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\t": "\t", "\\r": "\r"}
 
@@ -616,6 +631,7 @@ def parse_query(text: str) -> ParsedQuery:
                         target=tgt if tgt == "*" else tgt[1:],
                         distinct=bool(magg.group("dist")),
                         alias=magg.group("alias")[1:],
+                        sep=_unescape(magg.group("sep")) if magg.group("sep") is not None else None,
                     )
                 )
             else:
@@ -646,10 +662,16 @@ def parse_query(text: str) -> ParsedQuery:
     group = _parse_group(text[open_idx + 1 : close_idx], prefixes)
 
     tail = text[close_idx + 1 :]
-    if re.search(r"(?i)\bhaving\b", tail):
-        raise ValueError("HAVING is not supported — filter before aggregation")
+    having: str | None = None
+    having_aggs: list[SelectItem] = []
+    mh = re.search(
+        r"(?is)\bhaving\b(.*?)(?=\border\b|\blimit\b|\boffset\b|$)", tail
+    )
+    if mh:
+        having, having_aggs = _rewrite_having(mh.group(1).strip())
     mg = re.search(
-        r"(?is)\bgroup\s+by\b(.*?)(?=\border\b|\blimit\b|\boffset\b|$)", tail
+        r"(?is)\bgroup\s+by\b(.*?)(?=\bhaving\b|\border\b|\blimit\b|\boffset\b|$)",
+        tail,
     )
     group_by = (
         tuple(v[1:] for v in re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", mg.group(1)))
@@ -680,7 +702,59 @@ def parse_query(text: str) -> ParsedQuery:
         offset=int(mof.group(1)) if mof else None,
         select_items=tuple(select_items),
         group_by=group_by,
+        having=having,
+        having_aggs=tuple(having_aggs),
     )
+
+
+def _rewrite_having(body: str) -> tuple[str, list[SelectItem]]:
+    """Rewrite a HAVING constraint list into (filter text over hidden
+    ``?__hN`` variables, hidden aggregate items). Each aggregate call
+    becomes one extra aggregate column (deduplicated on the call's
+    normalized shape); multiple top-level parenthesized constraints —
+    SPARQL's ``HAVING (c1) (c2)`` — conjoin with ``&&``."""
+    items: list[SelectItem] = []
+    seen: dict[tuple, str] = {}
+
+    def sub(m: re.Match) -> str:
+        tgt = m.group("tgt")
+        key = (
+            m.group("agg").lower(),
+            tgt,
+            bool(m.group("dist")),
+            m.group("sep"),
+        )
+        if key not in seen:
+            alias = f"__h{len(seen)}"
+            seen[key] = alias
+            items.append(
+                SelectItem(
+                    agg=key[0],
+                    target=tgt if tgt == "*" else tgt[1:],
+                    distinct=key[2],
+                    alias=alias,
+                    sep=_unescape(key[3]) if key[3] is not None else None,
+                )
+            )
+        return "?" + seen[key]
+
+    rewritten = _HAVING_AGG_RE.sub(sub, body).strip()
+    if not rewritten:
+        raise ValueError("empty HAVING clause")
+    # split top-level parenthesized constraints and conjoin
+    parts: list[str] = []
+    i, n = 0, len(rewritten)
+    while i < n:
+        if rewritten[i].isspace():
+            i += 1
+            continue
+        if rewritten[i] != "(":
+            parts = [rewritten]  # single unparenthesized constraint
+            break
+        end = _matching(rewritten, i, "(", ")")
+        parts.append(rewritten[i : end + 1])
+        i = end + 1
+    return " && ".join(parts), items
 
 
 def _object_binding() -> F.Column:
@@ -1384,11 +1458,18 @@ def _aggregate(acc: DataFrame, bound: set[str], q: ParsedQuery) -> DataFrame:
     for free). COUNT works on the binding columns directly; SUM/AVG extract
     the lexical form and ``try_cast`` to double (a non-numeric binding
     aggregates as NULL — SPARQL's error semantics); MIN/MAX compare the
-    binding encoding (binary string order, same as ORDER BY)."""
-    if q.distinct:
-        raise ValueError("SELECT DISTINCT with aggregates is not supported")
+    binding encoding (binary string order, same as ORDER BY). SAMPLE picks
+    the binding MIN (the spec allows any element; min is deterministic at
+    every parallelism, T3). GROUP_CONCAT concatenates the SORTED lexical
+    forms (the spec leaves order undefined; sorting pins it) with the
+    ``SEPARATOR`` clause or the spec's single-space default. HAVING runs as
+    a post-aggregation filter: its aggregate calls were rewritten at parse
+    time into hidden ``__hN`` aggregate columns, so the constraint compiles
+    through the ordinary FILTER expression compiler and the hidden columns
+    drop before projection."""
     plain = [it.var for it in q.select_items if it.var]
-    targets = [it.target for it in q.select_items if it.agg and it.target != "*"]
+    all_aggs = [it for it in q.select_items if it.agg] + list(q.having_aggs)
+    targets = [it.target for it in all_aggs if it.target != "*"]
     missing = [v for v in {*plain, *q.group_by, *targets} if v not in bound]
     if missing:
         raise ValueError(f"SELECT/GROUP BY variables never bound: {sorted(missing)}")
@@ -1412,14 +1493,29 @@ def _aggregate(acc: DataFrame, bound: set[str], q: ParsedQuery) -> DataFrame:
                     raise ValueError("AVG(DISTINCT) is not supported")
                 return F.sum_distinct(num)
             return F.sum(num) if it.agg == "sum" else F.avg(num)
+        if it.agg == "group_concat":
+            lex = _lex_of(F.col(it.target))
+            arr = F.collect_set(lex) if it.distinct else F.collect_list(lex)
+            return F.array_join(F.array_sort(arr), it.sep if it.sep is not None else " ")
         col = F.col(it.target)
-        return F.min(col) if it.agg == "min" else F.max(col)
+        if it.agg in ("min", "sample"):
+            return F.min(col)
+        return F.max(col)
 
-    aggs = [agg_col(it).alias(it.alias) for it in q.select_items if it.agg]
+    aggs = [agg_col(it).alias(it.alias) for it in all_aggs]
     grouped = acc.groupBy(*q.group_by) if q.group_by else acc.groupBy()
     out = grouped.agg(*aggs)
     names = [it.var or it.alias for it in q.select_items]
+    if q.having:
+        # hidden aggregate columns cast to string so the expression
+        # compiler's lexical/numeric coercions apply uniformly
+        for it in q.having_aggs:
+            out = out.withColumn(it.alias, F.col(it.alias).cast("string"))
+        hb = {*q.group_by, *(it.alias for it in q.having_aggs)}
+        out = out.filter(compile_filter(q.having, q.prefixes, hb))
     out = out.select(*names)
+    if q.distinct:
+        out = out.distinct()
     if q.order_by:
         bad = [v for v, _ in q.order_by if v not in names]
         if bad:
@@ -1544,9 +1640,9 @@ def execute_sparql(triples: DataFrame, query_text: str) -> DataFrame:
         return acc.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
     agg_items = [it for it in q.select_items if it.agg]
     expr_items = [it for it in q.select_items if it.expr]
-    if q.group_by and not agg_items:
-        raise ValueError("GROUP BY without an aggregate in SELECT")
-    if agg_items:
+    if q.group_by and not agg_items and not q.having_aggs:
+        raise ValueError("GROUP BY without an aggregate in SELECT or HAVING")
+    if agg_items or q.having_aggs:
         if expr_items:
             raise ValueError(
                 "projection expressions alongside aggregates are not supported"

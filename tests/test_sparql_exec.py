@@ -436,7 +436,9 @@ SELECT ?cust (COUNT(*) AS ?n) WHERE { ?ord ex:by ?cust . }""",
             t,
             "PREFIX ex: <http://example.org/>\nSELECT ?cust WHERE { ?ord ex:by ?cust . } GROUP BY ?cust",
         )
-    with pytest.raises(ValueError, match="HAVING"):
+    # HAVING cannot reference SELECT aliases (SPARQL scope rule: repeat the
+    # aggregate call inside HAVING instead)
+    with pytest.raises(ValueError, match="never binds"):
         se.execute_sparql(
             t,
             """PREFIX ex: <http://example.org/>
@@ -804,3 +806,104 @@ def test_select_head_garbage_is_loud(spark):
             "PREFIX ex: <http://example.org/>\n"
             "SELECT ?x $bogus WHERE { ?x ex:p ?y . }"
         )
+
+
+# ---------------------------------------------------------------------------
+# HAVING / GROUP_CONCAT / SAMPLE / DISTINCT-with-aggregates
+# ---------------------------------------------------------------------------
+
+
+def test_having_filters_groups(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?seg (COUNT(*) AS ?n) WHERE {
+  ?ord ex:by ?cust .
+  ?cust ex:seg ?seg .
+} GROUP BY ?seg HAVING (COUNT(*) > 1)""",
+    )
+    rows = [(r["seg"], r["n"]) for r in out.collect()]
+    assert rows == [(se.lit_binding("AUTO", vocab.XSD_STRING), 2)]
+
+
+def test_having_multiple_constraints_and_sum(spark):
+    """Two parenthesized HAVING constraints conjoin; a SUM call in HAVING
+    that is NOT in SELECT computes as a hidden column and drops."""
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?seg (COUNT(*) AS ?n) WHERE {
+  ?ord ex:by ?cust .
+  ?ord ex:total ?total .
+  ?cust ex:seg ?seg .
+} GROUP BY ?seg HAVING (SUM(?total) > 100000) (COUNT(*) >= 1) ORDER BY ?seg""",
+    )
+    assert out.columns == ["seg", "n"]
+    rows = [(r["seg"], r["n"]) for r in out.collect()]
+    assert rows == [
+        (se.lit_binding("AUTO", vocab.XSD_STRING), 2),
+        (se.lit_binding("BUILDING", vocab.XSD_STRING), 1),
+    ]
+
+
+def test_having_on_group_var_and_global(spark):
+    # HAVING may reference grouped variables directly
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?seg (COUNT(*) AS ?n) WHERE {
+  ?cust ex:seg ?seg .
+} GROUP BY ?seg HAVING (?seg = "AUTO")""",
+    )
+    rows = [(r["seg"], r["n"]) for r in out.collect()]
+    assert rows == [(se.lit_binding("AUTO", vocab.XSD_STRING), 2)]
+    # global aggregate + HAVING (no GROUP BY): empty result when it fails
+    out2 = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT (COUNT(*) AS ?n) WHERE { ?ord ex:by ?cust . } HAVING (COUNT(*) > 99)""",
+    )
+    assert out2.count() == 0
+
+
+def test_group_concat_and_sample(spark):
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?seg (GROUP_CONCAT(?cust; SEPARATOR="|") AS ?custs)
+       (SAMPLE(?cust) AS ?one) WHERE {
+  ?cust ex:seg ?seg .
+} GROUP BY ?seg ORDER BY ?seg""",
+    )
+    rows = [(r["seg"], r["custs"], r["one"]) for r in out.collect()]
+    assert rows == [
+        (se.lit_binding("AUTO", vocab.XSD_STRING), f"{EX}c2|{EX}c3", EX + "c2"),
+        (se.lit_binding("BUILDING", vocab.XSD_STRING), EX + "c1", EX + "c1"),
+    ]
+
+
+def test_group_concat_default_sep_distinct_and_lexical(spark):
+    """Default separator is a single space; DISTINCT collapses duplicate
+    lexical forms (two AUTO customers -> one 'AUTO')."""
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT (GROUP_CONCAT(DISTINCT ?seg) AS ?segs) WHERE {
+  ?cust ex:seg ?seg .
+}""",
+    )
+    assert out.collect()[0]["segs"] == "AUTO BUILDING"
+
+
+def test_distinct_with_aggregates(spark):
+    """SELECT DISTINCT over an aggregate projection: the two AUTO customers
+    produce identical (n) rows per group only after dropping ?seg — DISTINCT
+    collapses them."""
+    out = se.execute_sparql(
+        _shop(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT DISTINCT (COUNT(?ord) AS ?n) WHERE {
+  ?ord ex:by ?cust .
+} GROUP BY ?cust""",
+    )
+    assert [r["n"] for r in out.collect()] == [1]
