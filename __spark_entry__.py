@@ -634,15 +634,12 @@ LIMIT 2000
     return execute_sparql(triples, query)
 
 
-def _kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Property-path execution (operators/sparql_exec.py + graph.py
-    transitive_closure): per-customer order-succession edges (window lead),
-    then ``?a ex:next+ ?b`` closes the chain transitively (pointer-doubling,
-    predicate filter pushed below the closure) and ``ex:by/ex:inNation``
-    composes a two-step sequence path. Oracle: the closure of a successor
-    chain is exactly the (earlier, later) pairs within each customer."""
+def _succession_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-succession chains as triples (order -next-> its
+    successor by key within the customer, order -by-> customer, customer
+    -inNation-> nation) — shared input of the property-path driver
+    queries."""
     from pyspark.sql import Window
-    from rdfcmap_spark.operators.sparql_exec import execute_sparql
 
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
@@ -678,7 +675,18 @@ def _kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(EX + "inNation"),
         F.concat(F.lit(EX + "nation/"), F.col("c_nationkey").cast("string")),
     ).alias("x")).select("x.*")
-    triples = next_t.unionByName(by_t).unionByName(nat_t)
+    return next_t.unionByName(by_t).unionByName(nat_t)
+
+
+def _kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path execution (operators/sparql_exec.py + graph.py
+    transitive_closure): ``?a ex:next+ ?b`` closes the succession chain
+    transitively (pointer-doubling, predicate filter pushed below the
+    closure) and ``ex:by/ex:inNation`` composes a two-step sequence path.
+    Oracle: the closure of a successor chain is exactly the
+    (earlier, later) pairs within each customer."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+
     query = """
 PREFIX ex: <http://example.org/>
 SELECT ?a ?b ?n WHERE {
@@ -686,7 +694,27 @@ SELECT ?a ?b ?n WHERE {
   ?b ex:by/ex:inNation ?n .
 }
 """
-    return execute_sparql(triples, query)
+    return execute_sparql(_succession_triples(spark, sf_dir), query)
+
+
+def _kg_sparql_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-or-more paths + alternation (operators/sparql_exec.py
+    `_step_edges` / `_seq_edges`): ``ex:next*`` is the transitive closure ∪
+    the zero-length self-pairs over every graph term — the ``ex:by/…`` join
+    then restricts ?a to orders, so the oracle is reflexive-or-later pairs
+    within each customer. The alternation's second branch (``ex:bogus``)
+    matches nothing, pinning that an empty alternative is a no-op of the
+    bag union, not an error."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+
+    query = """
+PREFIX ex: <http://example.org/>
+SELECT ?a ?b ?n WHERE {
+  ?a ex:next* ?b .
+  ?a ex:by/ex:inNation|ex:bogus ?n .
+}
+"""
+    return execute_sparql(_succession_triples(spark, sf_dir), query)
 
 
 def _order_nation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_exec": _kg_sparql_exec,
         "kg_sparql_exec_full": _kg_sparql_exec_full,
         "kg_sparql_path": _kg_sparql_path,
+        "kg_sparql_path_star": _kg_sparql_path_star,
         "kg_sparql_agg": _kg_sparql_agg,
         "kg_sparql_having": _kg_sparql_having,
         "kg_sparql_construct": _kg_sparql_construct,
@@ -1927,6 +1956,23 @@ SELECT 'http://example.org/order/' || CAST(o1.o_orderkey AS VARCHAR) AS a,
 FROM orders o1
 JOIN orders o2 ON o2.o_custkey = o1.o_custkey AND o2.o_orderkey > o1.o_orderkey
 JOIN customer c ON c.c_custkey = o1.o_custkey
+"""
+
+    # next* = reflexive (zero-length, restricted to graph terms — every
+    # order IS a graph term) ∪ strictly-later pairs within the customer
+    sql["kg_sparql_path_star"] = r"""
+WITH pairs AS (
+  SELECT o_orderkey AS a, o_orderkey AS b, o_custkey AS ck FROM orders
+  UNION ALL
+  SELECT o1.o_orderkey, o2.o_orderkey, o1.o_custkey
+  FROM orders o1
+  JOIN orders o2 ON o2.o_custkey = o1.o_custkey AND o2.o_orderkey > o1.o_orderkey
+)
+SELECT 'http://example.org/order/' || CAST(p.a AS VARCHAR) AS a,
+       'http://example.org/order/' || CAST(p.b AS VARCHAR) AS b,
+       'http://example.org/nation/' || CAST(c.c_nationkey AS VARCHAR) AS n
+FROM pairs p
+JOIN customer c ON c.c_custkey = p.ck
 """
 
     sql["kg_sparql_agg"] = r"""

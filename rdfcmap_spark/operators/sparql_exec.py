@@ -43,7 +43,9 @@ Execution model (Spark-first, not a SPARQL-algebra port):
   post-aggregation filter over hidden aggregate columns;
 * property paths in predicate position: ``p+`` (transitive closure via
   distributed pointer-doubling, predicate filter pushed below the
-  closure), ``^p`` (inverse), ``p1/p2`` (sequence composition);
+  closure), ``p*`` / ``p?`` (zero-length self-pairs over graph terms ∪
+  closure / direct edges), ``^p`` (inverse), ``p1/p2`` (sequence
+  composition), ``p1|p2`` (alternation, lowest precedence, bag union);
 * ``FILTER [NOT] EXISTS { … }`` → left-semi / left-anti joins on the
   shared variables; ``MINUS { … }`` → left-anti (disjoint-domain MINUS is
   a no-op per spec);
@@ -101,18 +103,22 @@ class Lit:
 @dataclass(frozen=True)
 class PathStep:
     """One step of a property path: an IRI, optionally inverted (``^p``),
-    optionally transitively repeated (``p+``)."""
+    optionally repeated (``p+`` one-or-more, ``p*`` zero-or-more, ``p?``
+    zero-or-one)."""
 
     iri: str
     inverse: bool = False
-    many: str = ""  #: '' or '+'
+    many: str = ""  #: '' | '+' | '*' | '?'
 
 
 @dataclass(frozen=True)
 class Path:
-    """A ``/``-sequence of path steps in predicate position."""
+    """A property path in predicate position: ``|``-alternation (lowest
+    precedence, per the SPARQL grammar) over ``/``-sequences of steps.
+    ``steps`` is the first alternative; ``alts`` the rest."""
 
     steps: tuple[PathStep, ...]
+    alts: tuple[tuple[PathStep, ...], ...] = ()
 
 
 Term = Var | Iri | Lit
@@ -184,6 +190,7 @@ _TERM_RE = re.compile(
     | (?P<pathmod>[+*?])
     | (?P<caret>\^)
     | (?P<slash>/)
+    | (?P<pipe>\|)
     """,
     re.VERBOSE,
 )
@@ -281,13 +288,15 @@ def _parse_statements(body: str, prefixes: dict[str, str]) -> list[Pattern]:
     pred: Term | Path | None = None
     obj: Term | None = None
     steps: list[PathStep] = []
+    alt_seqs: list[tuple[PathStep, ...]] = []  # completed '|' alternatives
     pending_inv = False
     after_step = False  # a step IRI just completed; a modifier may attach
 
     def finish_pred() -> Term | Path:
-        if len(steps) == 1 and not steps[0].inverse and not steps[0].many:
+        if not alt_seqs and len(steps) == 1 and not steps[0].inverse and not steps[0].many:
             return Iri(steps[0].iri)
-        return Path(tuple(steps))
+        seqs = [*alt_seqs, tuple(steps)]
+        return Path(seqs[0], tuple(seqs[1:]))
 
     for m in _TERM_RE.finditer(body):
         if m.group("dot"):
@@ -297,7 +306,7 @@ def _parse_statements(body: str, prefixes: dict[str, str]) -> list[Pattern]:
                 raise ValueError(f"BGP statement is not a triple: {body!r}")
             patterns.append((subj, pred, obj))
             phase, subj, pred, obj = "subj", None, None, None
-            steps, pending_inv, after_step = [], False, False
+            steps, alt_seqs, pending_inv, after_step = [], [], False, False
             continue
         if m.group("caret"):
             if phase != "pred" or after_step:
@@ -307,16 +316,22 @@ def _parse_statements(body: str, prefixes: dict[str, str]) -> list[Pattern]:
         if m.group("pathmod"):
             if phase != "pred" or not after_step:
                 raise ValueError("path modifier without a preceding step")
-            if m.group("pathmod") != "+":
-                raise ValueError(
-                    f"only '+' path repetition is supported, not {m.group('pathmod')!r}"
-                    " ('*' needs zero-length-path semantics over all graph nodes)"
-                )
-            steps[-1] = PathStep(steps[-1].iri, steps[-1].inverse, "+")
+            if steps[-1].many:
+                raise ValueError("double path modifier on one step")
+            steps[-1] = PathStep(
+                steps[-1].iri, steps[-1].inverse, m.group("pathmod")
+            )
             continue
         if m.group("slash"):
             if phase != "pred" or not after_step:
                 raise ValueError("'/' without a preceding path step")
+            after_step = False
+            continue
+        if m.group("pipe"):
+            if phase != "pred" or not after_step:
+                raise ValueError("'|' without a completed path alternative")
+            alt_seqs.append(tuple(steps))
+            steps = []
             after_step = False
             continue
         term = _term_of(m, prefixes)
@@ -777,36 +792,71 @@ def lit_binding(lex: str, dt: str | None = None) -> str:
     return f'"{lex}"^^{dt or vocab.XSD_STRING}'
 
 
+def _graph_terms(triples: DataFrame) -> DataFrame:
+    """Every RDF term occurring in the graph, one column ``n`` — the
+    zero-length-path universe of ``p*`` / ``p?`` (W3C ZeroOrMorePath /
+    ZeroOrOnePath: the zero-length path relates each graph term to itself).
+    One distinct exchange over (subjects ∪ object bindings); predicates-only
+    terms are not path endpoints and are excluded, matching the spec's node
+    evaluation. Deviation, documented: a ground subject/object NOT occurring
+    in the graph does not zero-length-match itself here (the spec's ALP
+    start-node rule); the restriction is to graph terms."""
+    return (
+        triples.select(F.col("subj").alias("n"))
+        .unionByName(triples.select(_object_binding().alias("n")))
+        .distinct()
+    )
+
+
 def _step_edges(triples: DataFrame, step: PathStep) -> DataFrame:
     """(src, dst) edge relation for one path step. The predicate constant is
     a pushed-down filter on the scan BEFORE any closure, so a ``p+`` only
-    ever closes over p-edges, never the whole graph."""
+    ever closes over p-edges, never the whole graph. ``p*`` is the
+    transitive closure ∪ the zero-length self-pairs over graph terms; ``p?``
+    the direct edges ∪ the self-pairs — both sets (distinct), per the spec's
+    arbitrary-length-path evaluation."""
     df = triples.filter(F.col("pred") == step.iri)
     src: F.Column = F.col("subj")
     dst: F.Column = _object_binding()
     if step.inverse:
         src, dst = dst, src
     edges = df.select(src.alias("src"), dst.alias("dst"))
-    if step.many == "+":
+    if step.many in ("+", "*"):
         from rdfcmap_spark.operators.graph import transitive_closure
 
         edges = transitive_closure(edges)
+    if step.many in ("*", "?"):
+        self_pairs = _graph_terms(triples).select(
+            F.col("n").alias("src"), F.col("n").alias("dst")
+        )
+        edges = edges.unionByName(self_pairs).distinct()
     return edges
 
 
-def _path_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, list[str]]:
-    """A pattern whose predicate is a property path: compose the step edge
-    relations by equi-join, then apply the subject/object constants or
-    variable bindings exactly like a plain pattern."""
-    s, path, o = pat
-    acc = _step_edges(triples, path.steps[0])
-    for st in path.steps[1:]:
+def _seq_edges(triples: DataFrame, seq: tuple[PathStep, ...]) -> DataFrame:
+    """Compose one ``/``-sequence of steps by equi-join."""
+    acc = _step_edges(triples, seq[0])
+    for st in seq[1:]:
         nxt = _step_edges(triples, st)
         acc = (
             acc.alias("l")
             .join(nxt.alias("r"), F.col("l.dst") == F.col("r.src"))
             .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
         )
+    return acc
+
+
+def _path_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, list[str]]:
+    """A pattern whose predicate is a property path: compose each
+    ``/``-sequence's step edge relations by equi-join, bag-union the
+    ``|``-alternatives (SPARQL translates simple alternation to UNION, so a
+    pair reachable through both alternatives yields two solutions), then
+    apply the subject/object constants or variable bindings exactly like a
+    plain pattern."""
+    s, path, o = pat
+    acc = _seq_edges(triples, path.steps)
+    for alt in path.alts:
+        acc = acc.unionByName(_seq_edges(triples, alt))
     df = acc
     bind: dict[str, F.Column] = {}
     if isinstance(s, Var):

@@ -378,11 +378,58 @@ SELECT ?y ?n WHERE {
     assert got == [("b", "1"), ("c", "1"), ("d", "1")]
 
 
-def test_path_star_rejected_loudly(spark):
-    with pytest.raises(ValueError, match="path repetition"):
-        se.execute_sparql(
-            _chain(spark),
-            "PREFIX ex: <http://example.org/>\nSELECT ?x ?y WHERE { ?x ex:next* ?y . }",
+def test_path_zero_or_more(spark):
+    """next* = zero-length self-pairs over ALL graph terms (a,b,c,d,c1,n1)
+    plus the transitive next-pairs."""
+    out = se.execute_sparql(
+        _chain(spark),
+        "PREFIX ex: <http://example.org/>\nSELECT ?x ?y WHERE { ?x ex:next* ?y . }",
+    )
+    got = sorted((r["x"][len(EX):], r["y"][len(EX):]) for r in out.collect())
+    selfp = [(t, t) for t in ["a", "b", "c", "c1", "d", "n1"]]
+    plus = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    assert got == sorted(selfp + plus)
+
+
+def test_path_zero_or_one(spark):
+    out = se.execute_sparql(
+        _chain(spark),
+        "PREFIX ex: <http://example.org/>\nSELECT ?y WHERE { <http://example.org/a> ex:next? ?y . }",
+    )
+    assert sorted(r["y"][len(EX):] for r in out.collect()) == ["a", "b"]
+
+
+def test_path_alternation_and_precedence(spark):
+    t = _chain(spark)
+    alt = se.execute_sparql(
+        t,
+        "PREFIX ex: <http://example.org/>\nSELECT ?x ?y WHERE { ?x ex:next|ex:by ?y . }",
+    )
+    got = sorted((r["x"][len(EX):], r["y"][len(EX):]) for r in alt.collect())
+    assert got == [("a", "b"), ("a", "c1"), ("b", "c"), ("c", "d")]
+    # '|' binds loosest: by/inNation|next == (by/inNation)|(next)
+    prec = se.execute_sparql(
+        t,
+        "PREFIX ex: <http://example.org/>\nSELECT ?y WHERE { <http://example.org/a> ex:by/ex:inNation|ex:next ?y . }",
+    )
+    assert sorted(r["y"][len(EX):] for r in prec.collect()) == ["b", "n1"]
+    # simple alternation is bag union: a pair reachable through both
+    # alternatives is two solutions (SPARQL's UNION translation)
+    bag = se.execute_sparql(
+        t,
+        "PREFIX ex: <http://example.org/>\nSELECT ?x ?y WHERE { ?x ex:next|ex:next ?y . }",
+    )
+    assert bag.count() == 6
+
+
+def test_path_modifier_validation(spark):
+    with pytest.raises(ValueError, match="double path modifier"):
+        se.parse_query(
+            "PREFIX ex: <http://example.org/>\nSELECT ?x ?y WHERE { ?x ex:next+* ?y . }"
+        )
+    with pytest.raises(ValueError, match="'\\|' without"):
+        se.parse_query(
+            "PREFIX ex: <http://example.org/>\nSELECT ?x ?y WHERE { ?x |ex:next ?y . }"
         )
 
 

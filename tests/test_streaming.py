@@ -123,3 +123,59 @@ def test_streaming_compaction_equals_batch(spark, tmp_path):
     with open(os.path.join(wd, C.SNAPSHOT_DIR, sink.MANIFEST)) as f:
         sid2 = json.load(f)["snapshot_id"]
     assert sid1 == sid2
+
+
+def test_incremental_compaction_equals_full_and_batch(spark, tmp_path):
+    """compact_incremental across two deliveries must produce the SAME
+    snapshot as the batch pipeline over all transcripts (and therefore as
+    full compact) — including a cross-delivery identity merge where the
+    second delivery's entities join components formed by the first. Also:
+    a no-new-landings cycle is a snapshot no-op."""
+    import json
+    import os
+
+    from rdfcmap_spark.plans.pipeline import run_pipeline
+    from rdfcmap_spark.sources import sink
+    from rdfcmap_spark.streaming import compact as C
+
+    t = transcripts_df(spark, n_convs=6, turns_per_conv=4)
+    in_dir = str(tmp_path / "in")
+    wd = str(tmp_path / "wd")
+    t.filter(F.col("conv_id") < "conv-000003").write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(in_dir)
+    queries = C.start_landing(stream, wd)
+    for q in queries:
+        q.processAllAvailable()
+    mid = C.compact_incremental(spark, wd)
+    assert mid.count() > 0
+    state1 = json.load(open(os.path.join(wd, C.STATE_FILE)))
+    assert state1["processed"][C.RAW_DIR]  # files recorded
+    t.filter(F.col("conv_id") >= "conv-000003").write.mode("append").parquet(in_dir)
+    for q in queries:
+        q.processAllAvailable()
+        q.stop()
+    final = C.compact_incremental(spark, wd)
+    batch = run_pipeline(t.localCheckpoint()).triples
+    assert {tuple(r) for r in final.collect()} == {tuple(r) for r in batch.collect()}
+    # the persisted mapping equals the full-recompute CC mapping
+    from rdfcmap_spark.operators import canonicalize
+    from rdfcmap_spark.streaming.stream import streaming_identity_observations  # noqa: F401
+
+    sameas = spark.read.parquet(os.path.join(wd, C.SAMEAS_DIR)).select("a", "b")
+    idents = spark.read.parquet(os.path.join(wd, C.IDENTS_DIR)).select(
+        "entity_id", "value"
+    )
+    full_map = canonicalize.connected_components(
+        canonicalize.identity_edges(sameas, idents)
+    )
+    inc_map = spark.read.parquet(os.path.join(wd, C.MAPPING_DIR))
+    assert sorted(map(tuple, inc_map.collect())) == sorted(
+        map(tuple, full_map.collect())
+    )
+    # no-op cycle: same snapshot id
+    with open(os.path.join(wd, C.SNAPSHOT_DIR, sink.MANIFEST)) as f:
+        sid1 = json.load(f)["snapshot_id"]
+    C.compact_incremental(spark, wd)
+    with open(os.path.join(wd, C.SNAPSHOT_DIR, sink.MANIFEST)) as f:
+        sid2 = json.load(f)["snapshot_id"]
+    assert sid1 == sid2
