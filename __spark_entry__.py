@@ -717,6 +717,42 @@ SELECT ?a ?b ?n WHERE {
     return execute_sparql(_succession_triples(spark, sf_dir), query)
 
 
+def _kg_sparql_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated property set (operators/sparql_exec.py `_step_edges` NPS
+    branch): ``!(ex:next|^ex:by)`` splits per SPARQL 1.1 §9.1 into forward
+    edges whose predicate is not ``ex:next`` (the by + inNation edges) ∪
+    inverse edges whose predicate is not ``ex:by`` (reversed next +
+    reversed inNation) — the NOT-IN predicates are pushed-down scan
+    filters, no closure involved."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+
+    query = """
+PREFIX ex: <http://example.org/>
+SELECT ?x ?y WHERE {
+  ?x !(ex:next|^ex:by) ?y .
+}
+"""
+    return execute_sparql(_succession_triples(spark, sf_dir), query)
+
+
+def _kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested ``{ SELECT … GROUP BY }`` subquery (operators/sparql_exec.py
+    `_select_frame` via `Group.subselects`): the inner per-customer order
+    COUNT joins the outer by-pattern on ?c — one hash aggregate + one
+    equi-join; the aggregate output binds as its plain lexical string
+    (module-docstring caveat, mirrored in the oracle's CAST)."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+
+    query = """
+PREFIX ex: <http://example.org/>
+SELECT ?o ?c ?n WHERE {
+  ?o ex:by ?c .
+  { SELECT ?c (COUNT(?o2) AS ?n) WHERE { ?o2 ex:by ?c . } GROUP BY ?c }
+}
+"""
+    return execute_sparql(_succession_triples(spark, sf_dir), query)
+
+
 def _order_nation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H orders/customer rendered as triples — the shared input of the
     SPARQL aggregation-surface driver queries (order -by-> customer,
@@ -1126,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_exec_full": _kg_sparql_exec_full,
         "kg_sparql_path": _kg_sparql_path,
         "kg_sparql_path_star": _kg_sparql_path_star,
+        "kg_sparql_nps": _kg_sparql_nps,
+        "kg_sparql_subquery": _kg_sparql_subquery,
         "kg_sparql_agg": _kg_sparql_agg,
         "kg_sparql_having": _kg_sparql_having,
         "kg_sparql_construct": _kg_sparql_construct,
@@ -1973,6 +2011,42 @@ SELECT 'http://example.org/order/' || CAST(p.a AS VARCHAR) AS a,
        'http://example.org/nation/' || CAST(c.c_nationkey AS VARCHAR) AS n
 FROM pairs p
 JOIN customer c ON c.c_custkey = p.ck
+"""
+
+    # !(ex:next|^ex:by) = forward by+inNation edges ∪ reversed next+inNation
+    sql["kg_sparql_nps"] = r"""
+WITH nxt AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS succ
+  FROM orders
+)
+SELECT 'http://example.org/order/' || CAST(o_orderkey AS VARCHAR) AS x,
+       'http://example.org/customer/' || CAST(o_custkey AS VARCHAR) AS y
+FROM orders
+UNION ALL
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR),
+       'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR)
+FROM customer
+UNION ALL
+SELECT 'http://example.org/order/' || CAST(succ AS VARCHAR),
+       'http://example.org/order/' || CAST(k AS VARCHAR)
+FROM nxt WHERE succ IS NOT NULL
+UNION ALL
+SELECT 'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR),
+       'http://example.org/customer/' || CAST(c_custkey AS VARCHAR)
+FROM customer
+"""
+
+    # inner { SELECT ?c (COUNT(?o2) AS ?n) GROUP BY ?c } joined on ?c;
+    # the aggregate binds as its lexical string (CAST mirrors that)
+    sql["kg_sparql_subquery"] = r"""
+WITH cnt AS (
+  SELECT o_custkey AS ck, COUNT(*) AS n FROM orders GROUP BY o_custkey
+)
+SELECT 'http://example.org/order/' || CAST(o.o_orderkey AS VARCHAR) AS o,
+       'http://example.org/customer/' || CAST(o.o_custkey AS VARCHAR) AS c,
+       CAST(cnt.n AS VARCHAR) AS n
+FROM orders o JOIN cnt ON cnt.ck = o.o_custkey
 """
 
     sql["kg_sparql_agg"] = r"""

@@ -45,7 +45,9 @@ Execution model (Spark-first, not a SPARQL-algebra port):
   distributed pointer-doubling, predicate filter pushed below the
   closure), ``p*`` / ``p?`` (zero-length self-pairs over graph terms ∪
   closure / direct edges), ``^p`` (inverse), ``p1/p2`` (sequence
-  composition), ``p1|p2`` (alternation, lowest precedence, bag union);
+  composition), ``p1|p2`` (alternation, lowest precedence, bag union),
+  ``!p`` / ``!(p1|^p2)`` (negated property sets — NOT-IN predicates pushed
+  to the scan, split by direction per the §9.1 translation);
 * ``FILTER [NOT] EXISTS { … }`` → left-semi / left-anti joins on the
   shared variables; ``MINUS { … }`` → left-anti (disjoint-domain MINUS is
   a no-op per spec);
@@ -53,6 +55,13 @@ Execution model (Spark-first, not a SPARQL-algebra port):
   selective unit; UNDEF is rejected — unbound-compatible join semantics
   diverge from SQL null joins); ``DESCRIBE`` → one left-semi
   node-description scan;
+* nested ``{ SELECT … }`` subqueries → evaluated bottom-up through the
+  same SELECT pipeline (aggregates/ORDER/LIMIT included) and hash-joined
+  into the outer group on their projected variables (aggregate outputs
+  bind as plain lexical values, documented);
+* ``?x [NOT] IN (e1, e2, …)`` → the spec's equality-disjunction
+  expansion; ``DATATYPE(?v)`` → the binding encoding's datatype suffix
+  (lang-tagged → ``rdf:langString``, IRI → NULL/type-error);
 * ``BIND(expr AS ?var)`` → ``withColumn`` over the joined group: arithmetic
   (evaluated in double, result ``xsd:double``), STR/STRLEN/UCASE/LCASE/
   CONCAT/SUBSTR/REPLACE (result ``xsd:string``), IF/COALESCE (binding
@@ -104,11 +113,20 @@ class Lit:
 class PathStep:
     """One step of a property path: an IRI, optionally inverted (``^p``),
     optionally repeated (``p+`` one-or-more, ``p*`` zero-or-more, ``p?``
-    zero-or-one)."""
+    zero-or-one). A negated property set ``!p`` / ``!(p1|^p2|…)`` is a step
+    with ``iri == ''`` and the negated members split by direction per the
+    SPARQL 1.1 NPS translation: ``neg`` holds forward members, ``neg_inv``
+    inverse members (either may be None when that direction is absent)."""
 
     iri: str
     inverse: bool = False
     many: str = ""  #: '' | '+' | '*' | '?'
+    neg: tuple[str, ...] | None = None  #: forward-negated predicate IRIs
+    neg_inv: tuple[str, ...] | None = None  #: inverse-negated predicate IRIs
+
+    @property
+    def negated(self) -> bool:
+        return self.neg is not None or self.neg_inv is not None
 
 
 @dataclass(frozen=True)
@@ -140,6 +158,8 @@ class Group:
     values: tuple[tuple[tuple[str, ...], tuple[tuple[str, ...], ...]], ...] = ()
     #: BIND clauses in textual order: (raw expression text, target var name)
     binds: tuple[tuple[str, str], ...] = ()
+    #: nested `{ SELECT … }` subqueries, parsed with the outer prefixes
+    subselects: tuple["ParsedQuery", ...] = ()
 
 
 @dataclass(frozen=True)
@@ -191,6 +211,9 @@ _TERM_RE = re.compile(
     | (?P<caret>\^)
     | (?P<slash>/)
     | (?P<pipe>\|)
+    | (?P<bang>!)
+    | (?P<lparen>\()
+    | (?P<rparen>\))
     """,
     re.VERBOSE,
 )
@@ -291,14 +314,77 @@ def _parse_statements(body: str, prefixes: dict[str, str]) -> list[Pattern]:
     alt_seqs: list[tuple[PathStep, ...]] = []  # completed '|' alternatives
     pending_inv = False
     after_step = False  # a step IRI just completed; a modifier may attach
+    pending_neg = False  # '!' seen; an NPS member or '(' set follows
+    # open '!( … )' set being collected: {"fwd": [...], "inv": [...], "caret": bool}
+    neg_set: dict | None = None
 
     def finish_pred() -> Term | Path:
-        if not alt_seqs and len(steps) == 1 and not steps[0].inverse and not steps[0].many:
+        if (
+            not alt_seqs
+            and len(steps) == 1
+            and not steps[0].inverse
+            and not steps[0].many
+            and not steps[0].negated
+        ):
             return Iri(steps[0].iri)
         seqs = [*alt_seqs, tuple(steps)]
         return Path(seqs[0], tuple(seqs[1:]))
 
+    def nps_step(fwd: list[str], inv: list[str], inverse: bool) -> PathStep:
+        if not fwd and not inv:
+            raise ValueError("empty negated property set: !()")
+        return PathStep(
+            "", inverse, "",
+            tuple(fwd) if fwd else None, tuple(inv) if inv else None,
+        )
+
     for m in _TERM_RE.finditer(body):
+        # inside an open '!( … )' negated set: only ^/|/terms/')' are legal
+        if neg_set is not None:
+            if m.group("caret"):
+                neg_set["caret"] = True
+                continue
+            if m.group("pipe"):
+                continue
+            if m.group("rparen"):
+                steps.append(
+                    nps_step(neg_set["fwd"], neg_set["inv"], pending_inv)
+                )
+                pending_inv = False
+                neg_set = None
+                after_step = True
+                continue
+            term = _term_of(m, prefixes)
+            if not isinstance(term, Iri):
+                raise ValueError(
+                    "negated property sets admit only IRIs / 'a' / '^IRI'"
+                )
+            neg_set["inv" if neg_set["caret"] else "fwd"].append(term.iri)
+            neg_set["caret"] = False
+            continue
+        if m.group("bang"):
+            if phase != "pred" or after_step:
+                raise ValueError("'!' must start a predicate-position path step")
+            pending_neg = True
+            continue
+        if m.group("lparen"):
+            if not pending_neg:
+                raise ValueError(
+                    "parenthesized (non-negated) property paths are not supported"
+                )
+            pending_neg = False
+            neg_set = {"fwd": [], "inv": [], "caret": False}
+            continue
+        if m.group("rparen"):
+            raise ValueError("unbalanced ')' in a BGP statement")
+        if pending_neg:
+            term = _term_of(m, prefixes)
+            if not isinstance(term, Iri):
+                raise ValueError("'!' must be followed by an IRI or '(set)'")
+            steps.append(nps_step([term.iri], [], pending_inv))
+            pending_inv = pending_neg = False
+            after_step = True
+            continue
         if m.group("dot"):
             if phase == "pred" and after_step:
                 raise ValueError(f"BGP statement is not a triple: {body!r}")
@@ -319,7 +405,8 @@ def _parse_statements(body: str, prefixes: dict[str, str]) -> list[Pattern]:
             if steps[-1].many:
                 raise ValueError("double path modifier on one step")
             steps[-1] = PathStep(
-                steps[-1].iri, steps[-1].inverse, m.group("pathmod")
+                steps[-1].iri, steps[-1].inverse, m.group("pathmod"),
+                steps[-1].neg, steps[-1].neg_inv,
             )
             continue
         if m.group("slash"):
@@ -454,6 +541,7 @@ def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
     minuses: list[Group] = []
     values_blocks: list = []
     binds: list[tuple[str, str]] = []
+    subselects: list[ParsedQuery] = []
     plain: list[str] = []
     i, n = 0, len(body)
     while i < n:
@@ -512,10 +600,27 @@ def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
             i = end + 1
             continue
         if body[i] == "{":
+            end0 = _matching(body, i, "{", "}")
+            inner0 = body[i + 1 : end0]
+            if re.match(r"(?is)\s*SELECT\b", inner0):
+                # nested subquery: evaluated independently, its projection
+                # joins the outer group on shared variables. Parsed with
+                # the OUTER prefixes prepended (a subquery has no PREFIX
+                # block of its own).
+                if re.match(r"(?i)\s*UNION\s*\{", body[end0 + 1 :]):
+                    raise ValueError("a subquery cannot be a UNION branch")
+                header = "\n".join(
+                    f"PREFIX {p}: <{ns}>" for p, ns in prefixes.items()
+                )
+                subselects.append(parse_query(header + "\n" + inner0))
+                i = end0 + 1
+                continue
             branches: list[Group] = []
             j = i
             while True:
                 end = _matching(body, j, "{", "}")
+                if re.match(r"(?is)\s*SELECT\b", body[j + 1 : end]):
+                    raise ValueError("a subquery cannot be a UNION branch")
                 branches.append(_parse_group(body[j + 1 : end], prefixes))
                 mu = re.match(r"(?i)\s*UNION\s*\{", body[end + 1 :])
                 if not mu:
@@ -535,7 +640,7 @@ def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
     return Group(
         patterns, filters, optionals, unions,
         tuple(exists), tuple(not_exists), tuple(minuses), tuple(values_blocks),
-        tuple(binds),
+        tuple(binds), tuple(subselects),
     )
 
 
@@ -815,12 +920,38 @@ def _step_edges(triples: DataFrame, step: PathStep) -> DataFrame:
     transitive closure ∪ the zero-length self-pairs over graph terms; ``p?``
     the direct edges ∪ the self-pairs — both sets (distinct), per the spec's
     arbitrary-length-path evaluation."""
-    df = triples.filter(F.col("pred") == step.iri)
-    src: F.Column = F.col("subj")
-    dst: F.Column = _object_binding()
-    if step.inverse:
-        src, dst = dst, src
-    edges = df.select(src.alias("src"), dst.alias("dst"))
+    if step.negated:
+        # SPARQL 1.1 §9.1 NPS translation: !(p1|…|^q1|…) = forward edges
+        # whose predicate ∉ {p…} ∪ inverse edges whose predicate ∉ {q…};
+        # a direction with no negated members contributes nothing. The
+        # NOT-IN compiles to a pushed-down scan predicate.
+        parts = []
+        if step.neg is not None:
+            parts.append(
+                triples.filter(~F.col("pred").isin(*step.neg)).select(
+                    F.col("subj").alias("src"), _object_binding().alias("dst")
+                )
+            )
+        if step.neg_inv is not None:
+            parts.append(
+                triples.filter(~F.col("pred").isin(*step.neg_inv)).select(
+                    _object_binding().alias("src"), F.col("subj").alias("dst")
+                )
+            )
+        edges = parts[0]
+        for p in parts[1:]:
+            edges = edges.unionByName(p)
+        if step.inverse:  # '^!(…)': invert the whole NPS relation
+            edges = edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+    else:
+        df = triples.filter(F.col("pred") == step.iri)
+        src: F.Column = F.col("subj")
+        dst: F.Column = _object_binding()
+        if step.inverse:
+            src, dst = dst, src
+        edges = df.select(src.alias("src"), dst.alias("dst"))
     if step.many in ("+", "*"):
         from rdfcmap_spark.operators.graph import transitive_closure
 
@@ -1029,7 +1160,11 @@ def _compare(op: str, l: _Opnd, r: _Opnd) -> F.Column:
             raise ValueError(f"ordering comparison on IRIs: {op}")
 
         def b(o: _Opnd) -> F.Column:
-            return F.col(o.name) if o.kind == "var" else F.lit(o.s)
+            if o.kind == "var":
+                return F.col(o.name)
+            if o.kind in ("lex", "bind"):  # computed column (e.g. DATATYPE)
+                return o.col
+            return F.lit(o.s)
 
         return _CMP[op](b(l), b(r))
     if l.kind == "var" and r.kind == "var":
@@ -1175,6 +1310,28 @@ class _FilterParser:
         if t and t[0] == "op" and t[1] in _CMP:
             op = self._next()[1]
             return _compare(op, left, self._operand())
+        if t and t[0] == "name" and t[1].lower() in ("in", "not"):
+            # SPARQL §17.4.1.9: ?x IN (e1, e2) ≡ ?x = e1 || ?x = e2;
+            # NOT IN is its negation. IN () is false, NOT IN () true.
+            neg = t[1].lower() == "not"
+            self._next()
+            if neg:
+                t2 = self._next()
+                if t2[0] != "name" or t2[1].lower() != "in":
+                    raise ValueError("expected IN after NOT in FILTER")
+            self._expect_op("(")
+            if (p := self._peek()) and p[0] == "op" and p[1] == ")":
+                self._next()
+                items: list[_Opnd] = []
+            else:
+                items = self._args_until_close()
+            c: F.Column | None = None
+            for it in items:
+                eq = _compare("=", left, it)
+                c = eq if c is None else (c | eq)
+            if c is None:
+                c = F.lit(False)
+            return ~c if neg else c
         raise ValueError("FILTER operand is not part of a comparison or boolean call")
 
     def _call(self, fn: str) -> F.Column:
@@ -1305,6 +1462,22 @@ class _FilterParser:
                     F.col(name), r"\^\^.*langString@([A-Za-z0-9-]+)$", 1
                 ),
             )
+        if kind == "name" and text.lower() == "datatype":
+            # literal bindings carry `"lex"^^<dt>`; lang-tagged ones fold the
+            # tag into the datatype (rdf:langString@tag → rdf:langString per
+            # spec); a plain `"lex"` literal never occurs (the encoder always
+            # writes xsd:string). DATATYPE of an IRI is a type error → NULL
+            # → the row drops, SPARQL's error→false FILTER rule.
+            self._expect_op("(")
+            name = self._var(self._next())
+            self._expect_op(")")
+            b = F.col(name)
+            dt = F.when(b.startswith('"'), F.regexp_extract(b, r'^".*"\^\^(.*)$', 1))
+            dt = F.when(
+                dt.startswith(vocab.RDF + "langString@"),
+                F.lit(vocab.RDF + "langString"),
+            ).otherwise(dt)
+            return _Opnd("lex", col=dt)
         if kind == "name" and text.lower() == "strlen":
             self._expect_op("(")
             (inner,) = self._args_until_close()
@@ -1453,6 +1626,15 @@ def execute_group(
         for f, _ in executed[1:]:
             uf = uf.unionByName(f.select(*cols))
         units.append((uf, cols, 0))
+    for sq in group.subselects:
+        f = _select_frame(triples, sq)
+        # aggregate / expression outputs are raw values; cast to string so
+        # joins against binding columns type-check. Caveat, documented: an
+        # aggregate value binds as its plain lexical form, so it joins/
+        # compares against other computed values, not against graph-literal
+        # binding encodings.
+        f = f.select(*[F.col(c).cast("string").alias(c) for c in f.columns])
+        units.append((f, list(f.columns), 0))
     if not units:
         raise ValueError("group graph pattern has no triple patterns or UNION blocks")
     acc, bound = _join_units(units)
@@ -1683,11 +1865,19 @@ def execute_sparql(triples: DataFrame, query_text: str) -> DataFrame:
     q = parse_query(query_text)
     if q.form == "describe":
         return _describe(triples, q)
-    acc, bound = execute_group(triples, q.group, q.prefixes)
-    if q.form == "construct":
-        return _construct(acc, bound, q)
-    if q.form == "ask":
+    if q.form in ("construct", "ask"):
+        acc, bound = execute_group(triples, q.group, q.prefixes)
+        if q.form == "construct":
+            return _construct(acc, bound, q)
         return acc.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+    return _select_frame(triples, q)
+
+
+def _select_frame(triples: DataFrame, q: ParsedQuery) -> DataFrame:
+    """The SELECT pipeline (group → aggregates/expressions → projection →
+    DISTINCT/ORDER/OFFSET/LIMIT) — shared by top-level SELECTs and nested
+    `{ SELECT … }` subqueries."""
+    acc, bound = execute_group(triples, q.group, q.prefixes)
     agg_items = [it for it in q.select_items if it.agg]
     expr_items = [it for it in q.select_items if it.expr]
     if q.group_by and not agg_items and not q.having_aggs:
@@ -1712,17 +1902,25 @@ def execute_sparql(triples: DataFrame, query_text: str) -> DataFrame:
         missing = [v for v in names if v not in bound]
         if missing:
             raise ValueError(f"SELECT variables never bound in the query: {missing}")
-        acc = acc.select(*names)
         scope = names
     else:
         scope = sorted(bound)
-        acc = acc.select(*scope)
+    # ORDER BY may reference non-projected variables (legal per the SPARQL
+    # algebra: ordering applies to solutions BEFORE projection) — but not
+    # under DISTINCT, where ordering over dropped vars is ill-defined
+    extra_order = [v for v, _ in q.order_by if v not in scope]
+    if extra_order:
+        bad = [v for v in extra_order if v not in bound]
+        if bad:
+            raise ValueError(f"ORDER BY variables never bound: {bad}")
+        if q.distinct:
+            raise ValueError(
+                f"ORDER BY on non-projected variables under DISTINCT: {extra_order}"
+            )
+    acc = acc.select(*scope, *extra_order)
     if q.distinct:
         acc = acc.distinct()
     if q.order_by:
-        bad = [v for v, _ in q.order_by if v not in scope]
-        if bad:
-            raise ValueError(f"ORDER BY variables outside the projection: {bad}")
         acc = acc.orderBy(
             *[F.col(v).desc() if d else F.col(v).asc() for v, d in q.order_by]
         )
@@ -1730,4 +1928,4 @@ def execute_sparql(triples: DataFrame, query_text: str) -> DataFrame:
         acc = acc.offset(q.offset)
     if q.limit is not None:
         acc = acc.limit(q.limit)
-    return acc
+    return acc.select(*scope) if extra_order else acc

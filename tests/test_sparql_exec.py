@@ -954,3 +954,146 @@ SELECT DISTINCT (COUNT(?ord) AS ?n) WHERE {
 } GROUP BY ?cust""",
     )
     assert [r["n"] for r in out.collect()] == [1]
+
+
+# ---------------------------------------------------------- round-3 features
+
+
+def test_negated_property_set_single(spark):
+    """`!ex:age`: every forward edge whose predicate is not ex:age."""
+    out = se.execute_sparql(
+        _graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?s ?o WHERE { ?s !ex:age ?o . }""",
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        (EX + "a", EX + "b"),
+        (EX + "b", EX + "Person"),
+        (EX + "b", EX + "c"),
+    ]
+
+
+def test_negated_property_set_with_inverse_member(spark):
+    """`!(ex:age|a|^ex:knows)` = forward edges with pred ∉ {age, rdf:type}
+    ∪ inverse edges with pred ∉ {knows} (SPARQL 1.1 §9.1 split)."""
+    out = se.execute_sparql(
+        _graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?s ?o WHERE { ?s !(ex:age|a|^ex:knows) ?o . }""",
+    )
+    # forward: the two knows edges; inverse: reversed age + reversed type
+    assert sorted(map(tuple, out.collect())) == sorted(
+        [
+            (EX + "a", EX + "b"),
+            (EX + "b", EX + "c"),
+            (se.lit_binding("30", vocab.XSD + "integer"), EX + "a"),
+            (se.lit_binding("40", vocab.XSD + "integer"), EX + "b"),
+            (EX + "Person", EX + "b"),
+        ]
+    )
+
+
+def test_negated_property_set_in_sequence_and_modifier(spark):
+    """An NPS composes in a sequence and takes a path modifier."""
+    out = se.execute_sparql(
+        _graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?s ?o WHERE { ?s !(ex:age|a)+ ?o . }""",
+    )
+    # closure over the knows edges only
+    assert sorted(map(tuple, out.collect())) == [
+        (EX + "a", EX + "b"),
+        (EX + "a", EX + "c"),
+        (EX + "b", EX + "c"),
+    ]
+
+
+def test_negated_property_set_empty_is_loud():
+    with pytest.raises(ValueError, match="empty negated property set"):
+        se.parse_query("SELECT ?s WHERE { ?s !() ?o . }")
+
+
+def test_plain_parenthesized_path_is_loud():
+    with pytest.raises(ValueError, match="parenthesized"):
+        se.parse_query(
+            "PREFIX ex: <http://example.org/>\n"
+            "SELECT ?s WHERE { ?s (ex:p/ex:q) ?o . }"
+        )
+
+
+def test_subquery_aggregate_joins_outer(spark):
+    """A `{ SELECT … GROUP BY … }` subquery computes per-node counts that
+    join the outer pattern on the shared variable."""
+    out = se.execute_sparql(
+        _graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?s ?n WHERE {
+  ?s ex:age ?age .
+  { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ex:knows ?o . } GROUP BY ?s }
+}""",
+    )
+    assert sorted(map(tuple, out.collect())) == [(EX + "a", "1"), (EX + "b", "1")]
+
+
+def test_subquery_limit_restricts_outer(spark):
+    """ORDER BY + LIMIT inside the subquery: top-1 age holder only."""
+    out = se.execute_sparql(
+        _graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?s ?o WHERE {
+  ?s ex:knows ?o .
+  { SELECT ?s WHERE { ?s ex:age ?v . } ORDER BY ?v LIMIT 1 }
+}""",
+    )
+    assert sorted(map(tuple, out.collect())) == [(EX + "a", EX + "b")]
+
+
+def test_subquery_in_union_branch_is_loud():
+    with pytest.raises(ValueError, match="subquery cannot be a UNION branch"):
+        se.parse_query(
+            "SELECT ?s WHERE { { SELECT ?s WHERE { ?s ex:p ?o . } } "
+            "UNION { ?s ex:q ?o . } }"
+        )
+
+
+def test_filter_in_and_not_in(spark):
+    g = _graph(spark)
+    out = se.execute_sparql(
+        g,
+        """PREFIX ex: <http://example.org/>
+SELECT ?s WHERE { ?s ex:age ?v . FILTER(?v IN (30, 99)) }""",
+    )
+    assert [r["s"] for r in out.collect()] == [EX + "a"]
+    out = se.execute_sparql(
+        g,
+        """PREFIX ex: <http://example.org/>
+SELECT ?s WHERE { ?s ex:age ?v . FILTER(?v NOT IN (30, 99)) }""",
+    )
+    assert [r["s"] for r in out.collect()] == [EX + "b"]
+
+
+def test_filter_in_iris(spark):
+    out = se.execute_sparql(
+        _graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?o WHERE { <http://example.org/a> ex:knows ?o . FILTER(?o IN (ex:b, ex:zzz)) }""",
+    )
+    assert [r["o"] for r in out.collect()] == [EX + "b"]
+
+
+def test_filter_datatype(spark):
+    out = se.execute_sparql(
+        _graph(spark),
+        """PREFIX ex: <http://example.org/>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+SELECT ?s WHERE { ?s ex:age ?v . FILTER(DATATYPE(?v) = xsd:integer) }""",
+    )
+    assert sorted(r["s"] for r in out.collect()) == [EX + "a", EX + "b"]
+    # DATATYPE of an IRI binding is a type error -> row drops
+    out = se.execute_sparql(
+        _graph(spark),
+        """PREFIX ex: <http://example.org/>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+SELECT ?o WHERE { ?s ex:knows ?o . FILTER(DATATYPE(?o) = xsd:string) }""",
+    )
+    assert out.collect() == []
