@@ -21,7 +21,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rdfcmap_spark.operators import dedup, multimodal, relational, similarity, textstats
+from rdfcmap_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+    traindata,
+)
 from rdfcmap_spark.sources.tables import load
 
 
@@ -1227,6 +1234,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load(s, d, "documents").filter(F.col("doc_id") % 20 == 0),
         ),
         "text_pii_scan": lambda s, d: textstats.pii_scan(load(s, d, "documents")),
+        # --- training-corpus assembly (operators/traindata.py) ---
+        "data_split": lambda s, d: traindata.split_assign(load(s, d, "documents")),
+        "pack_concat_chunk": lambda s, d: traindata.pack_concat_chunk(
+            load(s, d, "documents"), budget=512, n_shards=8
+        ),
+        "pack_greedy": lambda s, d: traindata.pack_greedy(
+            load(s, d, "documents"), budget=512, n_shards=8
+        ),
         # --- multimodal plumbing (Arrow mapInPandas; deterministic fake decode) ---
         "multimodal_features": lambda s, d: multimodal.media_features(load(s, d, "documents")),
         "multimodal_resize": lambda s, d: multimodal.resize_media(
@@ -2611,6 +2626,69 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         + ",\n  CAST("
         + " + ".join("n_" + k for k in textstats.PII_PATTERNS)
         + " AS BIGINT) AS n_pii_total\nFROM c"
+    )
+
+    # engine-portable hash split: int(md5(str(doc_id))[:6], 16) % 100 —
+    # md5 of the decimal id string is byte-identical across engines
+    sql["data_split"] = r"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INTEGER) % 100
+              AS INTEGER) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+    _TOKS_CTE = r"""
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INTEGER) % 100 % 8
+              AS INTEGER) AS shard,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+"""
+
+    sql["pack_concat_chunk"] = (
+        "WITH toks AS (" + _TOKS_CTE + r"""),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(s // 512 AS BIGINT) AS bin,
+       CAST(s % 512 AS BIGINT) AS off
+FROM cum
+"""
+    )
+
+    # the greedy per-shard scan as a recursive CTE over row_number succession
+    sql["pack_greedy"] = (
+        "WITH RECURSIVE toks AS (" + _TOKS_CTE + r"""),
+ordered AS (
+  SELECT doc_id, shard, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM toks
+),
+packed AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 512
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 512
+              THEN o.n_tokens ELSE p.fill + o.n_tokens END
+  FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, n_tokens, bin, fill FROM packed
+"""
     )
 
     sql["multimodal_features"] = r"""

@@ -1,0 +1,134 @@
+"""Training-corpus assembly operators: deterministic splits and sequence
+packing (the step between the dedup/quality family and the trainer).
+
+No reference counterpart — rdfcmap stops at triple emission — but any
+100 TB training-data pipeline needs exactly these two transforms after
+dedup/filtering, so they are first-class driver queries here:
+
+* :func:`split_assign` — engine-portable deterministic train/val/test
+  assignment: the bucket is ``int(md5(doc_id)[:6], 16) % 100`` (md5 of the
+  decimal doc-id string, lowercase hex — byte-identical in Spark and
+  DuckDB, so the oracle reproduces it verbatim). A hash split is the only
+  correct split at scale: it is stable under re-partitioning, appends, and
+  re-runs, unlike anything based on row order or ``rand()``.
+* :func:`pack_concat_chunk` — the standard pretraining "concatenate then
+  chunk at the context length" packing: documents are sharded by hash,
+  ordered deterministically within the shard, laid end-to-end, and cut
+  into ``budget``-token bins; each document row reports its (shard, bin,
+  offset). One shuffle (the shard hash), one window — no Python.
+* :func:`pack_greedy` — boundary-respecting greedy packing (a document
+  never splits across bins: close the bin when the next document would
+  overflow; an oversized document gets its own bin). The per-shard scan is
+  inherently sequential, so it runs as an Arrow ``applyInPandas`` over
+  shards — numpy inside, no per-row Python; shard count scales with the
+  cluster, each shard's state is one cumulative counter.
+
+Scale posture: all three are one-shuffle operators keyed on a
+uniform-by-construction hash column (no skew: md5 buckets are balanced
+regardless of doc-id distribution); the windows/scans inside a shard
+stream in sorted order. At 100 TB the shard count is sized to executors
+× a small factor, and packing output is written partitioned by shard so
+the trainer's readers are sequential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: split fractions, in bucket points of 100: [0,80) train, [80,90) val,
+#: [90,100) test
+TRAIN_UPTO = 80
+VAL_UPTO = 90
+
+
+def _bucket100(doc_id_col) -> F.Column:
+    """``int(md5(str(doc_id))[:6], 16) % 100`` — 24 bits of the digest; the
+    2^24 % 100 modulo bias is ~1e-5 and identical in the oracle."""
+    hex6 = F.substring(F.md5(doc_id_col.cast("string").cast("binary")), 1, 6)
+    return (F.conv(hex6, 16, 10).cast("long") % 100).cast("int")
+
+
+def split_assign(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket, split) — deterministic 80/10/10 assignment."""
+    b = _bucket100(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < TRAIN_UPTO, F.lit("train"))
+        .when(b < VAL_UPTO, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _n_tokens(text_col) -> F.Column:
+    """Whitespace token count (the packing unit; the BPE-ish count of
+    textstats.token_stats slots in the same way)."""
+    t = F.trim(text_col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def pack_concat_chunk(
+    docs: DataFrame, budget: int = 2048, n_shards: int = 8
+) -> DataFrame:
+    """Concat-then-chunk packing: documents are laid end-to-end per shard in
+    doc_id order and cut every ``budget`` tokens; a document may straddle a
+    cut (the trainer's loader re-splits at token granularity).
+
+    Output: (doc_id, shard, n_tokens, bin, off) — ``bin`` is the chunk the
+    document STARTS in, ``off`` its token offset inside that chunk.
+    """
+    shard = (_bucket100(F.col("doc_id")) % n_shards).alias("shard")
+    toks = docs.select("doc_id", shard, _n_tokens(F.col("text")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.withColumn("_start", start).select(
+        "doc_id", "shard", "n_tokens",
+        F.floor(F.col("_start") / budget).cast("long").alias("bin"),
+        (F.col("_start") % budget).cast("long").alias("off"),
+    )
+
+
+def pack_greedy(
+    docs: DataFrame, budget: int = 2048, n_shards: int = 8
+) -> DataFrame:
+    """Boundary-respecting greedy packing: per shard, in doc_id order, a
+    document joins the current bin unless it would push it past ``budget``
+    (then a new bin opens); a single document larger than ``budget`` owns
+    its bin (and only ever one — the next document always opens fresh).
+
+    Output: (doc_id, shard, n_tokens, bin, fill) — ``fill`` is the bin's
+    token count after this document. The scan is sequential per shard, so
+    it runs as one Arrow batch job per shard (``applyInPandas``), numpy
+    inside; shards are hash-balanced and sized to the cluster.
+    """
+    import pandas as pd
+
+    shard = (_bucket100(F.col("doc_id")) % n_shards).alias("shard")
+    toks = docs.select("doc_id", shard, _n_tokens(F.col("text")).alias("n_tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        cur_bin, cur_fill = 0, 0
+        for t in pdf["n_tokens"].to_numpy():
+            if cur_fill > 0 and cur_fill + t > budget:
+                cur_bin += 1
+                cur_fill = 0
+            cur_fill += int(t)
+            bins.append(cur_bin)
+            fills.append(cur_fill)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        pdf["fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    return toks.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard int, n_tokens long, bin long, fill long"
+    )

@@ -1,0 +1,99 @@
+"""Training-corpus assembly (operators/traindata.py): deterministic hash
+splits and the two packing disciplines. The DuckDB oracles cover exact
+engine parity (data_split / pack_concat_chunk / pack_greedy driver
+queries); these tests pin the semantic invariants the oracle can't
+express — determinism under re-partitioning, packing feasibility, and
+boundary behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdfcmap_spark.operators import traindata
+
+
+def _docs(spark, n=400):
+    # synthetic docs with varied token counts, including empty and oversized
+    rows = []
+    for i in range(n):
+        if i % 97 == 0:
+            text = ""  # zero tokens
+        elif i % 89 == 0:
+            text = "w " * 700  # oversized vs budget 512
+        else:
+            text = ("tok%d " % i) * (1 + (i * 37) % 60)
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_split_fractions_and_determinism(spark):
+    docs = _docs(spark, 2000)
+    out = traindata.split_assign(docs)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # md5 buckets: 80/10/10 within generous tolerance at n=2000
+    assert 0.74 <= counts["train"] / 2000 <= 0.86
+    assert 0.06 <= counts["val"] / 2000 <= 0.145
+    assert 0.06 <= counts["test"] / 2000 <= 0.145
+    # stable under re-partitioning (the whole point of a hash split)
+    again = traindata.split_assign(docs.repartition(13))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_split_is_pure_map(spark):
+    """No exchange in the split plan — it must be a pure projection."""
+    plan = traindata.split_assign(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pack_concat_chunk_layout(spark):
+    docs = _docs(spark)
+    out = traindata.pack_concat_chunk(docs, budget=512, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(out) == docs.count()
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            # each doc starts exactly where the running concatenation is
+            assert r["bin"] == cum // 512 and r["off"] == cum % 512, r
+            cum += r["n_tokens"]
+
+
+def test_pack_greedy_invariants(spark):
+    docs = _docs(spark)
+    out = traindata.pack_greedy(docs, budget=512, n_shards=4).collect()
+    assert len(out) == docs.count()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        # bins are contiguous, starting at 0
+        bins = [r["bin"] for r in rows]
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+        # a bin's fill only exceeds the budget when a single doc does
+        last_fill: dict[int, int] = {}
+        bin_docs: dict[int, int] = {}
+        for r in rows:
+            last_fill[r["bin"]] = r["fill"]
+            bin_docs[r["bin"]] = bin_docs.get(r["bin"], 0) + 1
+        for b, fill in last_fill.items():
+            assert fill <= 512 or bin_docs[b] == 1, (shard, b, fill)
+
+
+def test_pack_greedy_matches_concat_on_tokens(spark):
+    """Both packers agree on the shard assignment and token counts."""
+    docs = _docs(spark)
+    a = {
+        (r["doc_id"]): (r["shard"], r["n_tokens"])
+        for r in traindata.pack_concat_chunk(docs, n_shards=4).collect()
+    }
+    b = {
+        (r["doc_id"]): (r["shard"], r["n_tokens"])
+        for r in traindata.pack_greedy(docs, n_shards=4).collect()
+    }
+    assert a == b
