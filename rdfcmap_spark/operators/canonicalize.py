@@ -157,8 +157,12 @@ def connected_components_with_count(
     # compact serialized bytes and spills instead.
     from pyspark import StorageLevel
 
+    # lazy checkpoint: the count right below is the materializing action,
+    # so entry costs one job, not two (same A/B-measured discipline as
+    # graph.transitive_closure — each redundant eager job was ~25-30% of
+    # loop wall at local[32])
     edges = edges.select("src", "dst").localCheckpoint(
-        storageLevel=StorageLevel.MEMORY_AND_DISK
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
     n_edges = edges.count()
     if driver_threshold and n_edges <= driver_threshold:
@@ -231,10 +235,15 @@ def connected_components_with_count(
     for _ in range(max_iter):
         if n_e == 0 or (driver_threshold and n_e <= driver_threshold):
             break
+        # both round frames checkpoint LAZILY: the n_e count below is the
+        # single materializing job for m AND e (3 jobs/round -> 1); m's
+        # blocks persist as a side effect of computing e through it, and
+        # every consumer (the next round, the resolve-down joins) reads the
+        # persisted blocks
         m = (
             e.repartition(p_cc, "src")
             .mapInPandas(_local_uf, "node string, root string")
-            .localCheckpoint(storageLevel=_lvl)
+            .localCheckpoint(eager=False, storageLevel=_lvl)
         )
         mappings.append(m)
         st = m.groupBy("node").agg(
@@ -244,7 +253,7 @@ def connected_components_with_count(
         e = (
             st.select(F.col("r0").alias("src"), F.explode("rs").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .localCheckpoint(storageLevel=_lvl)
+            .localCheckpoint(eager=False, storageLevel=_lvl)
         )
         n_e = e.count()
         if e_prev is not edges:
@@ -270,9 +279,9 @@ def connected_components_with_count(
         base.join(r, "root", "left")
         .groupBy(F.col("node").alias("entity_id"))
         .agg(F.min(F.coalesce(F.col("canon"), F.col("root"))).alias("canonical_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    n = mapping.count()  # mapping is checkpointed — one cheap scan
+    n = mapping.count()  # the materializing action for the lazy checkpoint
     for m in mappings:  # loop blocks are consumed; free the storage memory
         m.unpersist()
     if e is not edges:

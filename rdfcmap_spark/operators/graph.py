@@ -160,6 +160,14 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     frames off the 16 GB heap (same discipline as the contraction CC);
     superseded checkpoints are unpersisted eagerly.
 
+    Checkpoints are LAZY (``eager=False``): the convergence ``count()``
+    right after is the materializing action, so each round runs ONE job
+    instead of two (checkpoint-build + count). Interleaved same-window A/B
+    at sf0.1 (750k-pair closure, 6 rounds, local[32]): eager 15.3-19.1 s
+    vs lazy 11.8-13.7 s — a consistent ~25-30% of the loop's wall is the
+    redundant second job. Safety: the count always runs before the
+    superseded frame unpersists, so no round ever recomputes lineage.
+
     Scale note: a transitive closure is inherently O(Σ reach(v)) output —
     linear rounds, but the OUTPUT can be quadratic in chain length (a
     K-node chain yields K²/2 pairs). That is the operator's contract, not
@@ -170,7 +178,9 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     from pyspark import StorageLevel
 
     _lvl = StorageLevel.MEMORY_AND_DISK
-    closure = edges.select("src", "dst").distinct().localCheckpoint(storageLevel=_lvl)
+    closure = edges.select("src", "dst").distinct().localCheckpoint(
+        eager=False, storageLevel=_lvl
+    )
     n = closure.count()
     for _ in range(max_rounds):
         # ONE materialization per round: next = distinct(closure ∪ closure²),
@@ -187,7 +197,7 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
                 .select("src", F.col("dst2").alias("dst"))
             )
             .distinct()
-            .localCheckpoint(storageLevel=_lvl)
+            .localCheckpoint(eager=False, storageLevel=_lvl)
         )
         m = nxt.count()
         if m == n:

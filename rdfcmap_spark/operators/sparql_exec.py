@@ -207,6 +207,8 @@ _TERM_RE = re.compile(
     | (?P<pname>[A-Za-z][\w.-]*:[\w.%-]*)
     | (?P<kw_a>\ba\b)
     | (?P<dot>\.)
+    | (?P<semi>;)
+    | (?P<comma>,)
     | (?P<pathmod>[+*?])
     | (?P<caret>\^)
     | (?P<slash>/)
@@ -339,6 +341,9 @@ def _parse_statements(body: str, prefixes: dict[str, str]) -> list[Pattern]:
         )
 
     for m in _TERM_RE.finditer(body):
+        # after ';' anything but the statement terminator resumes at pred
+        if phase == "pred_after_semi" and not m.group("dot"):
+            phase = "pred"
         # inside an open '!( … )' negated set: only ^/|/terms/')' are legal
         if neg_set is not None:
             if m.group("caret"):
@@ -386,13 +391,28 @@ def _parse_statements(body: str, prefixes: dict[str, str]) -> list[Pattern]:
             after_step = True
             continue
         if m.group("dot"):
-            if phase == "pred" and after_step:
+            # "pred_after_semi" = a trailing ';' before the '.' (legal)
+            if phase not in ("done", "pred_after_semi"):
                 raise ValueError(f"BGP statement is not a triple: {body!r}")
-            if phase != "done":
-                raise ValueError(f"BGP statement is not a triple: {body!r}")
-            patterns.append((subj, pred, obj))
+            if phase == "done":
+                patterns.append((subj, pred, obj))
             phase, subj, pred, obj = "subj", None, None, None
             steps, alt_seqs, pending_inv, after_step = [], [], False, False
+            continue
+        if m.group("semi"):
+            # predicate-object list: emit and keep the subject
+            if phase != "done":
+                raise ValueError(f"';' before a complete triple in: {body!r}")
+            patterns.append((subj, pred, obj))
+            phase, pred, obj = "pred_after_semi", None, None
+            steps, alt_seqs, pending_inv, after_step = [], [], False, False
+            continue
+        if m.group("comma"):
+            # object list: emit and keep subject + predicate
+            if phase != "done":
+                raise ValueError(f"',' before a complete triple in: {body!r}")
+            patterns.append((subj, pred, obj))
+            phase, obj = "obj", None
             continue
         if m.group("caret"):
             if phase != "pred" or after_step:

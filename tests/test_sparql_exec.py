@@ -1097,3 +1097,37 @@ PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
 SELECT ?o WHERE { ?s ex:knows ?o . FILTER(DATATYPE(?o) = xsd:string) }""",
     )
     assert out.collect() == []
+
+
+def test_predicate_object_lists(spark):
+    """';' shares the subject, ',' shares subject+predicate; a trailing ';'
+    before '.' is legal (Turtle/SPARQL abbreviation grammar)."""
+    out = se.execute_sparql(
+        _graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?x ?o WHERE {
+  ?x ex:age "40"^^xsd:integer ;
+     a ex:Person ;
+     ex:knows ?o , <http://example.org/c> ;
+  .
+}""",
+    )
+    assert sorted(map(tuple, out.collect())) == [(EX + "b", EX + "c")]
+
+
+def test_semicolon_with_path_predicate(spark):
+    out = se.execute_sparql(
+        _graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?x ?y WHERE { ?x ex:age ?v ; ex:knows+ ?y . }""",
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        (EX + "a", EX + "b"),
+        (EX + "a", EX + "c"),
+        (EX + "b", EX + "c"),
+    ]
+
+
+def test_dangling_semicolon_is_loud():
+    with pytest.raises(ValueError, match="';' before a complete triple"):
+        se.parse_query("SELECT ?x WHERE { ?x ; ex:p ?o . }")
