@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 20) -> DataFrame:
     """edges(src, dst) directed, seeds(node) -> (node, hops) minimal hop
     counts for every node reachable from any seed (seeds at 0)."""
-    known = seeds.select("node").distinct().withColumn("hops", F.lit(0)).localCheckpoint()
+    known = seeds.select("node").distinct().withColumn("hops", F.lit(0)).localCheckpoint(
+        eager=False
+    )
     frontier = known
     for depth in range(1, max_hops + 1):
         nxt = (
@@ -32,10 +34,11 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 20) -> DataFram
             .join(known.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(depth))
         )
-        nxt = nxt.localCheckpoint()
+        # lazy: isEmpty() right below materializes — one job per round
+        nxt = nxt.localCheckpoint(eager=False)
         if nxt.isEmpty():
             break
-        known = known.unionByName(nxt).localCheckpoint()
+        known = known.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return known
 
@@ -49,7 +52,7 @@ def hierarchy_levels(subclass_edges: DataFrame, max_depth: int = 15) -> DataFram
     """
     closure = subclass_edges.select(
         F.col("child").alias("node"), F.col("parent").alias("anc")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     for _ in range(max_depth):
         step = (
             closure.alias("c")
@@ -61,10 +64,11 @@ def hierarchy_levels(subclass_edges: DataFrame, max_depth: int = 15) -> DataFram
             .distinct()
             .join(closure, ["node", "anc"], "left_anti")
         )
-        step = step.localCheckpoint()
+        # lazy: isEmpty() right below materializes — one job per round
+        step = step.localCheckpoint(eager=False)
         if step.isEmpty():
             break
-        closure = closure.unionByName(step).localCheckpoint()
+        closure = closure.unionByName(step).localCheckpoint(eager=False)
     return closure.groupBy("node").agg(F.count_distinct("anc").cast("bigint").alias("level"))
 
 

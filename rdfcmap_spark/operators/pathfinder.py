@@ -123,10 +123,10 @@ def bfs_parent_tree(edges: DataFrame, root: str, max_hops: int = 20) -> DataFram
         w = Window.partitionBy("node").orderBy("pred", "parent")
         nxt = (
             nxt.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # isEmpty below materializes
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited
 

@@ -111,10 +111,10 @@ def path_statements(
         w = Window.partitionBy("node").orderBy("pred", "direction", "parent")
         nxt = (
             nxt.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # isEmpty below materializes
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
         if nxt.filter(F.col("node") == target).count() > 0:
             found = True
