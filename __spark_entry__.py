@@ -760,6 +760,35 @@ SELECT ?o ?c ?n WHERE {
     return execute_sparql(_succession_triples(spark, sf_dir), query)
 
 
+def _kg_sparql_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES inline table (broadcast, top join priority) + MINUS
+    (left-anti on the shared variable): pin three nations, then subtract
+    the customers of one of them."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+
+    query = """
+PREFIX ex: <http://example.org/>
+SELECT ?c ?n WHERE {
+  VALUES ?n { <http://example.org/nation/0> <http://example.org/nation/1>
+              <http://example.org/nation/2> }
+  ?c ex:inNation ?n .
+  MINUS { ?c ex:inNation <http://example.org/nation/1> . }
+}
+"""
+    return execute_sparql(_succession_triples(spark, sf_dir), query)
+
+
+def _kg_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASK form: one boolean row — the limit(1)-then-count probe plan."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+
+    query = """
+PREFIX ex: <http://example.org/>
+ASK { ?c ex:inNation <http://example.org/nation/0> . }
+"""
+    return execute_sparql(_succession_triples(spark, sf_dir), query)
+
+
 def _order_nation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H orders/customer rendered as triples — the shared input of the
     SPARQL aggregation-surface driver queries (order -by-> customer,
@@ -1171,6 +1200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path_star": _kg_sparql_path_star,
         "kg_sparql_nps": _kg_sparql_nps,
         "kg_sparql_subquery": _kg_sparql_subquery,
+        "kg_sparql_values": _kg_sparql_values,
+        "kg_sparql_ask": _kg_sparql_ask,
         "kg_sparql_agg": _kg_sparql_agg,
         "kg_sparql_having": _kg_sparql_having,
         "kg_sparql_construct": _kg_sparql_construct,
@@ -2062,6 +2093,17 @@ SELECT 'http://example.org/order/' || CAST(o.o_orderkey AS VARCHAR) AS o,
        'http://example.org/customer/' || CAST(o.o_custkey AS VARCHAR) AS c,
        CAST(cnt.n AS VARCHAR) AS n
 FROM orders o JOIN cnt ON cnt.ck = o.o_custkey
+"""
+
+    sql["kg_sparql_values"] = r"""
+SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS c,
+       'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR) AS n
+FROM customer
+WHERE c_nationkey IN (0, 2)
+"""
+
+    sql["kg_sparql_ask"] = r"""
+SELECT (COUNT(*) > 0) AS ask FROM customer WHERE c_nationkey = 0
 """
 
     sql["kg_sparql_agg"] = r"""
