@@ -1273,6 +1273,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": lambda s, d: traindata.pack_greedy(
             load(s, d, "documents"), budget=512, n_shards=8
         ),
+        # mixing rates: keep all of src0, half of src1, a tenth of src2,
+        # 30% of everything else
+        "data_sample_stratified": lambda s, d: traindata.sample_stratified(
+            load(s, d, "documents"),
+            {"src0": 1.0, "src1": 0.5, "src2": 0.1},
+            default=0.3,
+        ),
         # --- multimodal plumbing (Arrow mapInPandas; deterministic fake decode) ---
         "multimodal_features": lambda s, d: multimodal.media_features(load(s, d, "documents")),
         "multimodal_resize": lambda s, d: multimodal.resize_media(
@@ -2684,6 +2691,22 @@ SELECT doc_id, bucket,
             WHEN bucket < 90 THEN 'val'
             ELSE 'test' END AS split
 FROM b
+"""
+
+    # salted hash (':sample') so mixing is independent of the split bucket
+    sql["data_sample_stratified"] = r"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 6)
+              AS INTEGER) % 10000 AS INTEGER) AS sample_bucket
+  FROM documents
+)
+SELECT doc_id, source AS stratum, sample_bucket
+FROM b
+WHERE sample_bucket < CASE source WHEN 'src0' THEN 10000
+                                  WHEN 'src1' THEN 5000
+                                  WHEN 'src2' THEN 1000
+                                  ELSE 3000 END
 """
 
     _TOKS_CTE = r"""

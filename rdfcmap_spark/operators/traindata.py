@@ -62,6 +62,39 @@ def split_assign(docs: DataFrame) -> DataFrame:
     )
 
 
+def sample_stratified(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    default: float = 1.0,
+    key: str = "source",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the "data mixing" step of a
+    pretraining corpus (keep 100% of books, 10% of crawl, …).
+
+    Keeps a row iff ``int(md5(str(doc_id) + ':sample')[:6], 16) % 10000 <
+    frac * 10000`` for its stratum's fraction (``default`` for strata not
+    listed). The hash is SALTED differently from :func:`split_assign`'s
+    bucket so sampling and split assignment are independent — the sampled
+    corpus still splits 80/10/10. Same portability contract: md5 of a
+    string, reproducible verbatim in the DuckDB oracle, stable under
+    re-partitioning and appends. Pure projection+filter — no shuffle, no
+    Python.
+
+    Output: the kept rows as (doc_id, stratum, sample_bucket).
+    """
+    hex6 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample")).cast("binary")),
+        1, 6,
+    )
+    b = (F.conv(hex6, 16, 10).cast("long") % 10000).cast("int")
+    thr = F.lit(int(default * 10000))
+    for k, frac in sorted(fractions.items()):
+        thr = F.when(F.col(key) == k, F.lit(int(frac * 10000))).otherwise(thr)
+    return docs.filter(b < thr).select(
+        "doc_id", F.col(key).alias("stratum"), b.alias("sample_bucket")
+    )
+
+
 def _n_tokens(text_col) -> F.Column:
     """Whitespace token count (the packing unit; the BPE-ish count of
     textstats.token_stats slots in the same way)."""

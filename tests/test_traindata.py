@@ -97,3 +97,47 @@ def test_pack_greedy_matches_concat_on_tokens(spark):
         for r in traindata.pack_greedy(docs, n_shards=4).collect()
     }
     assert a == b
+
+
+def test_sample_stratified_rates_and_independence(spark):
+    rows = [(i, "s%d" % (i % 3)) for i in range(3000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = traindata.sample_stratified(docs, {"s0": 1.0, "s1": 0.2}, default=0.5)
+    counts = {
+        r["stratum"]: r["n"]
+        for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["s0"] == 1000  # keep-all stratum is exact
+    assert 0.14 <= counts["s1"] / 1000 <= 0.26
+    assert 0.43 <= counts["s2"] / 1000 <= 0.57
+    # independence from the split bucket: the kept s1 rows still split
+    # roughly 80/10/10 (a shared unsalted hash would collapse this)
+    kept = out.filter(F.col("stratum") == "s1").select("doc_id")
+    split = traindata.split_assign(kept.join(docs, "doc_id").withColumn("text", F.lit("")))
+    frac_train = split.filter(F.col("split") == "train").count() / kept.count()
+    assert 0.68 <= frac_train <= 0.9
+    # deterministic under re-partitioning
+    again = traindata.sample_stratified(
+        docs.repartition(7), {"s0": 1.0, "s1": 0.2}, default=0.5
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_sample_stratified_is_pure_filter(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    plan = (
+        traindata.sample_stratified(docs, {"a": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pack_concat_chunk_single_exchange(spark):
+    """Packing is exactly one shuffle (the shard hash); the window runs on
+    the shuffled partitioning without a second exchange."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        traindata.pack_concat_chunk(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
