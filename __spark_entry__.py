@@ -789,6 +789,48 @@ ASK { ?c ex:inNation <http://example.org/nation/0> . }
     return execute_sparql(_succession_triples(spark, sf_dir), query)
 
 
+def _kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH clause over lineage (operators/sparql_exec.py `Group.graphs`):
+    the engine's conv_id provenance column IS its named-graph dimension —
+    ``GRAPH ?g`` binds ``urn:conv:<conv_id>`` per pattern (no per-graph
+    loop), while the default graph is the union (the inNation triples carry
+    NULL lineage and are invisible to GRAPH). One lineage-aware scan + one
+    hash join, nothing driver-side."""
+    from pyspark.sql import functions as F2
+
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    EX = "http://example.org/"
+    null_s = F2.lit(None).cast("string")
+    by_t = orders.select(
+        F2.concat(F2.lit(EX + "order/"), F2.col("o_orderkey").cast("string")).alias("subj"),
+        F2.lit(EX + "by").alias("pred"),
+        F2.lit("iri").alias("obj_kind"),
+        F2.concat(F2.lit(EX + "customer/"), F2.col("o_custkey").cast("string")).alias("obj_iri"),
+        null_s.alias("obj_lexical"), null_s.alias("obj_datatype"),
+        F2.col("o_custkey").cast("string").alias("conv_id"),
+        F2.lit(None).cast("int").alias("turn_idx"),
+    )
+    nat_t = customer.select(
+        F2.concat(F2.lit(EX + "customer/"), F2.col("c_custkey").cast("string")).alias("subj"),
+        F2.lit(EX + "inNation").alias("pred"),
+        F2.lit("iri").alias("obj_kind"),
+        F2.concat(F2.lit(EX + "nation/"), F2.col("c_nationkey").cast("string")).alias("obj_iri"),
+        null_s.alias("obj_lexical"), null_s.alias("obj_datatype"),
+        null_s.alias("conv_id"), F2.lit(None).cast("int").alias("turn_idx"),
+    )
+    query = """
+PREFIX ex: <http://example.org/>
+SELECT ?g ?o ?n WHERE {
+  GRAPH ?g { ?o ex:by ?c . }
+  ?c ex:inNation ?n .
+}
+"""
+    return execute_sparql(by_t.unionByName(nat_t), query)
+
+
 def _order_nation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H orders/customer rendered as triples — the shared input of the
     SPARQL aggregation-surface driver queries (order -by-> customer,
@@ -1202,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": _kg_sparql_subquery,
         "kg_sparql_values": _kg_sparql_values,
         "kg_sparql_ask": _kg_sparql_ask,
+        "kg_sparql_graph": _kg_sparql_graph,
         "kg_sparql_agg": _kg_sparql_agg,
         "kg_sparql_having": _kg_sparql_having,
         "kg_sparql_construct": _kg_sparql_construct,
@@ -2111,6 +2154,14 @@ WHERE c_nationkey IN (0, 2)
 
     sql["kg_sparql_ask"] = r"""
 SELECT (COUNT(*) > 0) AS ask FROM customer WHERE c_nationkey = 0
+"""
+
+    sql["kg_sparql_graph"] = r"""
+SELECT 'urn:conv:' || CAST(o.o_custkey AS VARCHAR) AS g,
+       'http://example.org/order/' || CAST(o.o_orderkey AS VARCHAR) AS o,
+       'http://example.org/nation/' || CAST(c.c_nationkey AS VARCHAR) AS n
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
 """
 
     sql["kg_sparql_agg"] = r"""

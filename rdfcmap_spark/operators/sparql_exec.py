@@ -68,7 +68,15 @@ Execution model (Spark-first, not a SPARQL-algebra port):
   passthrough). Scoping divergence, documented: the expression sees the
   whole group's bindings (the spec scopes it to *preceding* patterns);
   rebinding an in-scope variable is the same loud error as the spec.
-  GRAPH/SERVICE remain loud errors.
+  ``GRAPH`` → the engine's lineage columns ARE its named graphs: each
+  triple's conversation is the graph ``urn:conv:<conv_id>`` and the
+  default graph is the union of everything (Jena's union-default-graph
+  dataset config). ``GRAPH <iri> { … }`` is one pushed-down lineage
+  filter on the scans; ``GRAPH ?g { … }`` binds ?g per pattern so
+  same-group patterns co-scope through the hash join — no per-graph
+  loop, no driver involvement. Nested GRAPH, paths inside GRAPH ?var,
+  and subqueries inside GRAPH ?var raise loudly. SERVICE remains a loud
+  error (no federation).
 
 Binding encoding: subjects/predicates bind the raw IRI string; objects bind
 the raw IRI for resource objects and the collision-free token
@@ -160,6 +168,8 @@ class Group:
     binds: tuple[tuple[str, str], ...] = ()
     #: nested `{ SELECT … }` subqueries, parsed with the outer prefixes
     subselects: tuple["ParsedQuery", ...] = ()
+    #: GRAPH clauses: (graph term — Var or Iri, inner group)
+    graphs: tuple[tuple[Term, "Group"], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -489,7 +499,7 @@ def _next_structural(body: str, i: int) -> int:
             return j
         if re.match(
             r"(?i)(?:OPTIONAL\s*\{|FILTER\s*\(|FILTER\s+(?:NOT\s+)?EXISTS\s*\{"
-            r"|MINUS\s*\{|VALUES\s*[(?]|BIND\s*\()",
+            r"|MINUS\s*\{|VALUES\s*[(?]|BIND\s*\(|GRAPH\s+[?<A-Za-z])",
             body[j:],
         ) and (j == 0 or not (body[j - 1].isalnum() or body[j - 1] in "_:?")):
             return j
@@ -545,15 +555,16 @@ def _parse_values(block: str, vars_text: str, prefixes: dict[str, str]):
     return names, tuple(rows)
 
 
-def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
+def _parse_group(body: str, prefixes: dict[str, str], in_graph: bool = False) -> Group:
     """Parse one group graph pattern body (text between its braces)."""
-    for bad in ("GRAPH", "SERVICE"):
+    for bad in ("SERVICE",):
         # reject before structure-parsing: a loud error beats silent misparse
         if re.search(rf"(?i)\b{bad}\s*[({{]", body) or re.search(
             rf"(?i)\b{bad}\s+[?<]", body
         ):
             raise ValueError(f"unsupported SPARQL construct in executor: {bad}")
     filters: list[str] = []
+    graphs: list[tuple[Term, Group]] = []
     optionals: list[Group] = []
     unions: list[list[Group]] = []
     exists: list[Group] = []
@@ -567,6 +578,31 @@ def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
     while i < n:
         if body[i].isspace():
             i += 1
+            continue
+        mg = re.match(
+            r"(?i)GRAPH\s+(\?[A-Za-z_][A-Za-z0-9_]*|<[^<>]*>|[A-Za-z][\w.-]*:[\w.%-]+)\s*\{",
+            body[i:],
+        )
+        if mg:
+            if in_graph:
+                raise ValueError(
+                    "nested GRAPH inside GRAPH is not supported — the inner"
+                    " clause would address the full dataset, not the outer"
+                    " graph's scope, and this executor scopes by filtering"
+                )
+            tok = mg.group(1)
+            if tok.startswith("?"):
+                gterm: Term = Var(tok[1:])
+            elif tok.startswith("<"):
+                gterm = Iri(tok[1:-1])
+            else:
+                gterm = Iri(_resolve_pname(tok, prefixes))
+            start = i + mg.end() - 1
+            end = _matching(body, start, "{", "}")
+            graphs.append(
+                (gterm, _parse_group(body[start + 1 : end], prefixes, in_graph=True))
+            )
+            i = end + 1
             continue
         mo = re.match(r"(?i)OPTIONAL\s*\{", body[i:])
         if mo:
@@ -660,7 +696,7 @@ def _parse_group(body: str, prefixes: dict[str, str]) -> Group:
     return Group(
         patterns, filters, optionals, unions,
         tuple(exists), tuple(not_exists), tuple(minuses), tuple(values_blocks),
-        tuple(binds), tuple(subselects),
+        tuple(binds), tuple(subselects), tuple(graphs),
     )
 
 
@@ -669,7 +705,7 @@ def parse_query(text: str) -> ParsedQuery:
     constructs: PREFIX declarations, ``SELECT [DISTINCT]``, a WHERE group
     with triple statements, ``OPTIONAL { … }``, ``FILTER(…)``,
     ``{ … } UNION { … }``, and trailing ``ORDER BY`` / ``LIMIT`` /
-    ``OFFSET``. Anything else (GRAPH/SERVICE/…) raises — a loud error
+    ``OFFSET``. Anything else (SERVICE/…) raises — a loud error
     beats silently wrong bindings."""
     # strip full-line comments ('#' appears inside IRIs, so only line starts)
     text = "\n".join(
@@ -897,6 +933,14 @@ def _rewrite_having(body: str) -> tuple[str, list[SelectItem]]:
     return " && ".join(parts), items
 
 
+#: named-graph IRI namespace: each triple's lineage conversation is its
+#: named graph, `urn:conv:<conv_id>`. Triples with NULL conv_id (derived /
+#: vocabulary triples) live only in the default graph. The default graph is
+#: the UNION of everything (Jena's common "union default graph" dataset
+#: configuration), so a query without GRAPH sees the whole frame.
+GRAPH_NS = "urn:conv:"
+
+
 def _object_binding() -> F.Column:
     """Collision-free object encoding: raw IRI for resources,
     ``"lex"^^<dt>`` for literals (IRIs cannot start with '\"')."""
@@ -1032,12 +1076,21 @@ def _path_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, list[str]]
     return out, list(bind)
 
 
-def _pattern_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, list[str]]:
+def _pattern_frame(
+    triples: DataFrame, pat: Pattern, graph_var: str | None = None
+) -> tuple[DataFrame, list[str]]:
     """One pattern -> (frame of binding columns, bound var names). Constants
     become filters (pushed to the scan); a variable repeated inside the
-    pattern adds the equality filter its semantics require."""
+    pattern adds the equality filter its semantics require. Inside
+    ``GRAPH ?g { … }`` each pattern additionally binds ``graph_var`` to the
+    lineage graph IRI, so same-group patterns co-scope by the join."""
     s, p, o = pat
     if isinstance(p, Path):
+        if graph_var is not None:
+            raise ValueError(
+                "property paths inside GRAPH ?var are not supported — the"
+                " closure would have to be computed per graph"
+            )
         return _path_frame(triples, pat)
     df = triples
     bind: list[tuple[str, F.Column]] = []
@@ -1072,6 +1125,12 @@ def _pattern_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, list[st
             df = df.filter(seen[name] == col)  # e.g. ?x ex:knows ?x
         else:
             seen[name] = col
+    if graph_var is not None:
+        gcol = F.concat(F.lit(GRAPH_NS), F.col("conv_id"))
+        if graph_var in seen:  # GRAPH ?g { ?g … }: equality, not rebinding
+            df = df.filter(seen[graph_var] == gcol)
+        else:
+            seen[graph_var] = gcol
     if not seen:  # fully ground pattern: pure existence constraint
         probe = df.select(F.lit(1).alias("__exists")).limit(1)
         return probe, []
@@ -1616,16 +1675,39 @@ def execute_bgp(
 
 
 def execute_group(
-    triples: DataFrame, group: Group, prefixes: dict[str, str]
+    triples: DataFrame, group: Group, prefixes: dict[str, str],
+    graph_var: str | None = None,
 ) -> tuple[DataFrame, set[str]]:
     """Execute one group graph pattern: mandatory patterns and UNION blocks
     hash-joined, OPTIONAL groups left-joined on their shared variables, the
     group's FILTERs applied last (SPARQL group scoping: a filter sees the
-    whole group, including optional bindings, so ``!bound(?x)`` works)."""
+    whole group, including optional bindings, so ``!bound(?x)`` works).
+    ``graph_var`` is set when this group is the body of ``GRAPH ?g { … }``:
+    every pattern additionally binds ?g to the lineage graph IRI."""
+    if graph_var is not None and group.subselects:
+        raise ValueError(
+            "a subquery inside GRAPH ?var is not supported — the spec"
+            " evaluates it once per named graph"
+        )
     units = [
-        (*_pattern_frame(triples, p), sum(1 for t in p if not isinstance(t, Var)))
+        (*_pattern_frame(triples, p, graph_var), sum(1 for t in p if not isinstance(t, Var)))
         for p in group.patterns
     ]
+    for gterm, ggroup in group.graphs:
+        if isinstance(gterm, Iri):
+            # a constant graph scopes the scan: one pushed-down lineage
+            # filter, then the inner group executes as usual
+            if gterm.iri.startswith(GRAPH_NS):
+                scoped = triples.filter(F.col("conv_id") == gterm.iri[len(GRAPH_NS):])
+            else:  # an IRI outside the lineage namespace names no graph
+                scoped = triples.filter(F.lit(False))
+            gf, gvars = execute_group(scoped, ggroup, prefixes)
+        elif isinstance(gterm, Var):
+            scoped = triples.filter(F.col("conv_id").isNotNull())
+            gf, gvars = execute_group(scoped, ggroup, prefixes, graph_var=gterm.name)
+        else:
+            raise ValueError("literal as GRAPH name")
+        units.append((gf, sorted(gvars), 1 if isinstance(gterm, Iri) else 0))
     for names, rows in group.values:
         vf = triples.sparkSession.createDataFrame(
             list(rows), ", ".join(f"{n} string" for n in names)
@@ -1634,7 +1716,7 @@ def execute_group(
         # top join priority (it is the most selective unit)
         units.append((F.broadcast(vf), list(names), 3))
     for branches in group.unions:
-        executed = [execute_group(triples, b, prefixes) for b in branches]
+        executed = [execute_group(triples, b, prefixes, graph_var) for b in branches]
         varsets = [frozenset(vs) for _, vs in executed]
         if len(set(varsets)) != 1:
             raise ValueError(
@@ -1660,7 +1742,7 @@ def execute_group(
     acc, bound = _join_units(units)
     optional_vars: set[str] = set()
     for og in group.optionals:
-        f, ovars = execute_group(triples, og, prefixes)
+        f, ovars = execute_group(triples, og, prefixes, graph_var)
         join_vars = bound & set(ovars)
         if join_vars & optional_vars:
             raise ValueError(
@@ -1680,7 +1762,7 @@ def execute_group(
         + [(g, "left_anti", False) for g in group.not_exists]
         + [(g, "left_anti", True) for g in group.minuses]
     ):
-        f, svars = execute_group(triples, sub, prefixes)
+        f, svars = execute_group(triples, sub, prefixes, graph_var)
         shared = sorted(bound & svars)
         if not shared:
             if is_minus:

@@ -56,8 +56,6 @@ SELECT DISTINCT ?x ?age WHERE {
 
 
 def test_parse_rejects_non_bgp_constructs():
-    with pytest.raises(ValueError, match="GRAPH"):
-        se.parse_query("SELECT ?x WHERE {\n  ?x ex:p ?y .\n  GRAPH ?g { ?x ex:q ?z . }\n}")
     with pytest.raises(ValueError, match="SERVICE"):
         se.parse_query(
             "SELECT ?x WHERE {\n  ?x ex:p ?y .\n"
@@ -1131,3 +1129,101 @@ SELECT ?x ?y WHERE { ?x ex:age ?v ; ex:knows+ ?y . }""",
 def test_dangling_semicolon_is_loud():
     with pytest.raises(ValueError, match="';' before a complete triple"):
         se.parse_query("SELECT ?x WHERE { ?x ; ex:p ?o . }")
+
+
+# ------------------------------------------------------------------ GRAPH
+
+def _lineage_graph(spark):
+    """Triples with lineage: conv c1 holds a-knows-b + a's age, conv c2
+    holds b-knows-c; the Person typing is derived (NULL conv) and therefore
+    lives only in the default graph."""
+    rows = [
+        (EX + "a", EX + "knows", "iri", EX + "b", None, None, "c1", 0),
+        (EX + "a", EX + "age", "literal", None, "30", vocab.XSD + "integer", "c1", 1),
+        (EX + "b", EX + "knows", "iri", EX + "c", None, None, "c2", 0),
+        (EX + "b", vocab.RDF_TYPE, "iri", EX + "Person", None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, TRIPLES)
+
+
+def test_graph_var_binds_lineage_iri(spark):
+    out = se.execute_sparql(
+        _lineage_graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x ex:knows ?y . } }""",
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("urn:conv:c1", EX + "a", EX + "b"),
+        ("urn:conv:c2", EX + "b", EX + "c"),
+    ]
+
+
+def test_graph_constant_scopes_scan(spark):
+    out = se.execute_sparql(
+        _lineage_graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?x ?y WHERE { GRAPH <urn:conv:c1> { ?x ex:knows ?y . } }""",
+    )
+    assert sorted(map(tuple, out.collect())) == [(EX + "a", EX + "b")]
+    # an IRI outside the lineage namespace names no graph -> empty
+    out = se.execute_sparql(
+        _lineage_graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?x WHERE { GRAPH <http://example.org/g1> { ?x ex:knows ?y . } }""",
+    )
+    assert out.collect() == []
+
+
+def test_graph_var_coscopes_same_group_patterns(spark):
+    # both patterns must match INSIDE one conversation: only c1 qualifies
+    out = se.execute_sparql(
+        _lineage_graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?g ?x ?n WHERE { GRAPH ?g { ?x ex:knows ?y . ?x ex:age ?n . } }""",
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("urn:conv:c1", EX + "a", se.lit_binding("30", vocab.XSD + "integer")),
+    ]
+
+
+def test_default_graph_is_union_and_joins_graph_unit(spark):
+    # the Person typing has NULL conv: visible in the default graph,
+    # invisible to GRAPH ?g
+    out = se.execute_sparql(
+        _lineage_graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?g ?x WHERE { GRAPH ?g { ?x a ex:Person . } }""",
+    )
+    assert out.collect() == []
+    out = se.execute_sparql(
+        _lineage_graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?g ?x WHERE {
+  ?x a ex:Person .
+  GRAPH ?g { ?y ex:knows ?x . }
+}""",
+    )
+    assert sorted(map(tuple, out.collect())) == [("urn:conv:c1", EX + "b")]
+
+
+def test_graph_loud_errors(spark):
+    with pytest.raises(ValueError, match="nested GRAPH"):
+        se.parse_query(
+            "SELECT ?x WHERE { GRAPH ?g { GRAPH ?h { ?x ex:p ?y . } } }"
+        )
+    with pytest.raises(ValueError, match="paths inside GRAPH"):
+        se.execute_sparql(
+            _lineage_graph(spark),
+            """PREFIX ex: <http://example.org/>
+SELECT ?x ?y WHERE { GRAPH ?g { ?x ex:knows+ ?y . } }""",
+        ).collect()
+    with pytest.raises(ValueError, match="subquery inside GRAPH"):
+        se.execute_sparql(
+            _lineage_graph(spark),
+            """PREFIX ex: <http://example.org/>
+SELECT ?g ?c WHERE { GRAPH ?g { { SELECT ?c WHERE { ?c ex:knows ?y . } } } }""",
+        ).collect()
+    with pytest.raises(ValueError, match="SERVICE"):
+        se.parse_query(
+            "SELECT ?x WHERE { GRAPH ?g { SERVICE <http://r/s> { ?x ex:p ?y . } } }"
+        )
