@@ -29,8 +29,10 @@ Execution model (Spark-first, not a SPARQL-algebra port):
   comparisons (numeric via ``try_cast``, so a non-numeric lexical maps
   SPARQL's type *error* onto SQL NULL and the row drops, exactly the
   error→false rule), ``regex`` / ``contains`` / ``strstarts`` /
-  ``strends`` / ``bound`` / ``isIRI`` / ``isLiteral`` / ``str``, and
-  ``!`` / ``&&`` / ``||`` — no Python evaluation per row anywhere;
+  ``strends`` / ``bound`` / ``isIRI`` / ``isLiteral`` / ``isBlank`` /
+  ``isNumeric`` / ``sameTerm`` (term identity on the collision-free
+  binding encoding, no numeric promotion) / ``str``, and ``!`` / ``&&`` /
+  ``||`` — no Python evaluation per row anywhere;
 * ``ORDER BY`` / ``LIMIT`` / ``OFFSET`` modifiers map to
   ``orderBy``/``limit``/``offset`` (ordering is binary-collation string
   order over the binding encoding, documented below);
@@ -63,9 +65,10 @@ Execution model (Spark-first, not a SPARQL-algebra port):
   expansion; ``DATATYPE(?v)`` → the binding encoding's datatype suffix
   (lang-tagged → ``rdf:langString``, IRI → NULL/type-error);
 * ``BIND(expr AS ?var)`` → ``withColumn`` over the joined group: arithmetic
-  (evaluated in double, result ``xsd:double``), STR/STRLEN/UCASE/LCASE/
-  CONCAT/SUBSTR/REPLACE (result ``xsd:string``), IF/COALESCE (binding
-  passthrough). Scoping divergence, documented: the expression sees the
+  (evaluated in double, result ``xsd:double``), ABS/ROUND/CEIL/FLOOR
+  (XPath fn:round ties toward +INF, not Spark's away-from-zero),
+  STR/STRLEN/UCASE/LCASE/CONCAT/SUBSTR/REPLACE/STRBEFORE/STRAFTER
+  (result ``xsd:string``), IF/COALESCE (binding passthrough). Scoping divergence, documented: the expression sees the
   whole group's bindings (the spec scopes it to *preceding* patterns);
   rebinding an in-scope variable is the same loud error as the spec.
   ``GRAPH`` → the engine's lineage columns ARE its named graphs: each
@@ -1381,7 +1384,7 @@ class _FilterParser:
                 self.i = save
         if t and t[0] == "name" and t[1].lower() in (
             "bound", "regex", "contains", "strstarts", "strends", "isiri", "isuri",
-            "isliteral", "langmatches",
+            "isliteral", "langmatches", "isnumeric", "isblank", "sameterm",
         ):
             return self._call(self._next()[1].lower())
         left = self._operand()
@@ -1419,11 +1422,34 @@ class _FilterParser:
             name = self._var(self._next())
             self._expect_op(")")
             return F.col(name).isNotNull()
-        if fn in ("isiri", "isuri", "isliteral"):
+        if fn in ("isiri", "isuri", "isliteral", "isblank", "isnumeric"):
             name = self._var(self._next())
             self._expect_op(")")
-            lit = F.col(name).startswith('"')
-            return lit if fn == "isliteral" else (F.col(name).isNotNull() & ~lit)
+            b = F.col(name)
+            lit = b.startswith('"')
+            if fn == "isliteral":
+                return lit
+            if fn == "isblank":
+                # only raw `_:` labels read as blank; skolemized bnodes are
+                # IRIs by design (RDF 1.1 skolemization is semantics-preserving)
+                return b.startswith("_:")
+            if fn == "isnumeric":
+                # numeric literal with a valid lexical form (§17.4.2.4)
+                dt = F.regexp_extract(b, r'^".*"\^\^(.*)$', 1)
+                return (
+                    lit
+                    & dt.isin(*sorted(_NUMERIC_DTS))
+                    & _lex_of(b).try_cast("double").isNotNull()
+                )
+            return b.isNotNull() & ~lit & ~b.startswith("_:")
+        if fn == "sameterm":
+            a = self._operand()
+            self._expect_op(",")
+            b2 = self._operand()
+            self._expect_op(")")
+            # the binding encoding is collision-free, so term identity is
+            # plain string equality — no numeric value-promotion (unlike '=')
+            return _binding_encode(a) == _binding_encode(b2)
         a = self._operand()
         self._expect_op(",")
         if fn == "regex":
@@ -1587,6 +1613,36 @@ class _FilterParser:
             rep = self._str_const("REPLACE() replacement")
             self._expect_op(")")
             return _Opnd("lex", col=F.regexp_replace(_opnd_lex(inner), pat, rep))
+        if kind == "name" and text.lower() in ("abs", "round", "ceil", "floor"):
+            self._expect_op("(")
+            (inner,) = self._args_until_close()
+            x = _opnd_num(inner)
+            fname = text.lower()
+            if fname == "abs":
+                col = F.abs(x)
+            elif fname == "round":
+                # XPath fn:round: ties go toward +INF (round(-2.5) = -2),
+                # unlike Spark's away-from-zero HALF_UP
+                col = F.floor(x + F.lit(0.5)).cast("double")
+            elif fname == "ceil":
+                col = F.ceil(x).cast("double")
+            else:
+                col = F.floor(x).cast("double")
+            return _Opnd("numcol", col=col)
+        if kind == "name" and text.lower() in ("strbefore", "strafter"):
+            self._expect_op("(")
+            args = self._args_until_close()
+            if len(args) != 2:
+                raise ValueError(f"{text.upper()} needs (expr, expr)")
+            la, lb = _opnd_lex(args[0]), _opnd_lex(args[1])
+            pos = F.instr(la, lb)  # instr('x','') == 1: the spec's '' cases fall out
+            if text.lower() == "strbefore":
+                col = F.when(pos > 0, F.substring(la, F.lit(1), pos - 1)).otherwise("")
+            else:
+                col = F.when(
+                    pos > 0, F.substring(la, pos + F.length(lb), F.length(la))
+                ).otherwise("")
+            return _Opnd("lex", col=col)
         if kind == "name" and text.lower() == "if":
             self._expect_op("(")
             cond = self._or()

@@ -1227,3 +1227,139 @@ SELECT ?g ?c WHERE { GRAPH ?g { { SELECT ?c WHERE { ?c ex:knows ?y . } } } }""",
         se.parse_query(
             "SELECT ?x WHERE { GRAPH ?g { SERVICE <http://r/s> { ?x ex:p ?y . } } }"
         )
+
+
+# ------------------------------------------- value-function tail (§17.4)
+
+def test_numeric_value_functions(spark):
+    # ages 30 (a) and 40 (b); BIND arithmetic feeds ABS/ROUND/CEIL/FLOOR
+    out = se.execute_sparql(
+        _graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?x ?r ?c ?f ?ab WHERE {
+  ?x ex:age ?v .
+  BIND(ROUND(?v / 7) AS ?r)
+  BIND(CEIL(?v / 7) AS ?c)
+  BIND(FLOOR(?v / 7) AS ?f)
+  BIND(ABS(0 - ?v) AS ?ab)
+}""",
+    )
+    got = {r["x"]: (r["r"], r["c"], r["f"], r["ab"]) for r in out.collect()}
+    D = vocab.XSD_DOUBLE
+    assert got[EX + "a"] == (  # 30/7 = 4.2857...
+        se.lit_binding("4.0", D), se.lit_binding("5.0", D),
+        se.lit_binding("4.0", D), se.lit_binding("30.0", D),
+    )
+    assert got[EX + "b"][0] == se.lit_binding("6.0", D)  # 40/7 = 5.714 -> 6
+
+
+def test_round_ties_toward_positive_infinity(spark):
+    # XPath fn:round: round(-2.5) = -2 (Spark's HALF_UP would give -3)
+    out = se.execute_sparql(
+        _graph(spark),
+        """PREFIX ex: <http://example.org/>
+SELECT ?r WHERE {
+  ex:a ex:age ?v .
+  BIND(ROUND(0 - ?v / 12) AS ?r)
+}""",
+    )
+    assert [r["r"] for r in out.collect()] == [se.lit_binding("-2.0", vocab.XSD_DOUBLE)]
+
+
+def test_strbefore_strafter(spark):
+    t = _triples(
+        spark,
+        [(EX + "d", EX + "label", "literal", None, "alpha-beta-gamma", vocab.XSD_STRING)],
+    )
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?b ?a ?miss ?empty ?all WHERE {
+  ?x ex:label ?l .
+  BIND(STRBEFORE(?l, "-") AS ?b)
+  BIND(STRAFTER(?l, "-") AS ?a)
+  BIND(STRAFTER(?l, "zzz") AS ?miss)
+  BIND(STRBEFORE(?l, "") AS ?empty)
+  BIND(STRAFTER(?l, "") AS ?all)
+}""",
+    )
+    S = vocab.XSD_STRING
+    row = out.collect()[0]
+    assert (row["b"], row["a"], row["miss"], row["empty"], row["all"]) == (
+        se.lit_binding("alpha", S),
+        se.lit_binding("beta-gamma", S),   # FIRST occurrence splits
+        se.lit_binding("", S),             # no match -> ""
+        se.lit_binding("", S),             # spec: STRBEFORE(x, "") = ""
+        se.lit_binding("alpha-beta-gamma", S),  # spec: STRAFTER(x, "") = x
+    )
+
+
+def test_isnumeric_and_sameterm(spark):
+    t = _triples(
+        spark,
+        [
+            (EX + "d", EX + "v", "literal", None, "12.5", vocab.XSD_DOUBLE),
+            (EX + "e", EX + "v", "literal", None, "oops", vocab.XSD_DOUBLE),
+            (EX + "f", EX + "v", "literal", None, "12.5", vocab.XSD_STRING),
+            (EX + "g", EX + "v", "iri", EX + "d", None, None),
+        ],
+    )
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?x WHERE { ?x ex:v ?v . FILTER(isNumeric(?v)) }""",
+    )
+    # valid numeric lexical + numeric datatype only: the invalid double and
+    # the string-typed "12.5" both fail
+    assert sorted(r["x"] for r in out.collect()) == [EX + "d"]
+    # sameTerm is identity on (lexical, datatype) — no numeric promotion:
+    # "12.5"^^xsd:double != "12.5"^^xsd:string, but '=' promotes
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?x ?y WHERE {
+  ?x ex:v ?v . ?y ex:v ?w .
+  FILTER(sameTerm(?v, ?w) && ?x != ?y)
+}""",
+    )
+    assert out.collect() == []
+    # var=var '=' is term equality on the binding encoding — for
+    # double-vs-string 12.5 that coincides with the spec (incompatible
+    # operand types are an error -> false)
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?x ?y WHERE {
+  ?x ex:v ?v . ?y ex:v ?w .
+  FILTER(?v = ?w && ?x != ?y)
+}""",
+    )
+    assert out.collect() == []
+    # a numeric CONSTANT comparison takes the promotion path: the valid
+    # double matches, the invalid lexical try_casts to NULL and drops
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?x WHERE { ?x ex:v ?v . FILTER(?v = 12.5 && isNumeric(?v)) }""",
+    )
+    assert sorted(r["x"] for r in out.collect()) == [EX + "d"]
+
+
+def test_isblank(spark):
+    rows = [
+        (EX + "s", EX + "p", "bnode", "_:b0", None, None, None, None),
+        (EX + "s", EX + "p", "iri", EX + "o", None, None, None, None),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?o WHERE { ?s ex:p ?o . FILTER(isBlank(?o)) }""",
+    )
+    assert [r["o"] for r in out.collect()] == ["_:b0"]
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?o WHERE { ?s ex:p ?o . FILTER(isIRI(?o)) }""",
+    )
+    assert [r["o"] for r in out.collect()] == [EX + "o"]
