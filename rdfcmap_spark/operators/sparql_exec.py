@@ -788,6 +788,10 @@ def parse_query(text: str) -> ParsedQuery:
     distinct = bool(re.match(r"(?i)\s*distinct\b", head))
     if distinct:
         head = re.sub(r"(?i)^\s*distinct\b", " ", head)
+    elif re.match(r"(?i)\s*reduced\b", head):
+        # REDUCED permits (but does not require) duplicate elimination —
+        # keeping the bag is a conforming implementation and costs nothing
+        head = re.sub(r"(?i)^\s*reduced\b", " ", head)
     select_items: list[SelectItem] = []
     hi, hn = 0, len(head)
     while hi < hn:

@@ -1363,3 +1363,41 @@ SELECT ?o WHERE { ?s ex:p ?o . FILTER(isBlank(?o)) }""",
 SELECT ?o WHERE { ?s ex:p ?o . FILTER(isIRI(?o)) }""",
     )
     assert [r["o"] for r in out.collect()] == [EX + "o"]
+
+
+def test_select_reduced_keeps_bag(spark):
+    # REDUCED may eliminate duplicates but need not — this implementation
+    # keeps the bag (conforming), pinned so a change is deliberate
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "knows", "iri", EX + "b", None, None),
+            (EX + "c", EX + "knows", "iri", EX + "b", None, None),
+        ],
+    )
+    out = se.execute_sparql(
+        t,
+        "PREFIX ex: <http://example.org/>\nSELECT REDUCED ?o WHERE { ?s ex:knows ?o . }",
+    )
+    assert sorted(r["o"] for r in out.collect()) == [EX + "b", EX + "b"]
+
+
+def test_aggregate_numeric_promotion_and_poison(spark):
+    # SUM/AVG promote mixed integer/double lexicals through the same
+    # try_cast path as FILTER comparisons; a non-numeric lexical is an
+    # expression error -> skipped (NULL to the aggregate), not a job abort
+    t = _triples(
+        spark,
+        [
+            (EX + "a", EX + "v", "literal", None, "2", vocab.XSD + "integer"),
+            (EX + "a", EX + "v", "literal", None, "2.5", vocab.XSD_DOUBLE),
+            (EX + "a", EX + "v", "literal", None, "oops", vocab.XSD_DOUBLE),
+        ],
+    )
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?s (SUM(?v) AS ?total) (COUNT(?v) AS ?n) WHERE { ?s ex:v ?v . } GROUP BY ?s""",
+    )
+    row = out.collect()[0]
+    assert row["total"] == 4.5 and row["n"] == 3
