@@ -831,6 +831,50 @@ SELECT ?g ?o ?n WHERE {
     return execute_sparql(by_t.unionByName(nat_t), query)
 
 
+def _kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update (operators/sparql_exec.py `execute_update`):
+    DELETE/INSERT-WHERE as a pure frame→frame transformation — both
+    templates instantiate against the ORIGINAL store's bindings, then
+    store := (store − deletes) ∪ inserts with set semantics on the triple
+    key (null-safe anti-joins, the same exchange class as the pipeline's
+    set-dedup). Customers WITH orders get their inNation edge reversed
+    into nation-hasCustomer; order and orderless-customer triples survive
+    untouched."""
+    from rdfcmap_spark.operators.sparql_exec import execute_update
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    EX = "http://example.org/"
+    null_s = F.lit(None).cast("string")
+
+    def t6(subj, pred, obj_iri):
+        return [
+            subj.cast("string").alias("subj"), pred.cast("string").alias("pred"),
+            F.lit("iri").alias("obj_kind"), obj_iri.cast("string").alias("obj_iri"),
+            null_s.alias("obj_lexical"), null_s.alias("obj_datatype"),
+            null_s.alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        ]
+
+    by_t = orders.select(*t6(
+        F.concat(F.lit(EX + "order/"), F.col("o_orderkey").cast("string")),
+        F.lit(EX + "by"),
+        F.concat(F.lit(EX + "customer/"), F.col("o_custkey").cast("string")),
+    ))
+    nat_t = customer.select(*t6(
+        F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string")),
+        F.lit(EX + "inNation"),
+        F.concat(F.lit(EX + "nation/"), F.col("c_nationkey").cast("string")),
+    ))
+    update = """
+PREFIX ex: <http://example.org/>
+DELETE { ?c ex:inNation ?n . }
+INSERT { ?n ex:hasCustomer ?c . }
+WHERE { ?c ex:inNation ?n . ?o ex:by ?c . }
+"""
+    out = execute_update(by_t.unionByName(nat_t), update)
+    return out.select("subj", "pred", F.col("obj_iri").alias("obj"))
+
+
 def _order_nation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H orders/customer rendered as triples — the shared input of the
     SPARQL aggregation-surface driver queries (order -by-> customer,
@@ -1245,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_values": _kg_sparql_values,
         "kg_sparql_ask": _kg_sparql_ask,
         "kg_sparql_graph": _kg_sparql_graph,
+        "kg_sparql_update": _kg_sparql_update,
         "kg_sparql_agg": _kg_sparql_agg,
         "kg_sparql_having": _kg_sparql_having,
         "kg_sparql_construct": _kg_sparql_construct,
@@ -2154,6 +2199,32 @@ WHERE c_nationkey IN (0, 2)
 
     sql["kg_sparql_ask"] = r"""
 SELECT (COUNT(*) > 0) AS ask FROM customer WHERE c_nationkey = 0
+"""
+
+    sql["kg_sparql_update"] = r"""
+WITH by_t AS (
+  SELECT 'http://example.org/order/' || CAST(o_orderkey AS VARCHAR) AS subj,
+         'http://example.org/by' AS pred,
+         'http://example.org/customer/' || CAST(o_custkey AS VARCHAR) AS obj
+  FROM orders
+), with_orders AS (
+  SELECT DISTINCT o_custkey FROM orders
+), kept_innation AS (
+  SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS subj,
+         'http://example.org/inNation' AS pred,
+         'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR) AS obj
+  FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM with_orders)
+), inserted AS (
+  SELECT DISTINCT
+         'http://example.org/nation/' || CAST(c_nationkey AS VARCHAR) AS subj,
+         'http://example.org/hasCustomer' AS pred,
+         'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS obj
+  FROM customer JOIN with_orders ON c_custkey = o_custkey
+)
+SELECT * FROM by_t
+UNION ALL SELECT * FROM kept_innation
+UNION ALL SELECT * FROM inserted
 """
 
     sql["kg_sparql_graph"] = r"""

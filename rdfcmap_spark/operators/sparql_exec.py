@@ -80,6 +80,13 @@ Execution model (Spark-first, not a SPARQL-algebra port):
   loop, no driver involvement. Nested GRAPH, paths inside GRAPH ?var,
   and subqueries inside GRAPH ?var raise loudly. SERVICE remains a loud
   error (no federation).
+* SPARQL 1.1 **Update** (`execute_update`): INSERT DATA / DELETE DATA /
+  DELETE WHERE / DELETE-INSERT-WHERE as pure frame→frame transformations
+  — templates instantiate against the original store's bindings, then
+  ``store := (store − deletes) ∪ inserts`` via null-safe anti-joins on
+  the triple identity key (set semantics; DELETE removes every
+  provenance row, INSERTs carry NULL lineage). Update sequences, WITH /
+  USING, and graph management raise loudly.
 
 Binding encoding: subjects/predicates bind the raw IRI string; objects bind
 the raw IRI for resource objects and the collision-free token
@@ -1922,24 +1929,29 @@ def _aggregate(acc: DataFrame, bound: set[str], q: ParsedQuery) -> DataFrame:
     return out
 
 
-def _construct(acc: DataFrame, bound: set[str], q: ParsedQuery) -> DataFrame:
-    """Instantiate the CONSTRUCT template per binding row and union the
-    results into a TRIPLES-shaped frame (set semantics: one distinct
+def _instantiate(
+    acc: DataFrame, bound: set[str], template: tuple[Pattern, ...]
+) -> DataFrame:
+    """Instantiate a triple template per binding row and union the results
+    into a TRIPLES-shaped 6-column frame (set semantics: one distinct
     exchange). The object binding encoding is decoded back into
-    obj_kind/obj_iri/obj_lexical/obj_datatype columns."""
+    obj_kind/obj_iri/obj_lexical/obj_datatype columns. Shared by CONSTRUCT
+    and the UPDATE forms' DELETE/INSERT templates."""
     null_s = F.lit(None).cast("string")
 
     def node_col(term: Term, position: str) -> F.Column:
         if isinstance(term, Var):
             if term.name not in bound:
-                raise ValueError(f"CONSTRUCT template variable never bound: ?{term.name}")
+                raise ValueError(f"template variable never bound: ?{term.name}")
             return F.col(term.name)
         if isinstance(term, Iri):
             return F.lit(term.iri)
         raise ValueError(f"literal in template {position} position")
 
     frames = []
-    for s, p, o in q.template:
+    for s, p, o in template:
+        if isinstance(p, Path):
+            raise ValueError("property path in a triple template")
         subj = node_col(s, "subject")
         pred = node_col(p, "predicate")
         if isinstance(o, Lit):
@@ -1953,7 +1965,7 @@ def _construct(acc: DataFrame, bound: set[str], q: ParsedQuery) -> DataFrame:
             lex, dt = null_s, null_s
         else:
             if o.name not in bound:
-                raise ValueError(f"CONSTRUCT template variable never bound: ?{o.name}")
+                raise ValueError(f"template variable never bound: ?{o.name}")
             b = F.col(o.name)
             is_lit = b.startswith('"')
             kind = F.when(is_lit, F.lit("literal")).otherwise(F.lit("iri"))
@@ -1980,7 +1992,12 @@ def _construct(acc: DataFrame, bound: set[str], q: ParsedQuery) -> DataFrame:
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    out = out.distinct()
+    return out.distinct()
+
+
+def _construct(acc: DataFrame, bound: set[str], q: ParsedQuery) -> DataFrame:
+    """CONSTRUCT: template instantiation into a TRIPLES-shaped frame."""
+    out = _instantiate(acc, bound, q.template)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out
@@ -2091,3 +2108,162 @@ def _select_frame(triples: DataFrame, q: ParsedQuery) -> DataFrame:
     if q.limit is not None:
         acc = acc.limit(q.limit)
     return acc.select(*scope) if extra_order else acc
+
+
+# ---------------------------------------------------------------- UPDATE
+
+#: the triple identity key (provenance excluded) — mirrors schemas.TRIPLE_KEY
+_KEY6 = ("subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype")
+
+
+@dataclass(frozen=True)
+class ParsedUpdate:
+    """One SPARQL 1.1 Update operation over the (single) graph store:
+    ``INSERT DATA`` / ``DELETE DATA`` (ground templates, no WHERE),
+    ``DELETE WHERE`` (the pattern is its own template), or the general
+    ``[DELETE { t }] [INSERT { t }] WHERE { g }``."""
+
+    prefixes: dict[str, str]
+    delete_template: tuple[Pattern, ...]
+    insert_template: tuple[Pattern, ...]
+    group: Group | None  #: None for the DATA forms
+
+
+def _ground_statements(body: str, prefixes: dict[str, str]) -> tuple[Pattern, ...]:
+    stmts = tuple(_parse_statements(body, prefixes))
+    for s, p, o in stmts:
+        if isinstance(s, Var) or isinstance(p, (Var, Path)) or isinstance(o, Var):
+            raise ValueError("INSERT/DELETE DATA requires ground triples (no variables)")
+    return stmts
+
+
+def parse_update(text: str) -> ParsedUpdate:
+    """Parse one update operation. Sequences (``;``-separated operations),
+    ``WITH``/``USING`` dataset clauses, and the graph-management forms
+    (LOAD/CLEAR/…) raise loudly — this engine has one graph store (the
+    triples frame) and updates are pure frame→frame transformations."""
+    text = "\n".join(
+        ln for ln in text.split("\n") if not ln.lstrip().startswith("#")
+    )
+    prefixes: dict[str, str] = {}
+    for m in re.finditer(r"(?i)\bprefix\s+([A-Za-z][\w.-]*):\s*<([^<>]*)>", text):
+        prefixes[m.group(1)] = m.group(2)
+    # blank the PREFIX declarations offset-preservingly so the form regexes
+    # can anchor at the operation keyword
+    text = re.sub(
+        r"(?i)\bprefix\s+[A-Za-z][\w.-]*:\s*<[^<>]*>",
+        lambda m: " " * len(m.group(0)),
+        text,
+    )
+    first_brace = text.find("{")
+    header = text if first_brace == -1 else text[:first_brace]
+    for bad in ("WITH", "USING", "LOAD", "CLEAR", "CREATE", "DROP", "COPY", "MOVE", "ADD"):
+        if re.search(rf"(?i)\b{bad}\b", header):
+            raise ValueError(f"unsupported UPDATE construct: {bad}")
+
+    def tail_check(pos: int) -> None:
+        rest = text[pos:].strip()
+        if rest:
+            if rest.startswith(";"):
+                raise ValueError(
+                    "update sequences (';') are not supported — apply one"
+                    " operation per execute_update call"
+                )
+            raise ValueError(f"unexpected trailing update text: {rest[:40]!r}")
+
+    mdata = re.search(r"(?i)\b(insert|delete)\s+data\s*\{", text)
+    if mdata:
+        start = mdata.end() - 1
+        end = _matching(text, start, "{", "}")
+        tail_check(end + 1)
+        stmts = _ground_statements(text[start + 1 : end], prefixes)
+        if mdata.group(1).lower() == "insert":
+            return ParsedUpdate(prefixes, (), stmts, None)
+        return ParsedUpdate(prefixes, stmts, (), None)
+
+    mdw = re.search(r"(?i)\bdelete\s+where\s*\{", text)
+    if mdw:
+        start = mdw.end() - 1
+        end = _matching(text, start, "{", "}")
+        tail_check(end + 1)
+        group = _parse_group(text[start + 1 : end], prefixes)
+        if (
+            group.optionals or group.unions or group.filters or group.binds
+            or group.graphs or group.subselects
+        ):
+            raise ValueError("DELETE WHERE takes a plain BGP (its pattern IS the template)")
+        for s, p, o in group.patterns:
+            if isinstance(p, Path):
+                raise ValueError("property path in a DELETE WHERE pattern")
+        return ParsedUpdate(prefixes, tuple(group.patterns), (), group)
+
+    del_t: tuple[Pattern, ...] = ()
+    ins_t: tuple[Pattern, ...] = ()
+    pos = 0
+    mdel = re.match(r"(?is)\s*delete\s*\{", text)
+    if mdel:
+        start = mdel.end() - 1
+        end = _matching(text, start, "{", "}")
+        del_t = tuple(_parse_statements(text[start + 1 : end], prefixes))
+        pos = end + 1
+    mins = re.match(r"(?is)\s*insert\s*\{", text[pos:])
+    if mins:
+        start = pos + mins.end() - 1
+        end = _matching(text, start, "{", "}")
+        ins_t = tuple(_parse_statements(text[start + 1 : end], prefixes))
+        pos = end + 1
+    if not del_t and not ins_t:
+        raise ValueError("no INSERT/DELETE operation in SPARQL update text")
+    mw = re.match(r"(?is)\s*where\s*\{", text[pos:])
+    if not mw:
+        raise ValueError("DELETE/INSERT requires a WHERE group (or use the DATA forms)")
+    start = pos + mw.end() - 1
+    end = _matching(text, start, "{", "}")
+    tail_check(end + 1)
+    group = _parse_group(text[start + 1 : end], prefixes)
+    return ParsedUpdate(prefixes, del_t, ins_t, group)
+
+
+def execute_update(triples: DataFrame, update_text: str) -> DataFrame:
+    """Apply one SPARQL 1.1 Update operation and return the NEW triples
+    frame (the input is never mutated — updates compose with the engine's
+    snapshot/lineage model instead of an in-place store).
+
+    Semantics (spec §3.1.3): both templates are instantiated against the
+    bindings of the ORIGINAL store, then ``store := (store − deletes) ∪
+    inserts``. Set semantics on the triple identity key: DELETE removes
+    every provenance row of a matched triple; INSERT adds a triple only if
+    no row with its key survives, with NULL lineage (derived, not sourced
+    from a conversation — same convention as the pipeline's vocab triples).
+
+    Scale shape: one group execution (pushed-filter scans + hash joins) +
+    at most two null-safe anti-joins keyed on the full triple — the same
+    exchange class as the pipeline's set-semantics dedup; nothing
+    driver-side."""
+    u = parse_update(update_text)
+    spark = triples.sparkSession
+    if u.group is not None:
+        acc, bound = execute_group(triples, u.group, u.prefixes)
+    else:
+        acc, bound = spark.range(1), set()
+
+    def anti(left: DataFrame, right_keys: DataFrame) -> DataFrame:
+        r = right_keys.select(*[F.col(c).alias("__r_" + c) for c in _KEY6])
+        cond = None
+        for c in _KEY6:
+            eq = F.col(c).eqNullSafe(F.col("__r_" + c))
+            cond = eq if cond is None else (cond & eq)
+        return left.join(r, cond, "left_anti")
+
+    out = triples
+    if u.delete_template:
+        out = anti(out, _instantiate(acc, bound, u.delete_template))
+    if u.insert_template:
+        ins = _instantiate(acc, bound, u.insert_template)
+        new = anti(ins, out.select(*_KEY6)).select(
+            *_KEY6,
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit(None).cast("int").alias("turn_idx"),
+        )
+        out = out.unionByName(new)
+    return out

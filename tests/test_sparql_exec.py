@@ -1401,3 +1401,115 @@ SELECT ?s (SUM(?v) AS ?total) (COUNT(?v) AS ?n) WHERE { ?s ex:v ?v . } GROUP BY 
     )
     row = out.collect()[0]
     assert row["total"] == 4.5 and row["n"] == 3
+
+
+# ------------------------------------------------------------------ UPDATE
+
+def _key6(df):
+    return sorted(
+        tuple(r) for r in df.select(
+            "subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"
+        ).collect()
+    )
+
+
+def test_insert_data_and_delete_data(spark):
+    t = _graph(spark)
+    n0 = t.count()
+    up = se.execute_update(
+        t,
+        """PREFIX ex: <http://example.org/>
+INSERT DATA { ex:c ex:knows ex:a . ex:c ex:age "50"^^xsd:integer . }""",
+    )
+    assert up.count() == n0 + 2
+    # inserting an already-present triple is a set no-op
+    again = se.execute_update(
+        up, "PREFIX ex: <http://example.org/>\nINSERT DATA { ex:c ex:knows ex:a . }"
+    )
+    assert again.count() == n0 + 2
+    back = se.execute_update(
+        again,
+        """PREFIX ex: <http://example.org/>
+DELETE DATA { ex:c ex:knows ex:a . ex:c ex:age "50"^^xsd:integer . }""",
+    )
+    assert _key6(back) == _key6(t)
+
+
+def test_delete_where_pattern_is_template(spark):
+    t = _graph(spark)
+    up = se.execute_update(
+        t, "PREFIX ex: <http://example.org/>\nDELETE WHERE { ?x ex:knows ?y . }"
+    )
+    assert up.filter(up.pred == EX + "knows").count() == 0
+    assert up.count() == t.count() - 2
+
+
+def test_delete_insert_where_rewrites_edges(spark):
+    # reverse every knows-edge into knownBy, both templates instantiated
+    # against the ORIGINAL bindings
+    t = _graph(spark)
+    up = se.execute_update(
+        t,
+        """PREFIX ex: <http://example.org/>
+DELETE { ?a ex:knows ?b . }
+INSERT { ?b ex:knownBy ?a . }
+WHERE { ?a ex:knows ?b . }""",
+    )
+    assert up.filter(up.pred == EX + "knows").count() == 0
+    got = sorted(
+        (r["subj"], r["obj_iri"]) for r in up.filter(up.pred == EX + "knownBy").collect()
+    )
+    assert got == [(EX + "b", EX + "a"), (EX + "c", EX + "b")]
+    # inserted triples carry NULL lineage (derived)
+    assert up.filter((up.pred == EX + "knownBy") & up.conv_id.isNotNull()).count() == 0
+
+
+def test_insert_where_with_filter_and_literal_passthrough(spark):
+    t = _graph(spark)
+    up = se.execute_update(
+        t,
+        """PREFIX ex: <http://example.org/>
+INSERT { ?x ex:senior "yes" . ?x ex:ageCopy ?v . }
+WHERE { ?x ex:age ?v . FILTER(?v > 35) }""",
+    )
+    rows = up.filter(up.pred == EX + "senior").collect()
+    assert [(r["subj"], r["obj_lexical"], r["obj_datatype"]) for r in rows] == [
+        (EX + "b", "yes", vocab.XSD_STRING)
+    ]
+    # the bound-literal object decodes back into lexical+datatype columns
+    cp = up.filter(up.pred == EX + "ageCopy").collect()
+    assert [(r["subj"], r["obj_lexical"], r["obj_datatype"]) for r in cp] == [
+        (EX + "b", "40", vocab.XSD + "integer")
+    ]
+
+
+def test_delete_removes_all_provenance_rows(spark):
+    rows = [
+        (EX + "s", EX + "p", "iri", EX + "o", None, None, "c1", 0),
+        (EX + "s", EX + "p", "iri", EX + "o", None, None, "c2", 5),
+        (EX + "s", EX + "q", "iri", EX + "o", None, None, "c1", 1),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    up = se.execute_update(
+        t, "PREFIX ex: <http://example.org/>\nDELETE DATA { ex:s ex:p ex:o . }"
+    )
+    assert up.count() == 1 and up.collect()[0]["pred"] == EX + "q"
+
+
+def test_update_loud_errors(spark):
+    with pytest.raises(ValueError, match="ground triples"):
+        se.parse_update("INSERT DATA { ?x ex:p ex:o . }")
+    with pytest.raises(ValueError, match="sequences"):
+        se.parse_update(
+            "PREFIX ex: <http://example.org/>\n"
+            "INSERT DATA { ex:a ex:p ex:o . } ; DELETE DATA { ex:a ex:p ex:o . }"
+        )
+    with pytest.raises(ValueError, match="WITH"):
+        se.parse_update("WITH <urn:g> DELETE { ?s ?p ?o . } WHERE { ?s ?p ?o . }")
+    with pytest.raises(ValueError, match="WHERE group"):
+        se.parse_update("PREFIX ex: <http://example.org/>\nINSERT { ex:a ex:p ex:o . }")
+    with pytest.raises(ValueError, match="plain BGP"):
+        se.parse_update(
+            "PREFIX ex: <http://example.org/>\n"
+            "DELETE WHERE { ?s ex:p ?o . FILTER(?o > 1) }"
+        )
