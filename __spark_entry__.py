@@ -1141,6 +1141,103 @@ SELECT ?cust ?score ?tier ?seglen WHERE {
     return execute_sparql(triples, query)
 
 
+def _kg_sparql_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL value-function tail over events-derived triples: xsd:dateTime
+    component accessors YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS/TZ (§17.4.5 —
+    they read the literal's own lexical form, no zone normalization), hash
+    digests MD5/SHA256 (§17.4.4), ENCODE_FOR_URI (§17.4.3.4, RFC 3986
+    percent-encoding as a split/transform/hex column fold), the IRI() and
+    STRLANG() term constructors, and a boolean call in BIND value position
+    (isIRI -> xsd:boolean literal). All compiled to JVM columns in
+    operators/sparql_exec.py — no per-row Python."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+    from rdfcmap_spark import vocab as V
+
+    events = load(spark, sf_dir, "events")
+    EX = "http://example.org/"
+    null_s = F.lit(None).cast("string")
+
+    def t(subj, pred, kind, obj_iri, lex, dt):
+        return F.struct(
+            subj.cast("string").alias("subj"), pred.cast("string").alias("pred"),
+            kind.cast("string").alias("obj_kind"), obj_iri.cast("string").alias("obj_iri"),
+            lex.cast("string").alias("obj_lexical"), dt.cast("string").alias("obj_datatype"),
+            null_s.alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    esub = F.concat(F.lit(EX + "event/"), F.col("event_id").cast("string"))
+    triples = events.select(F.explode(F.array(
+        t(esub, F.lit(EX + "at"), F.lit("literal"), null_s,
+          F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit(V.XSD + "dateTime")),
+        t(esub, F.lit(EX + "type"), F.lit("literal"), null_s,
+          F.col("event_type"), F.lit(V.XSD_STRING)),
+        t(esub, F.lit(EX + "props"), F.lit("literal"), null_s,
+          F.col("props"), F.lit(V.XSD_STRING)),
+    )).alias("x")).select("x.*")
+    query = """
+PREFIX ex: <http://example.org/>
+SELECT ?ev ?y ?mo ?d ?h ?mi ?s ?tz ?m5 ?dig ?propiri ?tagged ?isres WHERE {
+  ?ev ex:at ?t .
+  ?ev ex:type ?k .
+  ?ev ex:props ?pr .
+  BIND(YEAR(?t) AS ?y)   BIND(MONTH(?t) AS ?mo)   BIND(DAY(?t) AS ?d)
+  BIND(HOURS(?t) AS ?h)  BIND(MINUTES(?t) AS ?mi) BIND(SECONDS(?t) AS ?s)
+  BIND(TZ(?t) AS ?tz)
+  BIND(MD5(?k) AS ?m5)
+  BIND(SHA256(?pr) AS ?dig)
+  BIND(IRI(CONCAT("http://example.org/props/", ENCODE_FOR_URI(?pr))) AS ?propiri)
+  BIND(STRLANG(?k, "EN") AS ?tagged)
+  BIND(isIRI(?propiri) AS ?isres)
+  FILTER(MONTH(?t) >= 1 && MONTH(?t) <= 12)
+}
+"""
+    return execute_sparql(triples, query)
+
+
+def _kg_sparql_graph_mgmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update graph management (§3.2) over the lineage named
+    graphs (operators/sparql_exec.py `execute_graph_update`): a MOVE →
+    ADD → CLEAR → COPY-to-DEFAULT sequence over orders-derived quads. The
+    ADD's idempotence bite is a 'shared' triple present in every graph with
+    the same provenance — it must NOT duplicate when ADD lands on a graph
+    that already holds it. All ops are lineage-filter + union frames
+    (partition-prunable at scale); nothing driver-side."""
+    from rdfcmap_spark.operators.sparql_exec import execute_update
+
+    orders = load(spark, sf_dir, "orders")
+    EX = "http://example.org/"
+    null_s = F.lit(None).cast("string")
+
+    base = orders.select(
+        F.concat(F.lit(EX + "order/"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit(EX + "status").alias("pred"),
+        F.lit("literal").alias("obj_kind"),
+        null_s.alias("obj_iri"),
+        F.col("o_orderstatus").cast("string").alias("obj_lexical"),
+        F.lit("http://www.w3.org/2001/XMLSchema#string").alias("obj_datatype"),
+        F.concat(F.lit("g"), (F.col("o_orderkey") % 5).cast("string")).alias("conv_id"),
+        (F.col("o_orderkey") % 100).cast("int").alias("turn_idx"),
+    ).unionByName(
+        spark.range(5).select(
+            F.lit(EX + "shared").alias("subj"),
+            F.lit(EX + "tag").alias("pred"),
+            F.lit("literal").alias("obj_kind"),
+            null_s.alias("obj_iri"),
+            F.lit("x").alias("obj_lexical"),
+            F.lit("http://www.w3.org/2001/XMLSchema#string").alias("obj_datatype"),
+            F.concat(F.lit("g"), F.col("id").cast("string")).alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+        )
+    )
+    t = execute_update(base, "MOVE <urn:conv:g0> TO <urn:conv:g1>")
+    t = execute_update(t, "ADD <urn:conv:g2> TO <urn:conv:g1>")
+    t = execute_update(t, "CLEAR GRAPH <urn:conv:g3>")
+    t = execute_update(t, "COPY <urn:conv:g4> TO DEFAULT")
+    return t.select(
+        "subj", "pred", F.col("obj_lexical").alias("lex"), "conv_id", "turn_idx"
+    )
+
+
 def _o3_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic positioned concept maps from ``part``: 20 maps, dense
     0..359 coordinate range so the O3 probe-and-bump actually fires."""
@@ -1296,6 +1393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_not_exists": _kg_sparql_not_exists,
         "kg_sparql_describe": _kg_sparql_describe,
         "kg_sparql_bind": _kg_sparql_bind,
+        "kg_sparql_builtins": _kg_sparql_builtins,
+        "kg_sparql_graph_mgmt": _kg_sparql_graph_mgmt,
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_canonical_mapping": _kg_canonical_mapping,
@@ -2331,6 +2430,81 @@ SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS cust,
            || '"^^http://www.w3.org/2001/XMLSchema#double' AS seglen
 FROM customer
 WHERE CAST(c_custkey AS DOUBLE) * 3 + 7 > 40
+"""
+
+    # encode_for_uri mirror: same per-char unreserved/percent-hex fold the
+    # Spark plan runs (list_transform <-> F.transform); hex() is uppercase
+    # in both engines
+    _ENC = (
+        "array_to_string(list_transform(regexp_split_to_array({col}, ''), "
+        "c -> CASE WHEN regexp_matches(c, '^[A-Za-z0-9_.~-]$') THEN c "
+        "ELSE regexp_replace(upper(hex(encode(c))), '(..)', '%\\1', 'g') END), '')"
+    )
+    _XD = "http://www.w3.org/2001/XMLSchema#double"
+    _XS = "http://www.w3.org/2001/XMLSchema#string"
+
+    def _numbind(expr: str, alias: str) -> str:
+        return (
+            f"'\"' || CAST(CAST({expr} AS DOUBLE) AS VARCHAR) || '\"^^{_XD}' AS {alias}"
+        )
+
+    sql["kg_sparql_builtins"] = f"""
+SELECT 'http://example.org/event/' || CAST(event_id AS VARCHAR) AS ev,
+       {_numbind("year(ts)", "y")},
+       {_numbind("month(ts)", "mo")},
+       {_numbind("day(ts)", "d")},
+       {_numbind("hour(ts)", "h")},
+       {_numbind("minute(ts)", "mi")},
+       {_numbind("CAST(floor(second(ts)) AS BIGINT)", "s")},
+       '\"\"^^{_XS}' AS tz,
+       '\"' || md5(event_type) || '\"^^{_XS}' AS m5,
+       '\"' || sha256(props) || '\"^^{_XS}' AS dig,
+       'http://example.org/props/' || {_ENC.format(col="props")} AS propiri,
+       '\"' || event_type ||
+           '\"^^http://www.w3.org/1999/02/22-rdf-syntax-ns#langString@en' AS tagged,
+       '\"true\"^^http://www.w3.org/2001/XMLSchema#boolean' AS isres
+FROM events
+"""
+
+    # graph-management mirror: MOVE = delete dst + relabel src; ADD = union
+    # with a full-row NOT EXISTS (the idempotence anti-join); CLEAR = filter;
+    # COPY TO DEFAULT = null the lineage (turn_idx with it)
+    sql["kg_sparql_graph_mgmt"] = r"""
+WITH base AS (
+  SELECT 'http://example.org/order/' || CAST(o_orderkey AS VARCHAR) AS subj,
+         'http://example.org/status' AS pred,
+         CAST(o_orderstatus AS VARCHAR) AS lex,
+         'g' || CAST(o_orderkey % 5 AS VARCHAR) AS conv_id,
+         CAST(o_orderkey % 100 AS INTEGER) AS turn_idx
+  FROM orders
+  UNION ALL
+  SELECT 'http://example.org/shared', 'http://example.org/tag', 'x',
+         'g' || CAST(g AS VARCHAR), 0
+  FROM range(5) t(g)
+),
+a1 AS (  -- MOVE g0 -> g1
+  SELECT * FROM base WHERE conv_id NOT IN ('g0', 'g1')
+  UNION ALL
+  SELECT subj, pred, lex, 'g1', turn_idx FROM base WHERE conv_id = 'g0'
+),
+a2 AS (  -- ADD g2 -> g1 (idempotent: skip rows already in g1)
+  SELECT * FROM a1
+  UNION ALL
+  SELECT m.subj, m.pred, m.lex, 'g1', m.turn_idx
+  FROM a1 m
+  WHERE m.conv_id = 'g2' AND NOT EXISTS (
+    SELECT 1 FROM a1 x
+    WHERE x.conv_id = 'g1' AND x.subj = m.subj AND x.pred = m.pred
+      AND x.lex = m.lex AND x.turn_idx = m.turn_idx)
+),
+a3 AS (SELECT * FROM a2 WHERE conv_id IS NULL OR conv_id <> 'g3'),
+a4 AS (  -- COPY g4 -> DEFAULT
+  SELECT * FROM a3 WHERE conv_id IS NOT NULL
+  UNION ALL
+  SELECT subj, pred, lex, CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER)
+  FROM a3 WHERE conv_id = 'g4'
+)
+SELECT subj, pred, lex, conv_id, turn_idx FROM a4
 """
 
     # --- the four pipeline-level queries: full-pipeline SQL re-implementation

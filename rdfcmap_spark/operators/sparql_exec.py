@@ -85,8 +85,12 @@ Execution model (Spark-first, not a SPARQL-algebra port):
   — templates instantiate against the original store's bindings, then
   ``store := (store − deletes) ∪ inserts`` via null-safe anti-joins on
   the triple identity key (set semantics; DELETE removes every
-  provenance row, INSERTs carry NULL lineage). Update sequences, WITH /
-  USING, and graph management raise loudly.
+  provenance row, INSERTs carry NULL lineage). Graph management (§3.2:
+  CLEAR / DROP / CREATE / ADD / COPY / MOVE, SILENT accepted) runs over
+  the lineage named graphs via `execute_graph_update` — partition-
+  prunable filters + unions, CLEAR≡DROP and CREATE a no-op because
+  graphs exist iff they have rows. Update sequences, WITH / USING, and
+  LOAD raise loudly.
 
 Binding encoding: subjects/predicates bind the raw IRI string; objects bind
 the raw IRI for resource objects and the collision-free token
@@ -1669,6 +1673,119 @@ class _FilterParser:
             self._expect_op("(")
             parts = self._args_until_close()
             return _Opnd("bind", col=F.coalesce(*[_binding_encode(p) for p in parts]))
+        if kind == "name" and text.lower() in (
+            "bound", "regex", "contains", "strstarts", "strends", "isiri", "isuri",
+            "isliteral", "langmatches", "isnumeric", "isblank", "sameterm",
+        ):
+            # boolean call in a VALUE position (BIND(isIRI(?x) AS ?f)):
+            # effective boolean value -> xsd:boolean literal; NULL (SPARQL
+            # error) stays NULL -> unbound
+            self.i -= 1
+            cond = self._primary()
+            return _Opnd(
+                "bind",
+                col=F.when(cond, F.lit(lit_binding("true", vocab.XSD + "boolean")))
+                .when(~cond, F.lit(lit_binding("false", vocab.XSD + "boolean"))),
+            )
+        if kind == "name" and text.lower() in ("md5", "sha1", "sha256", "sha384", "sha512"):
+            # §17.4.4.12-16: lowercase-hex digest of the lexical form,
+            # simple-literal result. JVM-side (F.md5/F.sha1/F.sha2 emit
+            # lowercase hex already).
+            self._expect_op("(")
+            (inner,) = self._args_until_close()
+            lex = _opnd_lex(inner)
+            fname = text.lower()
+            if fname == "md5":
+                col = F.md5(lex)
+            elif fname == "sha1":
+                col = F.sha1(lex)
+            else:
+                col = F.sha2(lex, int(fname[3:]))
+            return _Opnd("lex", col=col)
+        if kind == "name" and text.lower() in (
+            "year", "month", "day", "hours", "minutes", "seconds", "tz"
+        ):
+            # §17.4.5: component accessors over the literal's OWN lexical
+            # form (no timezone normalization — the spec operates on the
+            # xsd:dateTime value as written). A non-dateTime lexical makes
+            # every group empty -> NULL -> expression error -> unbound/row
+            # dropped, the SPARQL error rule.
+            self._expect_op("(")
+            (inner,) = self._args_until_close()
+            lex = _opnd_lex(inner)
+            fname = text.lower()
+            pat = (
+                r"^(-?\d{4,})-(\d{2})-(\d{2})T(\d{2}):(\d{2})"
+                r":(\d{2}(?:\.\d+)?)(Z|[+-]\d{2}:\d{2})?$"
+            )
+            idx = {
+                "year": 1, "month": 2, "day": 3,
+                "hours": 4, "minutes": 5, "seconds": 6, "tz": 7,
+            }[fname]
+            part = F.regexp_extract(lex, pat, idx)
+            if fname == "tz":
+                # "" when the dateTime carries no zone, per spec — but a
+                # non-dateTime input must still error: gate on the match
+                return _Opnd(
+                    "lex",
+                    col=F.when(F.regexp_extract(lex, pat, 1) != "", part),
+                )
+            return _Opnd("numcol", col=part.try_cast("double"))
+        if kind == "name" and text.lower() in ("iri", "uri"):
+            # §17.4.2.8 (no BASE in this engine: the argument is the
+            # absolute IRI); the result binds as a raw-IRI term
+            self._expect_op("(")
+            (inner,) = self._args_until_close()
+            return _Opnd("bind", col=_opnd_lex(inner))
+        if kind == "name" and text.lower() == "strdt":
+            self._expect_op("(")
+            inner = self._operand()
+            self._expect_op(",")
+            dtok = self._next()
+            if dtok[0] == "iri":
+                dt_iri = dtok[1][1:-1]
+            elif dtok[0] == "pname":
+                dt_iri = _resolve_pname(dtok[1], self.prefixes)
+            else:
+                raise ValueError("STRDT datatype must be an IRI")
+            self._expect_op(")")
+            return _Opnd(
+                "bind",
+                col=F.concat(F.lit('"'), _opnd_lex(inner), F.lit('"^^' + dt_iri)),
+            )
+        if kind == "name" and text.lower() == "strlang":
+            self._expect_op("(")
+            inner = self._operand()
+            self._expect_op(",")
+            tag = self._str_const("STRLANG language tag")
+            self._expect_op(")")
+            # tag rides in the datatype suffix, the same encoding the
+            # pattern scanner emits for lang-tagged literals
+            return _Opnd(
+                "bind",
+                col=F.concat(
+                    F.lit('"'),
+                    _opnd_lex(inner),
+                    F.lit('"^^' + vocab.RDF + "langString@" + tag.lower()),
+                ),
+            )
+        if kind == "name" and text.lower() == "encode_for_uri":
+            # §17.4.3.4: percent-encode everything outside RFC 3986
+            # unreserved, uppercase hex over the UTF-8 bytes. Pure column
+            # fold: split to chars, hex-encode the non-unreserved ones.
+            self._expect_op("(")
+            (inner,) = self._args_until_close()
+            lex = _opnd_lex(inner)
+            col = F.concat_ws(
+                "",
+                F.transform(
+                    F.split(lex, ""),
+                    lambda c: F.when(c.rlike("^[A-Za-z0-9_.~-]$"), c).otherwise(
+                        F.regexp_replace(F.hex(F.encode(c, "UTF-8")), "(..)", r"%$1")
+                    ),
+                ),
+            )
+            return _Opnd("lex", col=F.when(lex.isNotNull(), col))
         raise ValueError(f"unsupported FILTER/BIND operand: {text!r}")
 
 
@@ -2138,10 +2255,11 @@ def _ground_statements(body: str, prefixes: dict[str, str]) -> tuple[Pattern, ..
 
 
 def parse_update(text: str) -> ParsedUpdate:
-    """Parse one update operation. Sequences (``;``-separated operations),
-    ``WITH``/``USING`` dataset clauses, and the graph-management forms
-    (LOAD/CLEAR/…) raise loudly — this engine has one graph store (the
-    triples frame) and updates are pure frame→frame transformations."""
+    """Parse one TEMPLATE update operation. Sequences (``;``-separated
+    operations), ``WITH``/``USING`` dataset clauses, and LOAD raise loudly;
+    the graph-management forms are handled by :func:`parse_graph_update`
+    BEFORE this parser runs (reaching one here means it was malformed, so
+    the loud error below is correct for them too)."""
     text = "\n".join(
         ln for ln in text.split("\n") if not ln.lstrip().startswith("#")
     )
@@ -2224,6 +2342,120 @@ def parse_update(text: str) -> ParsedUpdate:
     return ParsedUpdate(prefixes, del_t, ins_t, group)
 
 
+@dataclass(frozen=True)
+class GraphUpdate:
+    """A SPARQL 1.1 Update graph-management operation over the lineage
+    named-graph model (`urn:conv:<conv_id>`; the default graph slot is the
+    NULL-lineage rows that INSERT also targets)."""
+
+    op: str  #: 'clear' | 'drop' | 'create' | 'add' | 'copy' | 'move'
+    scope: str | None = None  #: for clear/drop: 'graph' | 'default' | 'named' | 'all'
+    src: str | None = None  #: conv_id (None = default graph)
+    dst: str | None = None
+
+
+def _conv_of_graph_iri(iri: str) -> str:
+    if not iri.startswith(GRAPH_NS):
+        raise ValueError(
+            f"graph IRI outside the lineage namespace {GRAPH_NS!r}: <{iri}>"
+        )
+    return iri[len(GRAPH_NS):]
+
+
+_GM_CLEAR_RE = re.compile(
+    r"(?is)^\s*(?P<op>clear|drop)\s+(?:silent\s+)?"
+    r"(?:graph\s+<(?P<iri>[^<>]*)>|(?P<kw>default|named|all))\s*$"
+)
+_GM_CREATE_RE = re.compile(
+    r"(?is)^\s*create\s+(?:silent\s+)?graph\s+<(?P<iri>[^<>]*)>\s*$"
+)
+_GM_MOVE_RE = re.compile(
+    r"(?is)^\s*(?P<op>add|copy|move)\s+(?:silent\s+)?"
+    r"(?:(?:graph\s+)?<(?P<src>[^<>]*)>|(?P<srcdef>default))\s+to\s+"
+    r"(?:(?:graph\s+)?<(?P<dst>[^<>]*)>|(?P<dstdef>default))\s*$"
+)
+
+
+def parse_graph_update(text: str) -> GraphUpdate | None:
+    """Parse a graph-management form (§3.2: CLEAR/DROP/CREATE/ADD/COPY/
+    MOVE), or return None for the template forms. LOAD (remote fetch) is
+    NOT supported and falls through to :func:`parse_update`'s loud error."""
+    body = "\n".join(
+        ln for ln in text.split("\n") if not ln.lstrip().startswith("#")
+    )
+    if m := _GM_CLEAR_RE.match(body):
+        if m.group("kw"):
+            return GraphUpdate(m.group("op").lower(), scope=m.group("kw").lower())
+        return GraphUpdate(
+            m.group("op").lower(), scope="graph",
+            src=_conv_of_graph_iri(m.group("iri")),
+        )
+    if m := _GM_CREATE_RE.match(body):
+        _conv_of_graph_iri(m.group("iri"))  # namespace check only
+        return GraphUpdate("create")
+    if m := _GM_MOVE_RE.match(body):
+        src = None if m.group("srcdef") else _conv_of_graph_iri(m.group("src"))
+        dst = None if m.group("dstdef") else _conv_of_graph_iri(m.group("dst"))
+        return GraphUpdate(m.group("op").lower(), src=src, dst=dst)
+    return None
+
+
+def _in_graph(conv: str | None) -> F.Column:
+    # eqNullSafe: negating a plain == would silently drop NULL-conv_id
+    # (default-graph) rows from a named-graph CLEAR's survivors
+    col = F.col("conv_id")
+    return col.isNull() if conv is None else col.eqNullSafe(F.lit(conv))
+
+
+def execute_graph_update(triples: DataFrame, gu: GraphUpdate) -> DataFrame:
+    """Apply one graph-management operation as a frame→frame transformation.
+
+    Graphs exist iff they have rows here (no empty-graph bookkeeping), so
+    CLEAR and DROP coincide and CREATE is a documented no-op; SILENT is
+    always accepted. Moving rows INTO the default graph nulls ``turn_idx``
+    too (a turn position is meaningless outside its conversation — the same
+    NULL-lineage convention as template INSERTs). ADD is idempotent: only
+    rows not already present in the destination (null-safe all-column
+    anti-join) are added, so re-running an ADD never duplicates provenance.
+
+    Scale shape: CLEAR/DROP are pushed-down partition-prunable filters;
+    ADD/COPY/MOVE are one filter + union (+ one anti-join for ADD keyed on
+    the full row) — no driver-side work."""
+    if gu.op in ("clear", "drop"):
+        if gu.scope == "all":
+            return triples.limit(0)
+        if gu.scope == "named":
+            return triples.filter(F.col("conv_id").isNull())
+        if gu.scope == "default":
+            return triples.filter(F.col("conv_id").isNotNull())
+        return triples.filter(~_in_graph(gu.src))
+    if gu.op == "create":
+        return triples
+    if gu.src == gu.dst:  # ADD/COPY/MOVE onto itself: no-op per spec
+        return triples
+    moved = triples.filter(_in_graph(gu.src))
+    if gu.dst is None:
+        moved = moved.withColumn("conv_id", F.lit(None).cast("string")).withColumn(
+            "turn_idx", F.lit(None).cast("int")
+        )
+    else:
+        moved = moved.withColumn("conv_id", F.lit(gu.dst))
+    base = triples
+    if gu.op in ("copy", "move"):
+        base = base.filter(~_in_graph(gu.dst))
+    if gu.op == "move":
+        base = base.filter(~_in_graph(gu.src))
+    if gu.op == "add":
+        cols = triples.columns
+        r = base.select(*[F.col(c).alias("__r_" + c) for c in cols])
+        cond = None
+        for c in cols:
+            eq = F.col(c).eqNullSafe(F.col("__r_" + c))
+            cond = eq if cond is None else (cond & eq)
+        moved = moved.join(r, cond, "left_anti")
+    return base.unionByName(moved)
+
+
 def execute_update(triples: DataFrame, update_text: str) -> DataFrame:
     """Apply one SPARQL 1.1 Update operation and return the NEW triples
     frame (the input is never mutated — updates compose with the engine's
@@ -2239,7 +2471,14 @@ def execute_update(triples: DataFrame, update_text: str) -> DataFrame:
     Scale shape: one group execution (pushed-filter scans + hash joins) +
     at most two null-safe anti-joins keyed on the full triple — the same
     exchange class as the pipeline's set-semantics dedup; nothing
-    driver-side."""
+    driver-side.
+
+    Graph-management forms (CLEAR/DROP/CREATE/ADD/COPY/MOVE over the
+    lineage named graphs) dispatch to :func:`execute_graph_update`; LOAD
+    (remote fetch) raises."""
+    gu = parse_graph_update(update_text)
+    if gu is not None:
+        return execute_graph_update(triples, gu)
     u = parse_update(update_text)
     spark = triples.sparkSession
     if u.group is not None:

@@ -1513,3 +1513,233 @@ def test_update_loud_errors(spark):
             "PREFIX ex: <http://example.org/>\n"
             "DELETE WHERE { ?s ex:p ?o . FILTER(?o > 1) }"
         )
+
+
+def test_hash_functions(spark):
+    # §17.4.4.12/14: lowercase-hex digest of the lexical form
+    import hashlib
+
+    t = _triples(
+        spark,
+        [(EX + "d", EX + "label", "literal", None, "abc", vocab.XSD_STRING)],
+    )
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?m ?s1 ?s256 WHERE {
+  ?x ex:label ?l .
+  BIND(MD5(?l) AS ?m)
+  BIND(SHA1(?l) AS ?s1)
+  BIND(SHA256(?l) AS ?s256)
+}""",
+    )
+    row = out.collect()[0]
+    S = vocab.XSD_STRING
+    assert row["m"] == se.lit_binding(hashlib.md5(b"abc").hexdigest(), S)
+    assert row["s1"] == se.lit_binding(hashlib.sha1(b"abc").hexdigest(), S)
+    assert row["s256"] == se.lit_binding(hashlib.sha256(b"abc").hexdigest(), S)
+
+
+def test_datetime_accessors(spark):
+    # §17.4.5: component accessors read the literal's own lexical form
+    DT = vocab.XSD + "dateTime"
+    t = _triples(
+        spark,
+        [
+            (EX + "e1", EX + "at", "literal", None, "2024-03-05T14:45:13.815-05:00", DT),
+            (EX + "e2", EX + "at", "literal", None, "2024-12-31T23:59:59Z", DT),
+            (EX + "e3", EX + "at", "literal", None, "2025-01-01T00:00:00", DT),
+        ],
+    )
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?x ?y ?mo ?d ?h ?mi ?s ?tz WHERE {
+  ?x ex:at ?v .
+  BIND(YEAR(?v) AS ?y)   BIND(MONTH(?v) AS ?mo)  BIND(DAY(?v) AS ?d)
+  BIND(HOURS(?v) AS ?h)  BIND(MINUTES(?v) AS ?mi)
+  BIND(SECONDS(?v) AS ?s) BIND(TZ(?v) AS ?tz)
+}""",
+    )
+    got = {r["x"]: r for r in out.collect()}
+    D, S = vocab.XSD_DOUBLE, vocab.XSD_STRING
+    r1 = got[EX + "e1"]
+    assert r1["y"] == se.lit_binding("2024.0", D)
+    assert r1["mo"] == se.lit_binding("3.0", D)
+    assert r1["d"] == se.lit_binding("5.0", D)
+    assert r1["h"] == se.lit_binding("14.0", D)
+    assert r1["mi"] == se.lit_binding("45.0", D)
+    assert r1["s"] == se.lit_binding("13.815", D)
+    assert r1["tz"] == se.lit_binding("-05:00", S)
+    assert got[EX + "e2"]["tz"] == se.lit_binding("Z", S)
+    # no zone -> "" per spec
+    assert got[EX + "e3"]["tz"] == se.lit_binding("", S)
+
+
+def test_datetime_accessor_on_non_datetime_is_unbound(spark):
+    t = _triples(
+        spark,
+        [(EX + "d", EX + "label", "literal", None, "not a date", vocab.XSD_STRING)],
+    )
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?y ?tz WHERE {
+  ?x ex:label ?l .
+  BIND(YEAR(?l) AS ?y)
+  BIND(TZ(?l) AS ?tz)
+}""",
+    )
+    row = out.collect()[0]
+    assert row["y"] is None and row["tz"] is None  # expression error -> unbound
+
+
+def test_iri_strdt_strlang(spark):
+    t = _triples(
+        spark,
+        [(EX + "d", EX + "label", "literal", None, "widget", vocab.XSD_STRING)],
+    )
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?u ?typed ?tagged ?isres WHERE {
+  ?x ex:label ?l .
+  BIND(IRI(CONCAT("http://example.org/item/", ?l)) AS ?u)
+  BIND(STRDT(?l, xsd:token) AS ?typed)
+  BIND(STRLANG(?l, "EN") AS ?tagged)
+  BIND(isIRI(?u) AS ?isres)
+}""",
+    )
+    row = out.collect()[0]
+    assert row["u"] == EX + "item/widget"  # raw-IRI binding, no quotes
+    assert row["typed"] == se.lit_binding("widget", vocab.XSD + "token")
+    # tag normalized to lowercase in the binding encoding
+    assert row["tagged"] == '"widget"^^' + vocab.RDF + "langString@en"
+    # boolean call in value position -> xsd:boolean literal
+    assert row["isres"] == se.lit_binding("true", vocab.XSD + "boolean")
+
+
+def test_strlang_result_matches_scanned_tagged_literal(spark):
+    # STRLANG-built bindings must compare equal to pattern-scanned
+    # lang-tagged literals (same encoding), exercised via lang()
+    t = _triples(
+        spark,
+        [
+            (EX + "d", EX + "label", "literal", None, "widget",
+             vocab.RDF + "langString@en"),
+        ],
+    )
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?x WHERE {
+  ?x ex:label ?l .
+  FILTER(sameTerm(?l, STRLANG("widget", "en")))
+}""",
+    )
+    assert [r["x"] for r in out.collect()] == [EX + "d"]
+
+
+def test_encode_for_uri(spark):
+    # §17.4.3.4 examples + UTF-8 multibyte; unreserved set untouched
+    t = _triples(
+        spark,
+        [
+            (EX + "d1", EX + "label", "literal", None, "Los Angeles", vocab.XSD_STRING),
+            (EX + "d2", EX + "label", "literal", None, "~bébé_9.x-/?#", vocab.XSD_STRING),
+        ],
+    )
+    out = se.execute_sparql(
+        t,
+        """PREFIX ex: <http://example.org/>
+SELECT ?x ?e WHERE {
+  ?x ex:label ?l .
+  BIND(ENCODE_FOR_URI(?l) AS ?e)
+}""",
+    )
+    got = {r["x"]: r["e"] for r in out.collect()}
+    from urllib.parse import quote
+
+    S = vocab.XSD_STRING
+    assert got[EX + "d1"] == se.lit_binding("Los%20Angeles", S)
+    assert got[EX + "d2"] == se.lit_binding(quote("~bébé_9.x-/?#", safe="~"), S)
+
+
+# ------------------------------------------------------- graph management
+
+def _quad_store(spark):
+    # named graphs c1 (2 triples, one with 2 provenance rows), c2 (1), and
+    # one default-graph (NULL-lineage) triple
+    rows = [
+        (EX + "s1", EX + "p", "iri", EX + "o1", None, None, "c1", 0),
+        (EX + "s1", EX + "p", "iri", EX + "o1", None, None, "c1", 3),
+        (EX + "s2", EX + "p", "iri", EX + "o2", None, None, "c1", 1),
+        (EX + "s3", EX + "p", "iri", EX + "o3", None, None, "c2", 0),
+        (EX + "d", EX + "p", "iri", EX + "od", None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, TRIPLES)
+
+
+def test_clear_graph_keeps_other_graphs_and_default(spark):
+    out = se.execute_update(_quad_store(spark), "CLEAR GRAPH <urn:conv:c1>")
+    got = {(r["subj"], r["conv_id"]) for r in out.collect()}
+    # the NULL-conv_id row must survive (null-safe negation)
+    assert got == {(EX + "s3", "c2"), (EX + "d", None)}
+
+
+def test_drop_default_named_all(spark):
+    t = _quad_store(spark)
+    assert {r["conv_id"] for r in se.execute_update(t, "DROP DEFAULT").collect()} == {
+        "c1", "c2"
+    }
+    named_gone = se.execute_update(t, "DROP SILENT NAMED")
+    assert [r["conv_id"] for r in named_gone.collect()] == [None]
+    assert se.execute_update(t, "CLEAR ALL").count() == 0
+
+
+def test_create_is_noop_and_checks_namespace(spark):
+    t = _quad_store(spark)
+    assert se.execute_update(t, "CREATE GRAPH <urn:conv:new>").count() == t.count()
+    with pytest.raises(ValueError, match="lineage namespace"):
+        se.execute_update(t, "CREATE GRAPH <http://example.org/g>")
+
+
+def test_copy_replaces_destination(spark):
+    out = se.execute_update(
+        _quad_store(spark), "COPY <urn:conv:c1> TO <urn:conv:c2>"
+    )
+    c2 = sorted(
+        (r["subj"], r["turn_idx"]) for r in out.filter("conv_id = 'c2'").collect()
+    )
+    # destination replaced by the source rows (provenance turn_idx kept)
+    assert c2 == [(EX + "s1", 0), (EX + "s1", 3), (EX + "s2", 1)]
+    assert out.filter("conv_id = 'c1'").count() == 3  # source kept
+
+
+def test_move_drops_source_and_nulls_lineage_into_default(spark):
+    out = se.execute_update(_quad_store(spark), "MOVE GRAPH <urn:conv:c1> TO DEFAULT")
+    assert out.filter("conv_id = 'c1'").count() == 0
+    dft = out.filter("conv_id IS NULL")
+    # default graph replaced by the moved rows; turn_idx nulled with it
+    assert {(r["subj"], r["turn_idx"]) for r in dft.collect()} == {
+        (EX + "s1", None), (EX + "s2", None)
+    }
+
+
+def test_add_is_idempotent_union(spark):
+    t = _quad_store(spark)
+    once = se.execute_update(t, "ADD <urn:conv:c2> TO <urn:conv:c1>")
+    assert once.filter("conv_id = 'c1'").count() == 4  # 3 + s3
+    assert once.filter("conv_id = 'c2'").count() == 1  # source kept
+    twice = se.execute_update(once, "ADD <urn:conv:c2> TO <urn:conv:c1>")
+    assert twice.count() == once.count()  # re-ADD adds nothing
+    # self-ADD is a no-op per spec
+    assert se.execute_update(t, "ADD <urn:conv:c1> TO <urn:conv:c1>").count() == t.count()
+
+
+def test_load_and_malformed_management_stay_loud(spark):
+    t = _quad_store(spark)
+    with pytest.raises(ValueError, match="LOAD"):
+        se.execute_update(t, "LOAD <http://remote/data.ttl>")
+    with pytest.raises(ValueError, match="CLEAR"):
+        se.execute_update(t, "CLEAR BOGUS")
