@@ -1202,7 +1202,7 @@ def _kg_sparql_graph_mgmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same provenance — it must NOT duplicate when ADD lands on a graph
     that already holds it. All ops are lineage-filter + union frames
     (partition-prunable at scale); nothing driver-side."""
-    from rdfcmap_spark.operators.sparql_exec import execute_update
+    from rdfcmap_spark.operators.sparql_exec import execute_update_script
 
     orders = load(spark, sf_dir, "orders")
     EX = "http://example.org/"
@@ -1229,10 +1229,13 @@ def _kg_sparql_graph_mgmt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("int").alias("turn_idx"),
         )
     )
-    t = execute_update(base, "MOVE <urn:conv:g0> TO <urn:conv:g1>")
-    t = execute_update(t, "ADD <urn:conv:g2> TO <urn:conv:g1>")
-    t = execute_update(t, "CLEAR GRAPH <urn:conv:g3>")
-    t = execute_update(t, "COPY <urn:conv:g4> TO DEFAULT")
+    t = execute_update_script(
+        base,
+        """MOVE <urn:conv:g0> TO <urn:conv:g1> ;
+ADD <urn:conv:g2> TO <urn:conv:g1> ;
+CLEAR GRAPH <urn:conv:g3> ;
+COPY <urn:conv:g4> TO DEFAULT""",
+    )
     return t.select(
         "subj", "pred", F.col("obj_lexical").alias("lex"), "conv_id", "turn_idx"
     )

@@ -2383,6 +2383,13 @@ def parse_graph_update(text: str) -> GraphUpdate | None:
     body = "\n".join(
         ln for ln in text.split("\n") if not ln.lstrip().startswith("#")
     )
+    # a prologue of PREFIX declarations is legal before any operation
+    # (§19.2); graph-management forms never use prefixed names, so blank it
+    body = re.sub(
+        r"(?i)\bprefix\s+[A-Za-z][\w.-]*:\s*<[^<>]*>",
+        lambda m: " " * len(m.group(0)),
+        body,
+    )
     if m := _GM_CLEAR_RE.match(body):
         if m.group("kw"):
             return GraphUpdate(m.group("op").lower(), scope=m.group("kw").lower())
@@ -2505,4 +2512,65 @@ def execute_update(triples: DataFrame, update_text: str) -> DataFrame:
             F.lit(None).cast("int").alias("turn_idx"),
         )
         out = out.unionByName(new)
+    return out
+
+
+def split_update_script(text: str) -> list[str]:
+    """Split a SPARQL 1.1 Update SCRIPT (§3: operations separated by ``;``)
+    into its single operations, quote-/IRI-/brace-aware. PREFIX declarations
+    accumulate over the script (§19.2 grammar: a prologue may precede each
+    operation and stays in force), so every returned operation is re-prefixed
+    with all declarations seen up to and including its own segment."""
+    text = "\n".join(
+        ln for ln in text.split("\n") if not ln.lstrip().startswith("#")
+    )
+    segs: list[str] = []
+    depth = 0
+    i = 0
+    start = 0
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c == '"':
+            i = _skip_string(text, i)
+            continue
+        if c == "<":
+            j = text.find(">", i)
+            i = (j + 1) if j != -1 else i + 1
+            continue
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+        elif c == ";" and depth == 0:
+            segs.append(text[start:i])
+            start = i + 1
+        i += 1
+    segs.append(text[start:])
+
+    prefix_re = re.compile(r"(?i)\bprefix\s+[A-Za-z][\w.-]*:\s*<[^<>]*>")
+    seen_prefixes: list[str] = []
+    ops: list[str] = []
+    for seg in segs:
+        seen_prefixes.extend(m.group(0) for m in prefix_re.finditer(seg))
+        bare = prefix_re.sub(lambda m: " " * len(m.group(0)), seg)
+        if not bare.strip():
+            continue  # prologue-only or empty segment (e.g. trailing ';')
+        ops.append("\n".join(seen_prefixes) + "\n" + bare)
+    return ops
+
+
+def execute_update_script(triples: DataFrame, script_text: str) -> DataFrame:
+    """Apply a whole SPARQL 1.1 Update script — ``;``-separated operations,
+    template and graph-management forms mixed freely — as a left fold of
+    :func:`execute_update` over the frame. Each operation sees the store
+    state the previous one produced (§3.1: operations execute in order).
+
+    Scale note: the fold builds ONE composed lazy plan; nothing materializes
+    until the caller acts on the result. Long scripts of anti-join-heavy
+    operations deepen the plan linearly — checkpoint between operations if a
+    script runs to hundreds of steps."""
+    out = triples
+    for op in split_update_script(script_text):
+        out = execute_update(out, op)
     return out

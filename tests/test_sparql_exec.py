@@ -1743,3 +1743,59 @@ def test_load_and_malformed_management_stay_loud(spark):
         se.execute_update(t, "LOAD <http://remote/data.ttl>")
     with pytest.raises(ValueError, match="CLEAR"):
         se.execute_update(t, "CLEAR BOGUS")
+
+
+def test_update_script_sequences_operations(spark):
+    t = _quad_store(spark)
+    out = se.execute_update_script(
+        t,
+        """PREFIX ex: <http://example.org/>
+# insert, then delete by pattern, then drop a whole graph
+INSERT DATA { ex:n ex:p "a;b" . } ;
+DELETE WHERE { ?s ex:p <http://example.org/o3> . } ;
+MOVE <urn:conv:c1> TO <urn:conv:c2> ;
+""",
+    )
+    got = {(r["subj"], r["conv_id"]) for r in out.collect()}
+    # ex:n inserted with NULL lineage; s3 (the only ex:p->o3 triple) deleted;
+    # c1 moved wholesale into c2 (replacing s3's graph, already empty)
+    assert (EX + "n", None) in got
+    assert not any(s == EX + "s3" for s, _ in got)
+    assert {s for s, c in got if c == "c2"} == {EX + "s1", EX + "s2"}
+    assert not any(c == "c1" for _, c in got)
+
+
+def test_update_script_later_op_sees_earlier_result(spark):
+    t = _quad_store(spark)
+    # the DELETE WHERE pattern only matches the triple the INSERT just added
+    out = se.execute_update_script(
+        t,
+        """PREFIX ex: <http://example.org/>
+INSERT DATA { ex:tmp ex:marker ex:gone . } ;
+DELETE WHERE { ?s ex:marker ?o . }
+""",
+    )
+    assert out.count() == t.count()  # net no-op, proving in-order execution
+
+
+def test_update_script_prefix_accumulates_across_ops(spark):
+    t = _quad_store(spark)
+    out = se.execute_update_script(
+        t,
+        """PREFIX ex: <http://example.org/>
+INSERT DATA { ex:m ex:p ex:o . } ;
+PREFIX e2: <http://example.org/>
+INSERT DATA { e2:m2 ex:p e2:o . }
+""",
+    )
+    subs = {r["subj"] for r in out.collect()}
+    assert EX + "m" in subs and EX + "m2" in subs
+
+
+def test_single_op_execute_update_still_rejects_sequences(spark):
+    with pytest.raises(ValueError, match="sequences"):
+        se.execute_update(
+            _quad_store(spark),
+            "PREFIX ex: <http://example.org/>\n"
+            "INSERT DATA { ex:a ex:p ex:o . } ; DELETE DATA { ex:a ex:p ex:o . }",
+        )
