@@ -80,8 +80,12 @@ Execution model (Spark-first, not a SPARQL-algebra port):
   loop, no driver involvement. Nested GRAPH, paths inside GRAPH ?var,
   and subqueries inside GRAPH ?var raise loudly. SERVICE remains a loud
   error (no federation).
-* SPARQL 1.1 **Update** (`execute_update`): INSERT DATA / DELETE DATA /
-  DELETE WHERE / DELETE-INSERT-WHERE as pure frame→frame transformations
+* SPARQL 1.1 **Update** (`execute_update`): INSERT DATA / DELETE DATA
+  (incl. quad forms — ``GRAPH <urn:conv:X> { … }`` blocks scope ground
+  triples to a lineage named graph; graph-scoped deletes remove the
+  triple from that graph only, graph-scoped inserts dedupe on
+  KEY6+conv_id) / DELETE WHERE / DELETE-INSERT-WHERE as pure
+  frame→frame transformations
   — templates instantiate against the original store's bindings, then
   ``store := (store − deletes) ∪ inserts`` via null-safe anti-joins on
   the triple identity key (set semantics; DELETE removes every
@@ -2244,6 +2248,31 @@ class ParsedUpdate:
     delete_template: tuple[Pattern, ...]
     insert_template: tuple[Pattern, ...]
     group: Group | None  #: None for the DATA forms
+    #: graph-scoped ground triples from ``GRAPH <urn:conv:X> { … }`` blocks
+    #: inside the DATA forms: (conv_id, statement) pairs
+    delete_quads: tuple[tuple[str, Pattern], ...] = ()
+    insert_quads: tuple[tuple[str, Pattern], ...] = ()
+
+
+_GRAPH_BLOCK_RE = re.compile(r"(?is)\bgraph\s+<([^<>]*)>\s*\{")
+
+
+def _split_graph_blocks(body: str) -> tuple[str, list[tuple[str, str]]]:
+    """Split ``GRAPH <iri> { … }`` blocks out of a DATA-form body: returns
+    (text outside the blocks, [(conv_id, inner text), …]). The keyword is
+    found by regex — a quoted literal containing ``GRAPH <…> {`` would
+    confuse it; ground DATA bodies with such literals are not supported."""
+    rest: list[str] = []
+    blocks: list[tuple[str, str]] = []
+    pos = 0
+    while m := _GRAPH_BLOCK_RE.search(body, pos):
+        start = m.end() - 1
+        end = _matching(body, start, "{", "}")
+        rest.append(body[pos:m.start()])
+        blocks.append((_conv_of_graph_iri(m.group(1)), body[start + 1 : end]))
+        pos = end + 1
+    rest.append(body[pos:])
+    return "".join(rest), blocks
 
 
 def _ground_statements(body: str, prefixes: dict[str, str]) -> tuple[Pattern, ...]:
@@ -2294,10 +2323,16 @@ def parse_update(text: str) -> ParsedUpdate:
         start = mdata.end() - 1
         end = _matching(text, start, "{", "}")
         tail_check(end + 1)
-        stmts = _ground_statements(text[start + 1 : end], prefixes)
+        plain_body, graph_blocks = _split_graph_blocks(text[start + 1 : end])
+        stmts = _ground_statements(plain_body, prefixes)
+        quads = tuple(
+            (conv, st)
+            for conv, inner in graph_blocks
+            for st in _ground_statements(inner, prefixes)
+        )
         if mdata.group(1).lower() == "insert":
-            return ParsedUpdate(prefixes, (), stmts, None)
-        return ParsedUpdate(prefixes, stmts, (), None)
+            return ParsedUpdate(prefixes, (), stmts, None, insert_quads=quads)
+        return ParsedUpdate(prefixes, stmts, (), None, delete_quads=quads)
 
     mdw = re.search(r"(?i)\bdelete\s+where\s*\{", text)
     if mdw:
@@ -2318,17 +2353,26 @@ def parse_update(text: str) -> ParsedUpdate:
     del_t: tuple[Pattern, ...] = ()
     ins_t: tuple[Pattern, ...] = ()
     pos = 0
+    def template_body(start: int, end: int) -> str:
+        body = text[start + 1 : end]
+        if _GRAPH_BLOCK_RE.search(body):
+            raise ValueError(
+                "GRAPH blocks in update templates are only supported in the"
+                " DATA forms (INSERT DATA / DELETE DATA)"
+            )
+        return body
+
     mdel = re.match(r"(?is)\s*delete\s*\{", text)
     if mdel:
         start = mdel.end() - 1
         end = _matching(text, start, "{", "}")
-        del_t = tuple(_parse_statements(text[start + 1 : end], prefixes))
+        del_t = tuple(_parse_statements(template_body(start, end), prefixes))
         pos = end + 1
     mins = re.match(r"(?is)\s*insert\s*\{", text[pos:])
     if mins:
         start = pos + mins.end() - 1
         end = _matching(text, start, "{", "}")
-        ins_t = tuple(_parse_statements(text[start + 1 : end], prefixes))
+        ins_t = tuple(_parse_statements(template_body(start, end), prefixes))
         pos = end + 1
     if not del_t and not ins_t:
         raise ValueError("no INSERT/DELETE operation in SPARQL update text")
@@ -2493,23 +2537,52 @@ def execute_update(triples: DataFrame, update_text: str) -> DataFrame:
     else:
         acc, bound = spark.range(1), set()
 
-    def anti(left: DataFrame, right_keys: DataFrame) -> DataFrame:
-        r = right_keys.select(*[F.col(c).alias("__r_" + c) for c in _KEY6])
+    def anti(
+        left: DataFrame, right_keys: DataFrame, keys: tuple[str, ...] = _KEY6
+    ) -> DataFrame:
+        r = right_keys.select(*[F.col(c).alias("__r_" + c) for c in keys])
         cond = None
-        for c in _KEY6:
+        for c in keys:
             eq = F.col(c).eqNullSafe(F.col("__r_" + c))
             cond = eq if cond is None else (cond & eq)
         return left.join(r, cond, "left_anti")
 
+    def quad_frame(quads: tuple[tuple[str, Pattern], ...]) -> DataFrame:
+        # graph-scoped ground triples -> 7-col (KEY6 + conv_id) frame
+        by_conv: dict[str, list[Pattern]] = {}
+        for conv, st in quads:
+            by_conv.setdefault(conv, []).append(st)
+        frames = [
+            _instantiate(spark.range(1), set(), tuple(sts)).withColumn(
+                "conv_id", F.lit(conv)
+            )
+            for conv, sts in by_conv.items()
+        ]
+        f = frames[0]
+        for g in frames[1:]:
+            f = f.unionByName(g)
+        return f
+
+    KEY7 = _KEY6 + ("conv_id",)
     out = triples
     if u.delete_template:
         out = anti(out, _instantiate(acc, bound, u.delete_template))
+    if u.delete_quads:
+        # graph-scoped DELETE DATA removes the triple from THAT graph only
+        # (all its provenance rows there); other graphs keep it
+        out = anti(out, quad_frame(u.delete_quads), KEY7)
     if u.insert_template:
         ins = _instantiate(acc, bound, u.insert_template)
         new = anti(ins, out.select(*_KEY6)).select(
             *_KEY6,
             F.lit(None).cast("string").alias("conv_id"),
             F.lit(None).cast("int").alias("turn_idx"),
+        )
+        out = out.unionByName(new)
+    if u.insert_quads:
+        q = quad_frame(u.insert_quads)
+        new = anti(q, out.select(*KEY7), KEY7).select(
+            *KEY7, F.lit(None).cast("int").alias("turn_idx")
         )
         out = out.unionByName(new)
     return out

@@ -1799,3 +1799,52 @@ def test_single_op_execute_update_still_rejects_sequences(spark):
             "PREFIX ex: <http://example.org/>\n"
             "INSERT DATA { ex:a ex:p ex:o . } ; DELETE DATA { ex:a ex:p ex:o . }",
         )
+
+
+def test_insert_data_with_graph_blocks(spark):
+    t = _quad_store(spark)
+    out = se.execute_update(
+        t,
+        """PREFIX ex: <http://example.org/>
+INSERT DATA {
+  ex:plain ex:p ex:o .
+  GRAPH <urn:conv:c2> { ex:g2a ex:p ex:o . ex:g2b ex:p "lit" . }
+  GRAPH <urn:conv:c9> { ex:g9 ex:p ex:o . }
+}""",
+    )
+    got = {(r["subj"], r["conv_id"]) for r in out.collect()}
+    assert (EX + "plain", None) in got          # default graph, NULL lineage
+    assert (EX + "g2a", "c2") in got and (EX + "g2b", "c2") in got
+    assert (EX + "g9", "c9") in got             # graph created implicitly
+    # idempotence per graph: re-inserting into c2 adds nothing
+    again = se.execute_update(
+        out,
+        "PREFIX ex: <http://example.org/>\n"
+        "INSERT DATA { GRAPH <urn:conv:c2> { ex:g2a ex:p ex:o . } }",
+    )
+    assert again.count() == out.count()
+
+
+def test_delete_data_with_graph_block_scopes_to_graph(spark):
+    rows = [
+        (EX + "s", EX + "p", "iri", EX + "o", None, None, "c1", 0),
+        (EX + "s", EX + "p", "iri", EX + "o", None, None, "c1", 4),
+        (EX + "s", EX + "p", "iri", EX + "o", None, None, "c2", 0),
+        (EX + "s", EX + "p", "iri", EX + "o", None, None, None, None),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    out = se.execute_update(
+        t,
+        "PREFIX ex: <http://example.org/>\n"
+        "DELETE DATA { GRAPH <urn:conv:c1> { ex:s ex:p ex:o . } }",
+    )
+    # both provenance rows in c1 go; c2 and the default-graph row stay
+    assert {r["conv_id"] for r in out.collect()} == {"c2", None}
+
+
+def test_graph_in_where_template_stays_loud(spark):
+    with pytest.raises(ValueError, match="DATA forms"):
+        se.parse_update(
+            "PREFIX ex: <http://example.org/>\n"
+            "INSERT { GRAPH <urn:conv:c1> { ?s ex:q ?o . } } WHERE { ?s ex:p ?o . }"
+        )
