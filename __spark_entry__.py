@@ -1417,6 +1417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # linear-output product: doc -> canonical keep-id (exact collapse ->
         # LSH over representatives -> verify -> connected components)
         "dedup_dup_groups": lambda s, d: dedup.dup_groups(load(s, d, "documents")),
+        # corpus-level repeated-span removal (C4-style): first occurrence of
+        # each 8-word span survives, later occurrences drop, docs reassembled
+        "dedup_span": lambda s, d: dedup.span_dedup(load(s, d, "documents")),
         "dedup_embedding_cosine": lambda s, d: similarity.embedding_dup_pairs(
             load(s, d, "embeddings"), threshold=0.3
         ),
@@ -2523,6 +2526,43 @@ SELECT subj, pred, lex, conv_id, turn_idx FROM a4
     # incremental merge must reproduce the FULL-recompute mapping exactly —
     # same oracle as the one-shot query
     sql["kg_incremental_canon"] = _oracle.canonical_mapping_sql()
+
+    # span dedup mirror: same chunking (1-based inclusive list slice ==
+    # Spark's F.slice(start, length) at the tail), same md5 span key, same
+    # bigint composite first-occurrence rule, ORDER BY span_idx reassembly
+    sql["dedup_span"] = r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+exploded AS (
+  SELECT doc_id, words,
+         unnest(generate_series(1, CAST(ceil(len(words)/8.0) AS BIGINT))) AS one_based
+  FROM w
+),
+spans AS (
+  SELECT doc_id, CAST(one_based - 1 AS INTEGER) AS span_idx,
+         array_to_string(words[(one_based-1)*8+1 : (one_based-1)*8+8], ' ') AS span
+  FROM exploded
+),
+keyed AS (
+  SELECT *, md5(span) AS h, doc_id * 1048576 + span_idx AS pos_key FROM spans
+),
+firsts AS (SELECT h, min(pos_key) AS first_key FROM keyed GROUP BY h),
+survivors AS (
+  SELECT k.* FROM keyed k JOIN firsts f ON k.h = f.h AND k.pos_key = f.first_key
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS kept,
+         string_agg(span, ' ' ORDER BY span_idx) AS text
+  FROM survivors GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS total FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(r.text, '') AS text,
+       COALESCE(r.kept, 0) AS kept, t.total
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
 
     sql["dedup_exact"] = r"""
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups

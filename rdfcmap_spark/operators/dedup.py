@@ -369,3 +369,83 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+SPAN_WORDS = 8  #: words per non-overlapping span in :func:`span_dedup`
+
+
+def span_dedup(docs: DataFrame, span_words: int = SPAN_WORDS) -> DataFrame:
+    """Corpus-level repeated-SPAN removal (the C4 / "Deduplicating Training
+    Data Makes Language Models Better" intra-corpus pass): every document is
+    cut into non-overlapping ``span_words``-word spans; for each distinct
+    span text only its FIRST corpus occurrence (min ``(doc_id, span_idx)``)
+    survives, and every later occurrence anywhere in the corpus is dropped;
+    documents are reassembled from their surviving spans in order.
+
+    Returns ``(doc_id, text, kept, total)`` for EVERY input document —
+    ``text`` is the deduplicated rebuild (may be ``''`` when every span of a
+    late boilerplate copy was seen earlier), ``kept``/``total`` the span
+    counts after/before.
+
+    Scale shape (the point): two shuffles total —
+
+    1. first-occurrence: ``groupBy(span md5)`` with a map-side-combinable
+       ``min`` over ONE bigint composite ``doc_id * 2^20 + span_idx``
+       (a ``min(struct)`` would fall off hash aggregation into a
+       SortAggregate — PLAN gotcha); a hot boilerplate span is ONE grouping
+       key with partial aggregation, not a window partition holding every
+       occurrence, so skew stays map-side;
+    2. reassembly: ``groupBy(doc_id)`` + in-place ``array_sort`` of
+       (idx, span) structs — no per-doc window, no second sort exchange.
+
+    The survivors rejoin on the span hash (broadcast-ineligible at corpus
+    scale, plain hash join on the same key as the aggregate — AQE reuses the
+    partitioning). No Python anywhere. ``span_idx`` is bounded < 2^20
+    (8M-word docs at the default width) by the composite encoding; wider
+    documents need a wider shift, asserted nowhere because doc corpora cap
+    far below it.
+    """
+    words = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, i * span_words + 1, span_words)
+                ),
+            )
+        ).alias("span_idx", "span"),
+    )
+    keyed = spans.withColumn("h", F.md5(F.col("span"))).withColumn(
+        "pos_key", F.col("doc_id") * F.lit(1 << 20) + F.col("span_idx")
+    )
+    firsts = keyed.groupBy("h").agg(F.min("pos_key").alias("first_key"))
+    survivors = keyed.join(firsts, "h").filter(
+        F.col("pos_key") == F.col("first_key")
+    )
+    rebuilt = survivors.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("span_idx"), F.col("span")))
+                ),
+                lambda s: s["span"],
+            ),
+        ).alias("text"),
+    )
+    # total = ceil(|words| / span_words), a pure projection of the scan —
+    # NOT a groupBy over the exploded spans (that re-scans and re-shuffles)
+    totals = docs.select("doc_id", n_spans.alias("total"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("kept"), F.lit(0)).alias("kept"),
+            "total",
+        )
+    )

@@ -573,3 +573,42 @@ def test_ivf_assignment_restricts_scan(spark):
     for r in out:
         by_q.setdefault(r["query_id"], set()).add(assigned[r["neighbor_id"]])
     assert by_q and all(len(cl) == 1 for cl in by_q.values())
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    from rdfcmap_spark.operators.dedup import span_dedup
+
+    w8 = lambda tag: " ".join(f"{tag}{i}" for i in range(8))  # one 8-word span
+    docs = spark.createDataFrame(
+        [
+            # doc 0: spans A B
+            (0, w8("a") + " " + w8("b")),
+            # doc 1: B (dup of doc0's 2nd span) then C (fresh) then A (dup)
+            (1, w8("b") + " " + w8("c") + " " + w8("a")),
+            # doc 2: pure boilerplate — every span seen before -> empty
+            (2, w8("a") + " " + w8("b")),
+            # doc 3: short tail span (3 words), unique
+            (3, "x0 x1 x2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dedup(docs).collect()}
+    assert (got[0]["text"], got[0]["kept"], got[0]["total"]) == (
+        w8("a") + " " + w8("b"), 2, 2,
+    )
+    # doc 1 keeps only the fresh middle span, order preserved
+    assert (got[1]["text"], got[1]["kept"], got[1]["total"]) == (w8("c"), 1, 3)
+    assert (got[2]["text"], got[2]["kept"], got[2]["total"]) == ("", 0, 2)
+    assert (got[3]["text"], got[3]["kept"], got[3]["total"]) == ("x0 x1 x2", 1, 1)
+
+
+def test_span_dedup_within_doc_repeats_collapse(spark):
+    from rdfcmap_spark.operators.dedup import span_dedup
+
+    span = " ".join(f"t{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(7, " ".join([span] * 3))], "doc_id long, text string"
+    )
+    row = span_dedup(docs).collect()[0]
+    # the 2nd/3rd in-document occurrences are later corpus occurrences too
+    assert (row["text"], row["kept"], row["total"]) == (span, 1, 3)
