@@ -1460,6 +1460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scan": lambda s, d: textstats.pii_scan(load(s, d, "documents")),
         # --- training-corpus assembly (operators/traindata.py) ---
         "data_split": lambda s, d: traindata.split_assign(load(s, d, "documents")),
+        # deterministic global corpus shuffle: distributed ordinal via range
+        # exchange + per-partition rank + in-plan prefix-sum offsets (no
+        # single-partition window over the data)
+        "data_shuffle_order": lambda s, d: traindata.shuffle_order(load(s, d, "documents")),
         "pack_concat_chunk": lambda s, d: traindata.pack_concat_chunk(
             load(s, d, "documents"), budget=512, n_shards=8
         ),
@@ -3018,6 +3022,15 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 
     # engine-portable hash split: int(md5(str(doc_id))[:6], 16) % 100 —
     # md5 of the decimal id string is byte-identical across engines
+    sql["data_shuffle_order"] = r"""
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS shuffle_key,
+       CAST(row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle'), doc_id
+       ) AS BIGINT) AS ord
+FROM documents
+"""
+
     sql["data_split"] = r"""
 WITH b AS (
   SELECT doc_id,

@@ -165,3 +165,51 @@ def pack_greedy(
     return toks.groupBy("shard").applyInPandas(
         pack, "doc_id long, shard int, n_tokens long, bin long, fill long"
     )
+
+
+def shuffle_order(docs: DataFrame, seed: str = "shuffle", n_parts: int = 32) -> DataFrame:
+    """Deterministic global corpus shuffle — the "shuffle once before
+    training" step. Every document gets a pseudo-random total-order position
+    ``ord`` (1-based, dense) derived from ``md5(doc_id + ':' + seed)``:
+    stable under re-partitioning/appends-at-the-end/re-runs, and a new seed
+    is a fresh permutation.
+
+    The global ordinal is built WITHOUT a single-partition window (the naive
+    ``row_number() over (order by key)`` serializes the whole corpus through
+    one task):
+
+    1. ``repartitionByRange`` on (key, doc_id) — a range exchange, the same
+       machinery as a distributed sort;
+    2. per-partition ``row_number`` (window partitioned by the range
+       partition id — parallel);
+    3. partition ordinals lifted to global ones by adding each partition's
+       cumulative row-count offset — an n_parts-row prefix sum computed
+       IN-PLAN (its single-partition window holds n_parts rows, not data)
+       and broadcast-joined back, so the whole operator is one action and
+       the range exchange is computed once (ReusedExchange), never
+       re-sampled across separate jobs.
+
+    The result is invariant to where the range boundaries fall: ranges are
+    ordered, so offset + within-rank IS the global rank. Output:
+    (doc_id, shuffle_key, ord).
+    """
+    key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":" + seed)).cast("binary")
+    )
+    ranged = (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .repartitionByRange(n_parts, "shuffle_key", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("pid").orderBy("shuffle_key", "doc_id")
+    within = ranged.withColumn("within", F.row_number().over(w))
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    offw = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("n").over(offw), F.lit(0)).alias("off")
+    )
+    return within.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "shuffle_key",
+        (F.col("off") + F.col("within")).cast("long").alias("ord"),
+    )

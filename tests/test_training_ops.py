@@ -612,3 +612,26 @@ def test_span_dedup_within_doc_repeats_collapse(spark):
     row = span_dedup(docs).collect()[0]
     # the 2nd/3rd in-document occurrences are later corpus occurrences too
     assert (row["text"], row["kept"], row["total"]) == (span, 1, 3)
+
+
+def test_shuffle_order_is_dense_permutation_and_partition_invariant(spark):
+    from rdfcmap_spark.operators.traindata import shuffle_order
+
+    docs = spark.range(0, 997).select(F.col("id").alias("doc_id"))
+    out = shuffle_order(docs, n_parts=7).collect()
+    ords = sorted(r["ord"] for r in out)
+    assert ords == list(range(1, 998))  # dense 1..N: a true permutation
+    by_doc = {r["doc_id"]: r["ord"] for r in out}
+    # invariant to input partitioning and to the ordinal's partition count
+    again = {
+        r["doc_id"]: r["ord"]
+        for r in shuffle_order(docs.repartition(13), n_parts=3).collect()
+    }
+    assert again == by_doc
+    # a different seed is a different permutation (overwhelmingly)
+    reseeded = {
+        r["doc_id"]: r["ord"]
+        for r in shuffle_order(docs, seed="epoch2", n_parts=7).collect()
+    }
+    assert reseeded != by_doc
+    assert sorted(reseeded.values()) == list(range(1, 998))
