@@ -1472,6 +1472,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # mixing rates: keep all of src0, half of src1, a tenth of src2,
         # 30% of everything else
+        # per-source contribution cap (no domain dominates): keep <=10 docs
+        # per source by seeded-md5 rank (sources hold 25 at sf0.01 -> real bite)
+        "data_cap_per_source": lambda s, d: traindata.cap_per_source(
+            load(s, d, "documents"), k=10
+        ),
         "data_sample_stratified": lambda s, d: traindata.sample_stratified(
             load(s, d, "documents"),
             {"src0": 1.0, "src1": 0.5, "src2": 0.1},
@@ -3022,6 +3027,18 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 
     # engine-portable hash split: int(md5(str(doc_id))[:6], 16) % 100 —
     # md5 of the decimal id string is byte-identical across engines
+    sql["data_cap_per_source"] = r"""
+WITH ranked AS (
+  SELECT doc_id, source AS stratum,
+         CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id
+         ) AS INTEGER) AS rank_in_source
+  FROM documents
+)
+SELECT doc_id, stratum, rank_in_source FROM ranked WHERE rank_in_source <= 10
+"""
+
     sql["data_shuffle_order"] = r"""
 SELECT doc_id,
        md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS shuffle_key,

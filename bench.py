@@ -39,6 +39,7 @@ SECONDARY = [
     "dedup_lsh_verified",
     "dedup_dup_groups",
     "dedup_simhash",
+    "dedup_span",
     "dedup_embedding_lsh",
     "sim_topk_bruteforce",
     "sim_topk_ivf",

@@ -1,6 +1,6 @@
 """Deduplication operators for the training-data pipeline.
 
-Five dedup families over the ``documents`` / ``embeddings`` tables, each a
+Six dedup families over the ``documents`` / ``embeddings`` tables, each a
 first-class operator with a DuckDB oracle:
 
 * :func:`exact_dedup` — hash-groupBy on the full text (md5), keep min doc_id;
@@ -11,7 +11,10 @@ first-class operator with a DuckDB oracle:
 * :func:`simhash_signatures` / :func:`simhash_pairs` — 32-bit SimHash with
   byte-band blocking + Hamming-distance verify;
 * :func:`embedding_dup_pairs` — cosine near-dup over the embedding column
-  (see :mod:`rdfcmap_spark.operators.similarity` for the math).
+  (see :mod:`rdfcmap_spark.operators.similarity` for the math);
+* :func:`span_dedup` — corpus-level repeated-SPAN removal (C4-style):
+  first occurrence of each distinct word-span survives, documents are
+  reassembled from their surviving spans.
 
 Scale notes (the actual point):
 

@@ -2,7 +2,7 @@
 packing (the step between the dedup/quality family and the trainer).
 
 No reference counterpart — rdfcmap stops at triple emission — but any
-100 TB training-data pipeline needs exactly these two transforms after
+100 TB training-data pipeline needs exactly these transforms after
 dedup/filtering, so they are first-class driver queries here:
 
 * :func:`split_assign` — engine-portable deterministic train/val/test
@@ -212,4 +212,33 @@ def shuffle_order(docs: DataFrame, seed: str = "shuffle", n_parts: int = 32) -> 
         "doc_id",
         "shuffle_key",
         (F.col("off") + F.col("within")).cast("long").alias("ord"),
+    )
+
+
+def cap_per_source(docs: DataFrame, k: int = 100, key: str = "source") -> DataFrame:
+    """Per-source contribution cap — "no single domain dominates the
+    corpus" (the RefinedWeb/C4 mitigation for template farms and crawl
+    loops): keep at most ``k`` documents per ``key`` stratum, chosen by a
+    seeded-md5 rank so the survivors are a deterministic pseudo-random
+    sample, not a head-of-table artifact.
+
+    One shuffle (the window's hash partition on ``key``). Skew note: a hot
+    source's partition holds all its rows, but the window only ranks and
+    truncates — state is one counter per partition, and at 100 TB a
+    pathological single-source corpus degrades to one big partition being
+    SCANNED, not joined; cap it upstream with :func:`sample_stratified` if
+    a stratum exceeds executor-partition scale.
+
+    Output: the kept rows as (doc_id, stratum, rank_in_source).
+    """
+    h = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":cap")).cast("binary")
+    )
+    return (
+        docs.select("doc_id", F.col(key).alias("stratum"), h.alias("h"))
+        .withColumn("rank_in_source", F.row_number().over(
+            Window.partitionBy("stratum").orderBy("h", "doc_id")
+        ).cast("int"))
+        .filter(F.col("rank_in_source") <= k)
+        .select("doc_id", "stratum", "rank_in_source")
     )

@@ -635,3 +635,26 @@ def test_shuffle_order_is_dense_permutation_and_partition_invariant(spark):
     }
     assert reseeded != by_doc
     assert sorted(reseeded.values()) == list(range(1, 998))
+
+
+def test_cap_per_source_caps_and_is_deterministic(spark):
+    from rdfcmap_spark.operators.traindata import cap_per_source
+
+    docs = spark.createDataFrame(
+        [(i, "hot" if i < 40 else "cold") for i in range(43)],
+        "doc_id long, source string",
+    )
+    out = cap_per_source(docs, k=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["stratum"], []).append(r)
+    assert len(by_src["hot"]) == 5      # capped
+    assert len(by_src["cold"]) == 3     # under the cap: all kept
+    assert sorted(r["rank_in_source"] for r in by_src["hot"]) == [1, 2, 3, 4, 5]
+    kept_hot = {r["doc_id"] for r in by_src["hot"]}
+    again = {
+        r["doc_id"]
+        for r in cap_per_source(docs.repartition(7), k=5).collect()
+        if r["stratum"] == "hot"
+    }
+    assert again == kept_hot  # partition-invariant deterministic sample
