@@ -241,3 +241,30 @@ def test_not_exists_plans_left_anti_join(spark, tmp_path):
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert out.count() == 0  # c1's balance disqualifies the only order
+
+
+def test_span_dedup_two_shuffles_no_sort_aggregate(spark, tmp_path):
+    """span_dedup's scale contract: exactly TWO hash exchanges (span-hash
+    min-agg + per-doc reassembly; totals is a scan projection, NOT a third
+    shuffle), hash-based aggregation throughout (the composite-bigint min —
+    a min(struct) would plan a SortAggregate), and no cartesian."""
+    from rdfcmap_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "span_docs.parquet")
+    docs.write.parquet(path)
+    out = span_dedup(spark.read.parquet(path))
+    p = plan_of(out)
+    import re as _re
+
+    # formatted explain: "(N) Exchange" = shuffle; BroadcastExchange is a
+    # distinct token and doesn't count
+    shuffles = [
+        ln for ln in p.splitlines() if _re.search(r"\)\s+Exchange\b", ln)
+    ]
+    assert len(shuffles) == 2, shuffles
+    assert "SortAggregate" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
