@@ -1417,6 +1417,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # linear-output product: doc -> canonical keep-id (exact collapse ->
         # LSH over representatives -> verify -> connected components)
         "dedup_dup_groups": lambda s, d: dedup.dup_groups(load(s, d, "documents")),
+        # incremental maintenance path: fold a new batch (doc_id % 4 == 0)
+        # into the mapping built from the rest; contract == full recompute,
+        # so the oracle is dup_groups' own naive all-docs SQL
+        "dedup_incremental_groups": lambda s, d: dedup.incremental_dup_groups(
+            load(s, d, "documents").filter(F.col("doc_id") % 4 != 0),
+            dedup.dup_groups(load(s, d, "documents").filter(F.col("doc_id") % 4 != 0)),
+            load(s, d, "documents").filter(F.col("doc_id") % 4 == 0),
+        ),
         # corpus-level repeated-span removal (C4-style): first occurrence of
         # each 8-word span survives, later occurrences drop, docs reassembled
         "dedup_span": lambda s, d: dedup.span_dedup(load(s, d, "documents")),
@@ -2638,6 +2646,9 @@ FROM allc JOIN sizes sa ON sa.doc_id = allc.a JOIN sizes sb ON sb.doc_id = allc.
     # Spark path's exact-collapse-then-LSH-over-representatives (identical
     # texts have identical shingle sets, so cross-clique verified-pair
     # existence is a clique-level property; see dedup.dup_groups docstring)
+    # incremental == full recompute (pinned contract), same oracle text
+    # assigned below after dedup_dup_groups is built
+
     sql["dedup_dup_groups"] = (
         "WITH RECURSIVE "
         + _MINHASH_CTE
@@ -2678,6 +2689,7 @@ SELECT d.doc_id, coalesce(m.canonical_id, d.doc_id) AS canonical_id
 FROM documents d LEFT JOIN mapping m ON m.node = d.doc_id
 """
     )
+    sql["dedup_incremental_groups"] = sql["dedup_dup_groups"]
 
     sql["dedup_simhash"] = "WITH " + _SIMHASH_CTE + "\nSELECT doc_id, simhash FROM sig"
 

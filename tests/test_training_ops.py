@@ -658,3 +658,38 @@ def test_cap_per_source_caps_and_is_deterministic(spark):
         if r["stratum"] == "hot"
     }
     assert again == kept_hot  # partition-invariant deterministic sample
+
+
+def test_incremental_dup_groups_equals_full_recompute(spark):
+    from rdfcmap_spark.operators.dedup import dup_groups, incremental_dup_groups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    variant = base + " extra tail words here now"          # near-dup of base
+    other = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (0, base), (1, base),            # old exact pair
+            (2, other),                       # old singleton
+            (3, variant),                     # old near-dup of 0/1
+            (4, base),                        # NEW exact dup of old clique
+            (5, variant + " and more"),       # NEW near-dup chain extension
+            (6, "totally unrelated fresh text with many novel words"),  # NEW
+            (7, other),                       # NEW exact dup of old singleton
+        ],
+        "doc_id long, text string",
+    )
+    old = docs.filter("doc_id <= 3")
+    new = docs.filter("doc_id >= 4")
+    thresh = 0.3
+    full = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dup_groups(docs, min_jaccard=thresh).collect()
+    }
+    old_map = dup_groups(old, min_jaccard=thresh)
+    inc = {
+        r["doc_id"]: r["canonical_id"]
+        for r in incremental_dup_groups(old, old_map, new, min_jaccard=thresh).collect()
+    }
+    assert inc == full
+    # sanity on the fixture: the chain 0-1-3-4-5 collapsed, 2-7 merged, 6 alone
+    assert full[4] == full[0] and full[7] == full[2] and full[6] == 6
