@@ -1458,6 +1458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": lambda s, d: textstats.lang_id(load(s, d, "documents")),
         "text_fingerprint": lambda s, d: textstats.fingerprints(load(s, d, "documents")),
         "text_repetition": lambda s, d: textstats.repetition_stats(load(s, d, "documents")),
+        # composite C4/Gopher keep/drop verdict with per-rule flags; all
+        # thresholds are integer cross-multiplications (engine-exact)
+        "text_quality_filter": lambda s, d: textstats.quality_filter(load(s, d, "documents")),
         # benchmark = deterministic 5% sample (doc_id % 20): in production the
         # benchmark frame is the eval suite; here it must be derivable from
         # the shared parquet views so the DuckDB oracle sees the same set
@@ -2964,6 +2967,58 @@ FROM s
     sql["text_fingerprint"] = (
         "WITH " + _SHINGLES_CTE + "\nSELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id"
     )
+
+    sql["text_quality_filter"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+g2 AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i)
+  WHERE len(t) >= 2
+),
+g2a AS (
+  SELECT doc_id, max(c) AS max2 FROM (
+    SELECT doc_id, gram, count(*) AS c FROM g2 WHERE gram <> '' GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+g3a AS (
+  SELECT doc_id, sum(c) AS tot3, count(*) AS dst3 FROM (
+    SELECT doc_id, gram, count(*) AS c FROM g3 WHERE gram <> '' GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt,
+    CAST(length(text) AS BIGINT) AS nc,
+    CAST(len(regexp_extract_all(text,
+      '\b(the|a|an|of|to|and|in|is|on|for)\b')) AS BIGINT) AS ns,
+    CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT)
+      + CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS nsym
+  FROM documents
+),
+j AS (
+  SELECT b.*, g2a.max2, g3a.tot3, g3a.dst3
+  FROM base b LEFT JOIN g2a ON b.doc_id = g2a.doc_id
+              LEFT JOIN g3a ON b.doc_id = g3a.doc_id
+)
+SELECT doc_id,
+  (nt < 10 OR nc > 20000) AS flag_len,
+  (nsym * 10 > nc * 3) AS flag_symbols,
+  (nt >= 20 AND ns = 0) AS flag_nostop,
+  coalesce(max2 * 2 * 10 > nt * 2, FALSE) AS flag_rep2,
+  coalesce((tot3 - dst3) * 10 > tot3 * 2, FALSE) AS flag_rep3,
+  NOT ((nt < 10 OR nc > 20000) OR (nsym * 10 > nc * 3)
+       OR (nt >= 20 AND ns = 0)
+       OR coalesce(max2 * 2 * 10 > nt * 2, FALSE)
+       OR coalesce((tot3 - dst3) * 10 > tot3 * 2, FALSE)) AS keep
+FROM j
+"""
 
     sql["text_repetition"] = r"""
 WITH toks AS (

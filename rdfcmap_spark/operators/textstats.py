@@ -303,3 +303,73 @@ def pii_scan(docs: DataFrame) -> DataFrame:
         *[counts[k].alias(f"n_{k}") for k in PII_PATTERNS],
         total.cast("bigint").alias("n_pii_total"),
     )
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """Composite C4/Gopher-style KEEP/DROP verdict with per-rule flags —
+    the cleaning stage that consumes the signal operators. Rules (all
+    integer cross-multiplications, no double thresholds, so every engine
+    and every cluster size lands on identical verdicts):
+
+    * ``flag_len``      — fewer than 10 tokens or more than 20,000 chars
+      (C4 length bounds, collapsed to the corpus-relevant pair);
+    * ``flag_symbols``  — punctuation+digit chars > 30% of all chars;
+    * ``flag_nostop``   — ≥ 20 tokens but not one stopword (C4's "no
+      terminal-punctuation/gibberish" proxy for this corpus class);
+    * ``flag_rep2``     — tokens covered by the top word 2-gram > 20%
+      (Gopher table A1);
+    * ``flag_rep3``     — repeated 3-gram occurrences > 20% of all 3-gram
+      occurrences (Gopher);
+    * ``keep``          — no flag fired.
+
+    Scale shape: the repetition aggregates are the same (doc_id, gram)
+    map-side-combined shuffles as :func:`repetition_stats` (keys carry
+    doc_id — no global hot gram); everything else is one codegen pass over
+    the scan. Output: one row per document.
+    """
+    n_tokens = F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    n_stop = F.regexp_count(F.col("text"), F.lit(_word_re(STOPWORDS))).cast("bigint")
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]")).cast("bigint")
+    n_digit = F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("bigint")
+
+    g2 = (
+        ngrams_all(docs, 2)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max2"))
+    )
+    g3 = (
+        ngrams_all(docs, 3)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("tot3"), F.count("*").alias("dst3"))
+    )
+    base = docs.select(
+        "doc_id",
+        n_tokens.alias("nt"),
+        n_chars.alias("nc"),
+        n_stop.alias("ns"),
+        (n_punct + n_digit).alias("nsym"),
+    )
+    j = base.join(g2, "doc_id", "left").join(g3, "doc_id", "left")
+    flag_len = (F.col("nt") < 10) | (F.col("nc") > 20000)
+    flag_symbols = F.col("nsym") * 10 > F.col("nc") * 3
+    flag_nostop = (F.col("nt") >= 20) & (F.col("ns") == 0)
+    flag_rep2 = F.coalesce(
+        F.col("max2") * 2 * 10 > F.col("nt") * 2, F.lit(False)
+    )
+    flag_rep3 = F.coalesce(
+        (F.col("tot3") - F.col("dst3")) * 10 > F.col("tot3") * 2, F.lit(False)
+    )
+    return j.select(
+        "doc_id",
+        flag_len.alias("flag_len"),
+        flag_symbols.alias("flag_symbols"),
+        flag_nostop.alias("flag_nostop"),
+        flag_rep2.alias("flag_rep2"),
+        flag_rep3.alias("flag_rep3"),
+        (~(flag_len | flag_symbols | flag_nostop | flag_rep2 | flag_rep3)).alias("keep"),
+    )

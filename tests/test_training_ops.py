@@ -693,3 +693,26 @@ def test_incremental_dup_groups_equals_full_recompute(spark):
     assert inc == full
     # sanity on the fixture: the chain 0-1-3-4-5 collapsed, 2-7 merged, 6 alone
     assert full[4] == full[0] and full[7] == full[2] and full[6] == 6
+
+
+def test_quality_filter_rules(spark):
+    from rdfcmap_spark.operators.textstats import quality_filter
+
+    good = ("the quick brown fox jumps over a lazy dog and then runs on "
+            "to the next field for a while longer")          # stopwords, clean
+    short = "tiny doc here"                                   # < 10 tokens
+    symbols = "a b c " + "!@#$%^&*()" * 30                    # symbol-heavy
+    nostop = " ".join(f"w{i}" for i in range(25))             # 25 tokens, 0 stopwords
+    rep2 = "go go " * 30 + "the end"                          # top 2-gram dominates
+    docs = spark.createDataFrame(
+        [(0, good), (1, short), (2, symbols), (3, nostop), (4, rep2)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+    assert got[0]["keep"] and not any(
+        got[0][f] for f in ("flag_len", "flag_symbols", "flag_nostop", "flag_rep2", "flag_rep3")
+    )
+    assert got[1]["flag_len"] and not got[1]["keep"]
+    assert got[2]["flag_symbols"] and not got[2]["keep"]
+    assert got[3]["flag_nostop"] and not got[3]["keep"]
+    assert got[4]["flag_rep2"] and got[4]["flag_rep3"] and not got[4]["keep"]
