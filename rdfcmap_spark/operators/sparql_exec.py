@@ -766,6 +766,32 @@ def parse_query(text: str) -> ParsedQuery:
     if form in ("construct", "ask"):
         template: tuple[Pattern, ...] = ()
         pos = mform.end()
+        if form == "construct" and re.search(
+            r"(?i)\bwhere\b", text[pos : text.index("{", pos)]
+        ):
+            # §10.2.3 CONSTRUCT WHERE { BGP } shorthand: the pattern IS the
+            # template; only a plain BGP is legal in this form
+            open_idx = text.index("{", pos)
+            close_idx = _matching(text, open_idx, "{", "}")
+            group = _parse_group(text[open_idx + 1 : close_idx], prefixes)
+            if (
+                group.filters or group.optionals or group.unions or group.binds
+                or group.exists or group.not_exists or group.minuses
+                or group.values or group.subselects or group.graphs
+            ):
+                raise ValueError("CONSTRUCT WHERE takes a plain BGP (§10.2.3)")
+            for s, p, o in group.patterns:
+                if isinstance(p, Path):
+                    raise ValueError("property path in a CONSTRUCT WHERE pattern")
+            if not group.patterns:
+                raise ValueError("empty CONSTRUCT WHERE pattern")
+            tail = text[close_idx + 1 :]
+            ml = re.search(r"(?i)\blimit\s+(\d+)", tail)
+            return ParsedQuery(
+                [], False, group.patterns, prefixes, group=group,
+                limit=int(ml.group(1)) if ml else None,
+                form="construct", template=tuple(group.patterns),
+            )
         if form == "construct":
             topen = text.index("{", pos)
             tclose = _matching(text, topen, "{", "}")

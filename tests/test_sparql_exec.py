@@ -1848,3 +1848,19 @@ def test_graph_in_where_template_stays_loud(spark):
             "PREFIX ex: <http://example.org/>\n"
             "INSERT { GRAPH <urn:conv:c1> { ?s ex:q ?o . } } WHERE { ?s ex:p ?o . }"
         )
+
+
+def test_construct_where_shorthand(spark):
+    # §10.2.3: the pattern is its own template
+    out = se.execute_sparql(
+        _graph(spark),
+        """PREFIX ex: <http://example.org/>
+CONSTRUCT WHERE { ?x ex:knows ?y . }""",
+    )
+    got = {(r["subj"], r["obj_iri"]) for r in out.collect()}
+    assert got == {(EX + "a", EX + "b"), (EX + "b", EX + "c")}
+    with pytest.raises(ValueError, match="plain BGP"):
+        se.parse_query(
+            "PREFIX ex: <http://example.org/>\n"
+            "CONSTRUCT WHERE { ?x ex:knows ?y . FILTER(?x != ?y) }"
+        )
