@@ -641,6 +641,59 @@ LIMIT 2000
     return execute_sparql(triples, query)
 
 
+def _sparql_results_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECT result frame behind the W3C result-serialization queries
+    (operators/sparql_results.py): an IRI var, a lang-tagged literal, a
+    string literal containing a comma (forces RFC-4180 quoting in CSV), and
+    an OPTIONAL var unbound for 2/3 of the rows."""
+    from rdfcmap_spark.operators.sparql_exec import execute_sparql
+    from rdfcmap_spark import vocab as V
+
+    customer = load(spark, sf_dir, "customer")
+    EX = "http://example.org/"
+    null_s = F.lit(None).cast("string")
+
+    def t(subj, pred, lex, dt):
+        return F.struct(
+            subj.cast("string").alias("subj"), pred.cast("string").alias("pred"),
+            F.lit("literal").alias("obj_kind"), null_s.alias("obj_iri"),
+            lex.cast("string").alias("obj_lexical"), dt.cast("string").alias("obj_datatype"),
+            null_s.alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    csub = F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string"))
+    triples = customer.select(F.explode(F.array(
+        t(csub, F.lit(EX + "label"), F.col("c_name"),
+          F.lit(V.RDF + "langString@en")),
+        t(csub, F.lit(EX + "display"),
+          F.concat(F.col("c_name"), F.lit(", "), F.col("c_mktsegment")),
+          F.lit(V.XSD_STRING)),
+        t(csub, F.when(F.col("c_custkey") % 3 == 0, F.lit(EX + "phone")),
+          F.col("c_acctbal").cast("string"), F.lit(V.XSD_STRING)),
+    )).alias("x")).select("x.*").filter(F.col("pred").isNotNull())
+    query = """
+PREFIX ex: <http://example.org/>
+SELECT ?cust ?label ?seg ?phone WHERE {
+  ?cust ex:label ?label .
+  ?cust ex:display ?seg .
+  OPTIONAL { ?cust ex:phone ?phone . }
+}
+"""
+    return execute_sparql(triples, query)
+
+
+def _results_serialized(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    from rdfcmap_spark.operators import sparql_results as SR
+
+    res = _sparql_results_select(spark, sf_dir)
+    names = ["cust", "label", "seg", "phone"]
+    if fmt == "csv":
+        return SR.select_csv(res, names)
+    if fmt == "tsv":
+        return SR.select_tsv(res, names)
+    return SR.select_json_bindings(res, names)
+
+
 def _succession_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order-succession chains as triples (order -next-> its
     successor by key within the customer, order -by-> customer, customer
@@ -1398,6 +1451,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bind": _kg_sparql_bind,
         "kg_sparql_builtins": _kg_sparql_builtins,
         "kg_sparql_graph_mgmt": _kg_sparql_graph_mgmt,
+        # W3C result-set serializations of one SELECT (CSV/TSV/JSON wire
+        # formats, operators/sparql_results.py)
+        "kg_sparql_results_csv": lambda s, d: _results_serialized(s, d, "csv"),
+        "kg_sparql_results_tsv": lambda s, d: _results_serialized(s, d, "tsv"),
+        "kg_sparql_results_json": lambda s, d: _results_serialized(s, d, "json"),
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_canonical_mapping": _kg_canonical_mapping,
@@ -3144,6 +3202,71 @@ WHERE sample_bucket < CASE source WHEN 'src0' THEN 10000
                                   WHEN 'src2' THEN 1000
                                   ELSE 3000 END
 """
+
+    # W3C SPARQL result serializations: the SELECT result (cust/label/seg/
+    # phone with phone unbound unless custkey%3=0), serialized per
+    # sparql11-results-csv-tsv / -json; ord = row_number over the
+    # serialized fields (header row is ord 0 for CSV/TSV)
+    _RES_CTE = r"""
+  SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS cust,
+         c_name AS label_lex,
+         c_name || ', ' || c_mktsegment AS seg_lex,
+         CASE WHEN c_custkey % 3 = 0 THEN CAST(c_acctbal AS VARCHAR) END AS phone_lex
+  FROM customer
+"""
+
+    sql["kg_sparql_results_csv"] = (
+        "WITH res AS (" + _RES_CTE + r"""),
+fields AS (
+  SELECT cust AS f1, label_lex AS f2,
+         '"' || replace(seg_lex, '"', '""') || '"' AS f3,
+         COALESCE(phone_lex, '') AS f4
+  FROM res
+)
+SELECT CAST(row_number() OVER (ORDER BY f1, f2, f3, f4) AS INTEGER) AS ord,
+       f1 || ',' || f2 || ',' || f3 || ',' || f4 AS line
+FROM fields
+UNION ALL
+SELECT 0, 'cust,label,seg,phone'
+"""
+    )
+
+    sql["kg_sparql_results_tsv"] = (
+        "WITH res AS (" + _RES_CTE + r"""),
+fields AS (
+  SELECT '<' || cust || '>' AS f1,
+         '"' || label_lex || '"@en' AS f2,
+         '"' || seg_lex || '"' AS f3,
+         COALESCE('"' || phone_lex || '"', '') AS f4
+  FROM res
+)
+SELECT CAST(row_number() OVER (ORDER BY f1, f2, f3, f4) AS INTEGER) AS ord,
+       f1 || chr(9) || f2 || chr(9) || f3 || chr(9) || f4 AS line
+FROM fields
+UNION ALL
+SELECT 0, '?cust' || chr(9) || '?label' || chr(9) || '?seg' || chr(9) || '?phone'
+"""
+    )
+
+    sql["kg_sparql_results_json"] = (
+        "WITH res AS (" + _RES_CTE + r"""),
+frag AS (
+  SELECT '{"type":"uri","value":"' || cust || '"}' AS f1,
+         '{"type":"literal","value":"' || label_lex
+           || '","datatype":"http://www.w3.org/1999/02/22-rdf-syntax-ns#langString","xml:lang":"en"}' AS f2,
+         '{"type":"literal","value":"' || seg_lex || '"}' AS f3,
+         CASE WHEN phone_lex IS NOT NULL
+              THEN '{"type":"literal","value":"' || phone_lex || '"}' END AS f4
+  FROM res
+)
+SELECT CAST(row_number() OVER (
+           ORDER BY f1 NULLS FIRST, f2 NULLS FIRST, f3 NULLS FIRST, f4 NULLS FIRST
+       ) AS INTEGER) AS ord,
+       '{"cust":' || f1 || ',"label":' || f2 || ',"seg":' || f3
+         || COALESCE(',"phone":' || f4, '') || '}' AS binding
+FROM frag
+"""
+    )
 
     _TOKS_CTE = r"""
   SELECT doc_id,
