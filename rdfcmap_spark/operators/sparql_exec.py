@@ -494,7 +494,10 @@ def _parse_statements(body: str, prefixes: dict[str, str]) -> list[Pattern]:
             phase = "done"
         else:
             raise ValueError(f"unexpected term after the object in: {body!r}")
-    if phase != "subj":
+    if phase == "done":
+        # the grammar permits omitting the '.' after the block's final triple
+        patterns.append((subj, pred, obj))
+    elif phase not in ("subj", "pred_after_semi"):  # trailing ';' is legal too
         raise ValueError("BGP body ends mid-statement (missing '.')")
     return patterns
 

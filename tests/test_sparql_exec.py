@@ -1864,3 +1864,34 @@ CONSTRUCT WHERE { ?x ex:knows ?y . }""",
             "PREFIX ex: <http://example.org/>\n"
             "CONSTRUCT WHERE { ?x ex:knows ?y . FILTER(?x != ?y) }"
         )
+
+
+def test_final_triple_dot_is_optional(spark):
+    """The grammar allows omitting '.' after a block's final triple (and a
+    trailing ';' after the last predicate-object pair)."""
+    g = _graph(spark)
+    no_dot = se.execute_sparql(g, "SELECT ?x WHERE { ?x <%sknows> <%sb> }" % (EX, EX))
+    assert [r["x"] for r in no_dot.collect()] == [EX + "a"]
+    trailing_semi = se.execute_sparql(
+        g, "SELECT ?x ?a WHERE { ?x <%sknows> <%sb> ; <%sage> ?a ; }" % (EX, EX, EX)
+    )
+    assert trailing_semi.count() == 1
+    # mid-statement truncation still raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mid-statement"):
+        se.execute_sparql(g, "SELECT ?x WHERE { ?x <%sknows> }" % EX)
+
+
+def test_construct_over_subselect(spark):
+    """A nested { SELECT … } inside CONSTRUCT's WHERE group: the template
+    instantiates over the subquery's (ordered+limited) projection."""
+    g = _graph(spark)
+    out = se.execute_sparql(
+        g,
+        """CONSTRUCT { ?x <%soldest> ?a }
+           WHERE { { SELECT ?x ?a WHERE { ?x <%sage> ?a } ORDER BY DESC(?a) LIMIT 1 } }"""
+        % (EX, EX),
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["subj"] == EX + "b" and rows[0]["obj_lexical"] == "40"
