@@ -1519,6 +1519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composite C4/Gopher keep/drop verdict with per-rule flags; all
         # thresholds are integer cross-multiplications (engine-exact)
         "text_quality_filter": lambda s, d: textstats.quality_filter(load(s, d, "documents")),
+        # precise-replace PII redaction (ordered patterns, progressive counts)
+        "text_pii_redact": lambda s, d: textstats.pii_redact(load(s, d, "documents")),
         # benchmark = deterministic 5% sample (doc_id % 20): in production the
         # benchmark frame is the eval suite; here it must be derivable from
         # the shared parquet views so the DuckDB oracle sees the same set
@@ -3148,6 +3150,25 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         + ",\n  CAST("
         + " + ".join("n_" + k for k in textstats.PII_PATTERNS)
         + " AS BIGINT) AS n_pii_total\nFROM c"
+    )
+
+    # pii_redact: counts on the progressively redacted text, replacements
+    # nested in PII_REDACT_ORDER — generated from the same Python constants
+    # the Spark plan uses
+    _redact_selects = []
+    _redact_t = "text"
+    for _k in textstats.PII_REDACT_ORDER:
+        _p = textstats.PII_PATTERNS[_k].replace("'", "''")
+        _redact_selects.append(
+            f"CAST(len(regexp_extract_all({_redact_t}, '{_p}')) AS BIGINT) AS n_{_k}"
+        )
+        _redact_t = f"regexp_replace({_redact_t}, '{_p}', '[{_k.upper()}]', 'g')"
+    sql["text_pii_redact"] = (
+        "SELECT doc_id,\n  "
+        + ",\n  ".join(_redact_selects)
+        + ",\n  "
+        + _redact_t
+        + " AS text_redacted\nFROM documents"
     )
 
     # engine-portable hash split: int(md5(str(doc_id))[:6], 16) % 100 —

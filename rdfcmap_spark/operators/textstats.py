@@ -305,6 +305,39 @@ def pii_scan(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Redaction order. Deliberate: SSNs and IPv4s both lie inside the looser
+#: phone pattern's language (e.g. "192.168.0.1" is 11 digit/dot chars — a
+#: "phone"), so the precise patterns must consume their matches first;
+#: emails go before ipv4/phone for the user@1.2.3.4 host form. Placeholders
+#: contain no digits, so earlier replacements never create later matches.
+PII_REDACT_ORDER = ("email", "ssn", "ipv4", "phone")
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """PII redaction — the precise-replace stage after :func:`pii_scan`'s
+    surface detection: each pattern's matches are replaced with a typed
+    ``[KIND]`` placeholder, applied in :data:`PII_REDACT_ORDER` so
+    overlapping pattern languages resolve deterministically. Per-kind
+    counts are taken on the *progressively redacted* text — they report
+    what this stage actually replaced (an SSN never double-counts as a
+    phone), and the sequential semantics reproduce verbatim in the DuckDB
+    oracle's nested ``regexp_replace`` calls.
+
+    Pure codegen'd projections over the scan — zero shuffles, zero Python;
+    at 100 TB this is the shape a scrubbing pass must have (the text
+    column rewrites in place, no reassembly join).
+
+    Output: (doc_id, n_email, n_ssn, n_ipv4, n_phone, text_redacted).
+    """
+    txt = F.col("text")
+    counts = []
+    for k in PII_REDACT_ORDER:
+        pat = PII_PATTERNS[k]
+        counts.append(F.regexp_count(txt, F.lit(pat)).cast("bigint").alias(f"n_{k}"))
+        txt = F.regexp_replace(txt, pat, f"[{k.upper()}]")
+    return docs.select("doc_id", *counts, txt.alias("text_redacted"))
+
+
 def quality_filter(docs: DataFrame) -> DataFrame:
     """Composite C4/Gopher-style KEEP/DROP verdict with per-rule flags —
     the cleaning stage that consumes the signal operators. Rules (all

@@ -716,3 +716,43 @@ def test_quality_filter_rules(spark):
     assert got[2]["flag_symbols"] and not got[2]["keep"]
     assert got[3]["flag_nostop"] and not got[3]["keep"]
     assert got[4]["flag_rep2"] and got[4]["flag_rep3"] and not got[4]["keep"]
+
+
+def test_pii_redact_order_and_placeholders(spark):
+    """SSN/IPv4 lie inside the loose phone language: the precise patterns
+    must consume first, so an SSN redacts as [SSN] (not [PHONE]) and an
+    IPv4 as [IPV4]; counts reflect what each stage actually replaced."""
+    docs = _docs(
+        spark,
+        [
+            "ssn 123-45-6789 and ip 192.168.1.255 and tel +1 (415) 555-0134 .",
+            "mail a@b.com twice a@b.com",
+            "clean text",
+        ],
+    )
+    got = {r["doc_id"]: r for r in textstats.pii_redact(docs).collect()}
+    assert got[0]["text_redacted"] == "ssn [SSN] and ip [IPV4] and tel [PHONE] ."
+    assert (got[0]["n_ssn"], got[0]["n_ipv4"], got[0]["n_phone"]) == (1, 1, 1)
+    assert got[1]["text_redacted"] == "mail [EMAIL] twice [EMAIL]"
+    assert got[1]["n_email"] == 2
+    assert got[2]["text_redacted"] == "clean text"
+    assert sum(got[2][f"n_{k}"] for k in textstats.PII_REDACT_ORDER) == 0
+
+
+def test_pii_redact_output_has_no_residual_matches(spark):
+    """Idempotence: running the redactor on its own output changes nothing
+    (placeholders contain no digits, so no pattern can re-fire)."""
+    docs = _docs(
+        spark,
+        [
+            "a@b.com 10.0.0.1 123-45-6789 +1 (415) 555-0134",
+            "edge a@b.co.uk at 255.255.255.255, 999-99-9999!",
+        ],
+    )
+    once = textstats.pii_redact(docs).select(
+        "doc_id", F.col("text_redacted").alias("text")
+    )
+    twice = textstats.pii_redact(once).collect()
+    for r in twice:
+        assert r["text_redacted"] == [x for x in once.collect() if x["doc_id"] == r["doc_id"]][0]["text"]
+        assert sum(r[f"n_{k}"] for k in textstats.PII_REDACT_ORDER) == 0
