@@ -187,6 +187,20 @@ def _kg_ttl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_ttl(spark, path)
 
 
+def _kg_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline triples -> distributed N-Quads write (conv_id as the
+    urn:conv: graph label) -> distributed read; returns the parsed-back
+    quads (lineage preserved, turn_idx has no N-Quads slot -> NULL)."""
+    import tempfile
+
+    from rdfcmap_spark.sources.nquads import read_nquads, write_nquads
+
+    triples = _kg_pipeline_full(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kg_nq_") + "/out.nq"
+    write_nquads(triples, path)
+    return read_nquads(spark, path)
+
+
 def _events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of events_hourly_rollup: file-source stream
     over the same parquet, watermarked tumbling window, memory sink; the
@@ -1462,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental_canon": _kg_incremental_canon,
         "kg_staged_resume": _kg_staged_resume,
         "kg_ttl_roundtrip": _kg_ttl_roundtrip,
+        "kg_nquads_roundtrip": _kg_nquads_roundtrip,
         # --- streaming (oracle-checked against the batch SQL) ---
         "events_stream_rollup": _events_stream_rollup,
         # --- dedup family ---
@@ -2602,6 +2617,7 @@ SELECT subj, pred, lex, conv_id, turn_idx FROM a4
     sql["kg_pipeline_full"] = _oracle.pipeline_full_sql()
     sql["kg_staged_resume"] = _oracle.pipeline_full_sql()
     sql["kg_ttl_roundtrip"] = _oracle.ttl_roundtrip_sql()
+    sql["kg_nquads_roundtrip"] = _oracle.nquads_roundtrip_sql()
     sql["kg_canonical_mapping"] = _oracle.canonical_mapping_sql()
     # incremental merge must reproduce the FULL-recompute mapping exactly —
     # same oracle as the one-shot query

@@ -309,6 +309,17 @@ def ttl_roundtrip_sql() -> str:
     )
 
 
+def nquads_roundtrip_sql() -> str:
+    """Oracle for kg_nquads_roundtrip: N-Quads preserves conv_id (the graph
+    label) but has no slot for turn_idx (restored as NULL)."""
+    return (
+        "WITH RECURSIVE "
+        + _base_ctes()
+        + "\nSELECT subj, pred, obj_kind, obj_iri, obj_lexical, obj_datatype, "
+        "conv_id, CAST(NULL AS INTEGER) AS turn_idx FROM final"
+    )
+
+
 def canonical_mapping_sql() -> str:
     """Oracle for kg_canonical_mapping: the union-find fixed point over
     sameAs + shared-identifier star edges, as a recursive CTE."""
