@@ -705,6 +705,8 @@ def _results_serialized(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame
         return SR.select_csv(res, names)
     if fmt == "tsv":
         return SR.select_tsv(res, names)
+    if fmt == "xml":
+        return SR.select_xml_results(res, names)
     return SR.select_json_bindings(res, names)
 
 
@@ -1470,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_results_csv": lambda s, d: _results_serialized(s, d, "csv"),
         "kg_sparql_results_tsv": lambda s, d: _results_serialized(s, d, "tsv"),
         "kg_sparql_results_json": lambda s, d: _results_serialized(s, d, "json"),
+        "kg_sparql_results_xml": lambda s, d: _results_serialized(s, d, "xml"),
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_canonical_mapping": _kg_canonical_mapping,
@@ -3301,6 +3304,26 @@ SELECT CAST(row_number() OVER (
        ) AS INTEGER) AS ord,
        '{"cust":' || f1 || ',"label":' || f2 || ',"seg":' || f3
          || COALESCE(',"phone":' || f4, '') || '}' AS binding
+FROM frag
+"""
+    )
+
+    sql["kg_sparql_results_xml"] = (
+        "WITH res AS (" + _RES_CTE + r"""),
+frag AS (
+  SELECT '<binding name="cust"><uri>' || cust || '</uri></binding>' AS f1,
+         '<binding name="label"><literal xml:lang="en">' || label_lex
+           || '</literal></binding>' AS f2,
+         '<binding name="seg"><literal>' || seg_lex || '</literal></binding>' AS f3,
+         CASE WHEN phone_lex IS NOT NULL
+              THEN '<binding name="phone"><literal>' || phone_lex
+                   || '</literal></binding>' END AS f4
+  FROM res
+)
+SELECT CAST(row_number() OVER (
+           ORDER BY f1 NULLS FIRST, f2 NULLS FIRST, f3 NULLS FIRST, f4 NULLS FIRST
+       ) AS INTEGER) AS ord,
+       '<result>' || f1 || f2 || f3 || COALESCE(f4, '') || '</result>' AS result
 FROM frag
 """
     )

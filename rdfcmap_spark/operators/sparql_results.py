@@ -18,6 +18,9 @@ result-set wire formats a downstream consumer expects:
   {"bindings":[…]}}`` with per-binding ``{"type","value","datatype",
   "xml:lang"}`` objects; unbound variables are absent from their row's
   binding object.
+* **XML** (`sparql11-results-xml`): ``<sparql><head><variable…/></head>
+  <results><result><binding name="…"><uri>/<literal>/<bnode>`` elements,
+  the five XML 1.0 entity escapes, unbound bindings omitted.
 
 Input is a SELECT result frame from :func:`sparql_exec.execute_sparql` —
 one column per variable, values in the module's collision-free binding
@@ -185,6 +188,70 @@ def select_json_bindings(result: DataFrame, varnames: list[str]) -> DataFrame:
     return objs.select(
         _with_ord(objs, [F.to_json(F.col(n)) for n in varnames], 1).alias("ord"),
         F.to_json(F.struct(*[F.col(n) for n in varnames])).alias("binding"),
+    )
+
+
+def _xml_escape(s: F.Column) -> F.Column:
+    """The five XML 1.0 entity escapes, '&' first."""
+    s = F.regexp_replace(s, "&", "&amp;")
+    s = F.regexp_replace(s, "<", "&lt;")
+    s = F.regexp_replace(s, ">", "&gt;")
+    s = F.regexp_replace(s, '"', "&quot;")
+    return F.regexp_replace(s, "'", "&apos;")
+
+
+def _xml_binding(name: str, v: F.Column) -> F.Column:
+    """One ``<binding name="…">…</binding>`` element (NULL when unbound —
+    the spec omits unbound variables from their ``<result>``)."""
+    dt = _dt(v)
+    lang = _lang(dt)
+    lex = _xml_escape(_lex(v))
+    lit = F.when(
+        lang.isNotNull(),
+        F.concat(F.lit('<literal xml:lang="'), lang, F.lit('">'), lex, F.lit("</literal>")),
+    ).otherwise(
+        F.when(dt == vocab.XSD_STRING, F.concat(F.lit("<literal>"), lex, F.lit("</literal>")))
+        .otherwise(
+            F.concat(F.lit('<literal datatype="'), _xml_escape(dt), F.lit('">'), lex, F.lit("</literal>"))
+        )
+    )
+    term = (
+        F.when(_is_literal(v), lit)
+        .when(_is_bnode(v), F.concat(F.lit("<bnode>"), F.substring(v, 3, 2**30), F.lit("</bnode>")))
+        .otherwise(F.concat(F.lit("<uri>"), _xml_escape(v), F.lit("</uri>")))
+    )
+    return F.when(
+        v.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(F.lit(f'<binding name="{name}">'), term, F.lit("</binding>"))
+    )
+
+
+def select_xml_results(result: DataFrame, varnames: list[str]) -> DataFrame:
+    """(ord, result) — one ``<result>…</result>`` element per row (the
+    ``sparql11-results-xml`` ``<results>`` children), unbound bindings
+    omitted; :func:`render_xml` wraps the envelope."""
+    frags = [ _xml_binding(n, F.col(n)).alias("_x_" + n) for n in varnames ]
+    rows = result.select(*frags)
+    cols = [F.col("_x_" + n) for n in varnames]
+    return rows.select(
+        _with_ord(rows, cols, 1).alias("ord"),
+        F.concat(F.lit("<result>"), F.concat_ws("", *cols), F.lit("</result>")).alias("result"),
+    )
+
+
+def render_xml(result: DataFrame, varnames: list[str]) -> str:
+    """The complete ``application/sparql-results+xml`` document (driver-side
+    assembly, result-set-sized product)."""
+    rows = [
+        r["result"]
+        for r in select_xml_results(result, varnames).orderBy("ord").collect()
+    ]
+    head = "".join(f'<variable name="{n}"/>' for n in varnames)
+    return (
+        '<?xml version="1.0"?>'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        f"<head>{head}</head><results>" + "".join(rows) + "</results></sparql>"
     )
 
 

@@ -96,3 +96,35 @@ def test_read_is_shuffle_free_with_pushed_filter(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_roundtrip_adversarial_literal_batch(spark, tmp_path):
+    """One batched write->read over pseudo-random adversarial literals
+    (quotes, backslash runs, tabs/newlines/CRs, unicode, IRI-ish text,
+    N-Quads metacharacters) — the escape chain must be a bijection."""
+    import random
+
+    rng = random.Random(20260819)
+    alphabet = list('abc "\\\\\n\r\t<>._:^^@日本語é€') + ["\\n", '\\"', "\\\\"]
+    rows = []
+    for i in range(300):
+        lex = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 24)))
+        conv = f"c{i % 7}" if i % 3 else None
+        rows.append(
+            (f"urn:uuid:s{i}", "http://e/p", "literal", None, lex,
+             vocab.XSD_STRING, conv, None)
+        )
+    df = spark.createDataFrame(rows, TRIPLES)
+    path = str(tmp_path / "fuzz.nq")
+    NQ.write_nquads(df, path)
+    got = {tuple(r) for r in NQ.read_nquads(spark, path).collect()}
+    exp = {tuple(r) for r in rows}
+    # NUL is the one documented exclusion (stripped, forbidden in the grammar)
+    assert got == exp
+    # every non-comment output line matches the quad grammar exactly
+    bad = (
+        spark.read.text(path)
+        .filter(~F.col("value").startswith("#") & ~F.col("value").rlike(NQ.QUAD_RE))
+        .count()
+    )
+    assert bad == 0

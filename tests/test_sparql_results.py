@@ -102,3 +102,36 @@ def test_executor_to_serializer_roundtrip(spark):
         "http://ex.org/y,two,",
         "s,v,e",
     ]
+
+
+def test_xml_spec_forms(spark):
+    import xml.dom.minidom as minidom
+
+    frame = spark.createDataFrame(
+        [
+            ("http://ex.org/a?x=1&y=2", '"a<b>&c"^^' + vocab.XSD_STRING,
+             '"5"^^' + vocab.XSD + "integer"),
+            ("_:b0", '"salut"^^' + vocab.RDF + "langString@fr", None),
+        ],
+        "s string, lab string, v string",
+    )
+    doc = SR.render_xml(frame, ["s", "lab", "v"])
+    # well-formed XML with the spec namespace
+    dom = minidom.parseString(doc)
+    assert dom.documentElement.namespaceURI == "http://www.w3.org/2005/sparql-results#"
+    assert [e.getAttribute("name") for e in dom.getElementsByTagName("variable")] == [
+        "s", "lab", "v"
+    ]
+    results = dom.getElementsByTagName("result")
+    assert len(results) == 2
+    # entity escaping survives the parse back to the raw values
+    uris = [e.firstChild.data for e in dom.getElementsByTagName("uri")]
+    assert "http://ex.org/a?x=1&y=2" in uris
+    lits = {e.firstChild.data: e for e in dom.getElementsByTagName("literal")}
+    assert "a<b>&c" in lits
+    assert lits["salut"].getAttribute("xml:lang") == "fr"
+    assert lits["5"].getAttribute("datatype").endswith("#integer")
+    assert dom.getElementsByTagName("bnode")[0].firstChild.data == "b0"
+    # the unbound var is absent: one result has 2 bindings, the other 3
+    counts = sorted(len(r.getElementsByTagName("binding")) for r in results)
+    assert counts == [2, 3]
