@@ -179,3 +179,20 @@ def test_incremental_compaction_equals_full_and_batch(spark, tmp_path):
     with open(os.path.join(wd, C.SNAPSHOT_DIR, sink.MANIFEST)) as f:
         sid2 = json.load(f)["snapshot_id"]
     assert sid1 == sid2
+
+
+def test_streaming_nquads_sink_lines_equal_batch(spark, transcripts_dir, tmp_path):
+    """The N-Quads line renderer is a pure projection, so it composes onto
+    the triple stream (continuous lineage-preserving export): the streamed
+    line set must equal rendering the batch triples."""
+    from rdfcmap_spark.sources.nquads import quad_line_col
+
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(transcripts_dir)
+    lines = streaming_triples(stream).select(quad_line_col().alias("line"))
+    got = _run_stream(spark, lines, "t_nq_stream")
+    batch = (
+        _stream_raw_triples(linked_sentences(spark.read.parquet(transcripts_dir), None))
+        .select(quad_line_col().alias("line"))
+    )
+    assert {r["line"] for r in got.collect()} == {r["line"] for r in batch.collect()}
+    assert got.count() > 0
