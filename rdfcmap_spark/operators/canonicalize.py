@@ -476,7 +476,20 @@ def rewrite_triples(
         .select(
             F.col("subj_c").alias("subj_b"),
             "pred",
-            "kind_t",
+            # kind/identity invariant: obj_kind == 'bnode' iff the (post-
+            # rewrite) object is a skolem urn:uuid node. A [bracket]-marked
+            # mention whose entity canonicalizes to a NAMED vocab node
+            # (e.g. a qudt unit individual via shared-identifier edges) is
+            # no longer a blank node — Jena could not even represent that
+            # combination. Must run BEFORE the set-semantics aggregate
+            # (kind is part of the dedup key).
+            F.when(
+                (d_kind(F.col("kind_t")) == "bnode")
+                & ~d_iri(F.col("obj_c")).startswith("urn:uuid:"),
+                e_kind(F.lit("iri")),
+            )
+            .otherwise(F.col("kind_t"))
+            .alias("kind_t"),
             F.col("obj_c").alias("obj_b"),
             "obj_lexical",
             "dt_b",

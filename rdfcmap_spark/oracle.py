@@ -271,7 +271,12 @@ all_triples AS (
   UNION ALL SELECT * FROM lit_triples
 ),
 rew AS (
-  SELECT coalesce(ms.canonical_id, t.subj) AS subj, t.pred, t.obj_kind,
+  -- kind/identity invariant (mirrors rewrite_triples): a bnode-kind object
+  -- whose canonical node is NAMED (non-skolem) becomes 'iri'
+  SELECT coalesce(ms.canonical_id, t.subj) AS subj, t.pred,
+         CASE WHEN t.obj_kind = 'bnode'
+               AND NOT starts_with(coalesce(mo.canonical_id, t.obj_iri), 'urn:uuid:')
+              THEN 'iri' ELSE t.obj_kind END AS obj_kind,
          coalesce(mo.canonical_id, t.obj_iri) AS obj_iri, t.obj_lexical, t.obj_datatype,
          t.conv_id, t.turn_idx
   FROM all_triples t

@@ -263,3 +263,35 @@ def test_merge_mapping_distributed_delta(spark):
     m1 = connected_components(spark.createDataFrame(e1, schema))
     merged = merge_mapping(m1, spark.createDataFrame(e2, schema), driver_threshold=0)
     assert sorted(map(tuple, merged.collect())) == full
+
+
+def test_rewrite_unbnodes_objects_canonicalized_to_named_nodes(spark):
+    """kind/identity invariant: obj_kind == 'bnode' iff the post-rewrite
+    object is a skolem urn:uuid node. A bnode-kind object whose entity
+    canonicalizes onto a NAMED vocab IRI (the qudt-unit case that emitted
+    invalid _:b<iri> labels in the TTL/N-Quads sinks at sf0.1) flips to
+    'iri'; one canonicalized onto another skolem node stays 'bnode'."""
+    from rdfcmap_spark.operators.canonicalize import rewrite_triples
+    from rdfcmap_spark.schemas import TRIPLES
+
+    rows = [
+        ("urn:uuid:s1", "http://e/p", "bnode", "urn:uuid:e-unit", None, None, "c1", 1),
+        ("urn:uuid:s2", "http://e/p", "bnode", "urn:uuid:e-anon", None, None, "c1", 2),
+        ("urn:uuid:s3", "http://e/p", "iri", "urn:uuid:e-unit", None, None, "c1", 3),
+    ]
+    mapping = spark.createDataFrame(
+        [
+            ("urn:uuid:e-unit", "http://qudt.org/vocab/unit#DEG_C-Individual"),
+            ("urn:uuid:e-anon", "urn:uuid:canon-anon"),
+        ],
+        "entity_id string, canonical_id string",
+    )
+    out = {
+        r["subj"]: (r["obj_kind"], r["obj_iri"])
+        for r in rewrite_triples(
+            spark.createDataFrame(rows, TRIPLES), mapping
+        ).collect()
+    }
+    assert out["urn:uuid:s1"] == ("iri", "http://qudt.org/vocab/unit#DEG_C-Individual")
+    assert out["urn:uuid:s2"] == ("bnode", "urn:uuid:canon-anon")
+    assert out["urn:uuid:s3"] == ("iri", "http://qudt.org/vocab/unit#DEG_C-Individual")
