@@ -28,6 +28,7 @@ from rdfcmap_spark.operators import (
     similarity,
     textstats,
     traindata,
+    transcripts,
 )
 from rdfcmap_spark.sources.tables import load
 
@@ -1579,6 +1580,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": lambda s, d: multimodal.sample_frames(
             multimodal.extract_features(multimodal.ingest_media(load(s, d, "documents")))
         ),
+        # --- conversation-level assembly over the transcripts table
+        # (operators/transcripts.py; same synthesized fixture the pipeline
+        # oracle reads, so DuckDB sees identical input) ---
+        "chat_render": lambda s, d: transcripts.chat_render(_synth_transcripts(s, d)),
+        "chat_sft_pairs": lambda s, d: transcripts.sft_pairs(_synth_transcripts(s, d), k=4),
+        "chat_role_check": lambda s, d: transcripts.role_check(_synth_transcripts(s, d)),
+        "chat_conv_stats": lambda s, d: transcripts.conv_stats(_synth_transcripts(s, d)),
         # --- analytics / window coverage ---
         "tpch_q1": lambda s, d: relational.tpch_q1(load(s, d, "lineitem")),
         "events_sessionize": lambda s, d: relational.sessionize(load(s, d, "events")),
@@ -2625,6 +2633,67 @@ SELECT subj, pred, lex, conv_id, turn_idx FROM a4
     # incremental merge must reproduce the FULL-recompute mapping exactly —
     # same oracle as the one-shot query
     sql["kg_incremental_canon"] = _oracle.canonical_mapping_sql()
+
+    # --- conversation-level assembly mirrors (operators/transcripts.py) over
+    # the same transcripts parquet; the role-tag template is
+    # transcripts.RENDERED_SQL, generated from the shared constant
+    _TR_CTE = (
+        "tr AS (SELECT *, "
+        + transcripts.RENDERED_SQL
+        + " AS rendered FROM read_parquet('"
+        + _oracle.TRANSCRIPTS_ORACLE_PATH
+        + "/*.parquet'))"
+    )
+    sql["chat_render"] = (
+        "WITH " + _TR_CTE + """
+SELECT conv_id, count(*) AS n_turns,
+       string_agg(rendered, chr(10) ORDER BY turn_idx) AS text
+FROM tr GROUP BY conv_id
+"""
+    )
+    sql["chat_sft_pairs"] = (
+        "WITH " + _TR_CTE + """
+SELECT conv_id, turn_idx, prompt, text AS completion FROM (
+  SELECT conv_id, turn_idx, role, text,
+         string_agg(rendered, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS prompt
+  FROM tr
+) WHERE role = 'assistant' AND turn_idx >= 1
+"""
+    )
+    sql["chat_role_check"] = (
+        "WITH " + _TR_CTE + """,
+seqs AS (
+  SELECT conv_id, string_agg(substr(role, 1, 1), '' ORDER BY turn_idx) AS role_seq
+  FROM tr GROUP BY conv_id
+),
+flags AS (
+  SELECT conv_id, role_seq,
+         CASE WHEN substr(role_seq, 1, 1) = 'u' THEN 1 ELSE 0 END AS starts_with_user,
+         CASE WHEN role_seq LIKE 't%' OR role_seq LIKE '%ut%' THEN 0 ELSE 1 END AS tool_ok,
+         CASE WHEN role_seq LIKE '%uu%' THEN 0 ELSE 1 END AS no_consecutive_user
+  FROM seqs
+)
+SELECT conv_id, role_seq,
+       CAST(starts_with_user AS INTEGER) AS starts_with_user,
+       CAST(tool_ok AS INTEGER) AS tool_ok,
+       CAST(no_consecutive_user AS INTEGER) AS no_consecutive_user,
+       CAST(starts_with_user * tool_ok * no_consecutive_user AS INTEGER) AS valid
+FROM flags
+"""
+    )
+    sql["chat_conv_stats"] = (
+        "WITH " + _TR_CTE + """
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(sum(CASE WHEN role = 'tool' AND tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+       date_diff('second', min(ts), max(ts)) AS duration_secs
+FROM tr GROUP BY conv_id
+"""
+    )
 
     # span dedup mirror: same chunking (1-based inclusive list slice ==
     # Spark's F.slice(start, length) at the tail), same md5 span key, same

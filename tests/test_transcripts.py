@@ -1,0 +1,84 @@
+"""Conversation-level assembly (operators/transcripts.py): chat-template
+rendering, SFT pair extraction, role-sequence validation, conversation
+stats. The DuckDB oracles cover engine parity on the synthetic corpus;
+these tests pin exact rendered text, window content, and flag semantics on
+a hand-built fixture (including a tool turn and an out-of-order input)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from rdfcmap_spark.operators import transcripts
+
+_TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+
+def _turns(spark):
+    rows = [
+        # conv A: valid agent trace, deliberately out of turn order
+        ("A", 2, "tool", "searched the docs", "search", _TS.replace(minute=2)),
+        ("A", 0, "user", "find the spec", "", _TS),
+        ("A", 1, "assistant", "let me search", "", _TS.replace(minute=1)),
+        ("A", 3, "assistant", "here it is", "", _TS.replace(minute=3)),
+        # conv B: starts with assistant, tool directly after user, double user
+        ("B", 0, "assistant", "hello", "", _TS),
+        ("B", 1, "user", "hi", "", _TS.replace(minute=1)),
+        ("B", 2, "tool", "rogue call", "search", _TS.replace(minute=2)),
+        ("B", 3, "user", "first", "", _TS.replace(minute=3)),
+        ("B", 4, "user", "second", "", _TS.replace(minute=4)),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).repartition(5)
+
+
+def test_chat_render_exact(spark):
+    out = {r["conv_id"]: r for r in transcripts.chat_render(_turns(spark)).collect()}
+    assert out["A"]["n_turns"] == 4
+    assert out["A"]["text"] == (
+        "<|user|>find the spec\n"
+        "<|assistant|>let me search\n"
+        "<|tool:search|>searched the docs\n"
+        "<|assistant|>here it is"
+    )
+    assert out["B"]["text"].startswith("<|assistant|>hello\n<|user|>hi\n<|tool:search|>rogue call")
+
+
+def test_sft_pairs_window_and_k(spark):
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in transcripts.sft_pairs(_turns(spark), k=2).collect()
+    }
+    # assistant turns at idx>=1: A1, A3; B has none past idx 0
+    assert set(out) == {("A", 1), ("A", 3)}
+    assert out[("A", 1)]["prompt"] == "<|user|>find the spec"
+    assert out[("A", 1)]["completion"] == "let me search"
+    # k=2 window: turns 1 and 2 only, not turn 0
+    assert out[("A", 3)]["prompt"] == (
+        "<|assistant|>let me search\n<|tool:search|>searched the docs"
+    )
+
+
+def test_role_check_flags(spark):
+    out = {r["conv_id"]: r for r in transcripts.role_check(_turns(spark)).collect()}
+    a, b = out["A"], out["B"]
+    assert a["role_seq"] == "uata"
+    assert (a["starts_with_user"], a["tool_ok"], a["no_consecutive_user"], a["valid"]) == (1, 1, 1, 1)
+    assert b["role_seq"] == "autuu"
+    assert (b["starts_with_user"], b["tool_ok"], b["no_consecutive_user"], b["valid"]) == (0, 0, 0, 0)
+
+
+def test_conv_stats(spark):
+    out = {r["conv_id"]: r for r in transcripts.conv_stats(_turns(spark)).collect()}
+    a = out["A"]
+    assert (a["n_turns"], a["n_user"], a["n_assistant"], a["n_tool_calls"]) == (4, 1, 2, 1)
+    assert a["total_chars"] == sum(map(len, ["find the spec", "let me search", "searched the docs", "here it is"]))
+    assert a["duration_secs"] == 180
+    assert out["B"]["duration_secs"] == 240
+
+
+def test_partition_invariance(spark):
+    t = _turns(spark)
+    one = transcripts.chat_render(t.coalesce(1)).collect()
+    many = transcripts.chat_render(t.repartition(7)).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
