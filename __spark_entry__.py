@@ -1587,6 +1587,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_sft_pairs": lambda s, d: transcripts.sft_pairs(_synth_transcripts(s, d), k=4),
         "chat_role_check": lambda s, d: transcripts.role_check(_synth_transcripts(s, d)),
         "chat_conv_stats": lambda s, d: transcripts.conv_stats(_synth_transcripts(s, d)),
+        "chat_tool_transitions": lambda s, d: transcripts.tool_transitions(
+            _synth_transcripts(s, d)
+        ),
+        "chat_truncate_budget": lambda s, d: transcripts.truncate_to_budget(
+            _synth_transcripts(s, d), budget=48
+        ),
+        "chat_dup_groups": lambda s, d: transcripts.conv_dup_groups(_synth_transcripts(s, d)),
         # --- analytics / window coverage ---
         "tpch_q1": lambda s, d: relational.tpch_q1(load(s, d, "lineitem")),
         "events_sessionize": lambda s, d: relational.sessionize(load(s, d, "events")),
@@ -2695,6 +2702,34 @@ FROM tr GROUP BY conv_id
 """
     )
 
+    sql["chat_tool_transitions"] = (
+        "WITH " + _TR_CTE + """,
+calls AS (
+  SELECT conv_id, turn_idx, tool FROM tr
+  WHERE role = 'tool' AND tool IS NOT NULL AND tool <> ''
+),
+seq AS (
+  SELECT tool,
+         coalesce(lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  '<start>') AS prev_tool
+  FROM calls
+)
+SELECT prev_tool, tool, count(*) AS n_transitions FROM seq GROUP BY 1, 2
+"""
+    )
+    sql["chat_truncate_budget"] = (
+        "WITH " + _TR_CTE + """
+SELECT conv_id, turn_idx, role, text, n_tokens, cum_tokens FROM (
+  SELECT conv_id, turn_idx, role, text, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM (SELECT *,
+          CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) + 1 AS BIGINT)
+            AS n_tokens
+        FROM tr)
+) WHERE cum_tokens <= 48
+"""
+    )
     # span dedup mirror: same chunking (1-based inclusive list slice ==
     # Spark's F.slice(start, length) at the tail), same md5 span key, same
     # bigint composite first-occurrence rule, ORDER BY span_idx reassembly
@@ -2841,6 +2876,24 @@ FROM documents d LEFT JOIN mapping m ON m.node = d.doc_id
 """
     )
     sql["dedup_incremental_groups"] = sql["dedup_dup_groups"]
+
+    # conversation-level near-dup: the rendered-conversation table shadows
+    # the `documents` view via a CTE of the same name, so the whole
+    # dedup_dup_groups oracle body (already provably component-equivalent to
+    # the Spark path) is reused verbatim over conversations
+    sql["chat_dup_groups"] = sql["dedup_dup_groups"].replace(
+        "WITH RECURSIVE ",
+        "WITH RECURSIVE "
+        + _TR_CTE
+        + """,
+documents AS (
+  SELECT conv_id AS doc_id,
+         string_agg(rendered, chr(10) ORDER BY turn_idx) AS text
+  FROM tr GROUP BY conv_id
+),
+""",
+        1,
+    )
 
     sql["dedup_simhash"] = "WITH " + _SIMHASH_CTE + "\nSELECT doc_id, simhash FROM sig"
 

@@ -48,6 +48,9 @@ SECONDARY = [
     "text_repetition",
     "text_decontaminate",
     "multimodal_features",
+    "chat_render",
+    "chat_sft_pairs",
+    "chat_dup_groups",
     "tpch_q1",
     "events_sessionize",
     "events_hourly_rollup",

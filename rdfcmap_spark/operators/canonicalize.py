@@ -367,15 +367,22 @@ def canonical_ids_for_pairs(ids: DataFrame, pairs: DataFrame, id_col: str) -> Da
     linear-output dedup products (text :func:`~rdfcmap_spark.operators.dedup.dup_groups`,
     embedding ``embedding_dup_groups``).
 
-    canonical = component min id; ids in no pair map to themselves. Ids are
-    zero-padded to fixed-width strings for the CC machinery (its node type
-    is string; min over zero-padded decimals == numeric min) and cast back,
-    so the result matches a numeric-min SQL oracle exactly.
+    canonical = component min id; ids in no pair map to themselves. Bigint
+    ids are zero-padded to fixed-width strings for the CC machinery (its
+    node type is string; min over zero-padded decimals == numeric min) and
+    cast back, so the result matches a numeric-min SQL oracle exactly.
+    String ids (e.g. conv_id for conversation-level dedup) pass through
+    unpadded — lexicographic min is already both engines' semantics.
     """
-    node = lambda c: F.format_string("%019d", F.col(c))  # noqa: E731
+    is_str = dict(ids.dtypes)[id_col] == "string"
+    if is_str:
+        node = lambda c: F.col(c)  # noqa: E731
+    else:
+        node = lambda c: F.format_string("%019d", F.col(c))  # noqa: E731
     a_col, b_col = pairs.columns[:2]
     edges = pairs.select(node(a_col).alias("src"), node(b_col).alias("dst"))
     mapping = connected_components(edges)
+    canon = F.col("canonical_id") if is_str else F.col("canonical_id").cast("bigint")
     return (
         ids.select(id_col)
         .join(
@@ -385,9 +392,7 @@ def canonical_ids_for_pairs(ids: DataFrame, pairs: DataFrame, id_col: str) -> Da
         )
         .select(
             id_col,
-            F.coalesce(F.col("canonical_id").cast("bigint"), F.col(id_col)).alias(
-                "canonical_id"
-            ),
+            F.coalesce(canon, F.col(id_col)).alias("canonical_id"),
         )
     )
 

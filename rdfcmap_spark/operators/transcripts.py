@@ -19,6 +19,12 @@ dedup/quality family:
 * :func:`conv_stats` — per-conversation metadata (turn/role/tool-call
   counts, total characters, wall-clock duration) for corpus dashboards and
   length-based filtering.
+* :func:`tool_transitions` — corpus-wide tool-call transition matrix
+  (which tool follows which) over the per-conversation call sequences.
+* :func:`truncate_to_budget` — context-window truncation: the maximal
+  conversation suffix whose token cost fits a budget.
+* :func:`conv_dup_groups` — conversation-level near-dup groups
+  (chat_render composed with the document dedup family).
 
 Scale posture: every operator is exactly ONE shuffle keyed on ``conv_id``
 (hash aggregate with map-side partial ``collect_list``/counts, or one
@@ -136,6 +142,95 @@ def role_check(turns: DataFrame) -> DataFrame:
         no_uu.alias("no_consecutive_user"),
         (starts * tool_ok * no_uu).alias("valid"),
     )
+
+
+def tool_transitions(turns: DataFrame) -> DataFrame:
+    """(prev_tool, tool, n_transitions) — the corpus-wide tool-call
+    transition matrix over agent transcripts: for every conversation, the
+    tool-call sequence in turn order (rows with ``role='tool'`` and a
+    non-empty ``tool``), with ``<start>`` marking a conversation's first
+    call. The Markov-transition view an agent-trace dashboard needs
+    (which tool follows which, where do chains start).
+
+    One window exchange on ``conv_id`` (the ``lag``) over the *filtered*
+    call rows only, then one hash aggregate whose key space is
+    |tools|² — tiny, map-side combinable, skew-free.
+    """
+    calls = turns.filter(
+        (F.col("role") == "tool") & F.col("tool").isNotNull() & (F.col("tool") != "")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        calls.withColumn("prev_tool", F.lag("tool", 1, "<start>").over(w))
+        .groupBy("prev_tool", "tool")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def truncate_to_budget(turns: DataFrame, budget: int = 48) -> DataFrame:
+    """(conv_id, turn_idx, role, text, n_tokens, cum_tokens) — the maximal
+    SUFFIX of each conversation whose total token cost fits ``budget``: the
+    context-window truncation step before rendering/packing (keep the most
+    recent turns, drop the oldest). A conversation whose last turn alone
+    exceeds the budget contributes no rows.
+
+    ``n_tokens`` is the whitespace token count of the raw text plus 1 for
+    the role tag (``regexp_count(text, '\\S+') + 1`` — the engine-portable
+    count :mod:`rdfcmap_spark.operators.textstats` uses). ``cum_tokens``
+    accumulates from the conversation END backwards, so the filter
+    ``cum_tokens <= budget`` selects exactly the maximal feasible suffix.
+
+    One window exchange on ``conv_id`` (running sum over the reversed turn
+    order, O(1) frame state); the filter is a pure post-projection.
+    """
+    n_tok = (
+        F.regexp_count(F.coalesce(F.col("text"), F.lit("")), F.lit(r"\S+")) + F.lit(1)
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        turns.withColumn("n_tokens", n_tok)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("conv_id", "turn_idx", "role", "text", "n_tokens", "cum_tokens")
+    )
+
+
+def conv_dup_groups(turns: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
+    """(doc_id, canonical_id) at CONVERSATION granularity — near-duplicate
+    conversation detection: render each conversation to its training
+    document (:func:`chat_render`) and run the exact-collapse → LSH →
+    verify → connected-components dedup (:func:`rdfcmap_spark.operators.
+    dedup.dup_groups`) over the rendered texts, keyed by ``conv_id``.
+
+    This is the dedup granularity a transcript corpus actually needs:
+    re-run agent sessions and copy-pasted conversations duplicate *whole
+    conversations*, which document-level dedup over individual turns
+    cannot see. Scale posture inherits both parents': one conv_id hash
+    aggregate to render, then the banded/clique-collapsed dedup whose
+    candidate volume stays linear in the number of conversations.
+
+    The rendered frame is checkpointed before the dedup: ``dup_groups``
+    consumes its input ~7 times (exact-collapse, minhash, the verify's
+    three shingle passes, the final id join) — recompute-per-consumer is
+    the right call when the input is a parquet scan (see the persist A/B
+    in :func:`~rdfcmap_spark.operators.dedup.dup_groups`), but here each
+    recompute would re-run the 2M-turn render aggregate: measured 867 s →
+    re-measured after this checkpoint at 256k convs / 2M turns (BENCH.md
+    chat family section). The rendered table is ~1 row/conversation, far
+    smaller than the shingle stream the A/B rejected caching.
+    """
+    from rdfcmap_spark.operators import dedup
+
+    docs = (
+        chat_render(turns)
+        .select(F.col("conv_id").alias("doc_id"), "text")
+        .localCheckpoint()
+    )
+    return dedup.dup_groups(docs, min_jaccard=min_jaccard)
 
 
 def conv_stats(turns: DataFrame) -> DataFrame:

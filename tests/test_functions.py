@@ -160,7 +160,29 @@ _VALIDITY_CASES = [
     ("dateTimeStamp", "2024-01-01T00:00:00Z", True),
     ("dateTimeStamp", "2024-01-01T00:00:00+05:30", True),
     ("dateTimeStamp", "2024-01-01T00:00:00", False),    # tz REQUIRED
+    # datatype-promotion edges: empty lexical forms quarantine for numeric
+    # types but are fine for string (promotion never invents a value)
+    ("integer", "", False),
+    ("double", "", False),
+    ("string", "", True),
 ]
+
+
+def test_datatype_promotion_case_sensitive(spark):
+    """Datatype local names are case-sensitive like the reference's map
+    lookup (`replaceLiteralNodes:2414-2463`): xsd:Double / xsd:DOUBLE are
+    UNKNOWN datatypes -> xsd:string fallback, lexical verbatim, valid not
+    asserted against the double grammar (it's a string now)."""
+    toks = ['"7.5"^^xsd:Double', '"7.5"^^xsd:DOUBLE', '"oops"^^xsd:Integer']
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    lex, dt, valid = literal_cols(F.col("tok"))
+    rows = df.select("tok", lex.alias("lex"), dt.alias("dt"), valid.alias("v")).collect()
+    for r in rows:
+        assert r["dt"] == vocab.XSD_STRING
+        assert r["v"] is True
+    # python-side parser agrees (driver/vocab path parity)
+    for t in toks:
+        assert parse_literal_py(t)[1] == vocab.XSD_STRING
 
 
 def test_literal_validity_edge_cases(spark):

@@ -77,6 +77,70 @@ def test_conv_stats(spark):
     assert out["B"]["duration_secs"] == 240
 
 
+def test_tool_transitions(spark):
+    rows = [
+        # conv C: search -> fetch -> search; conv D: fetch only
+        ("C", 0, "user", "q", "", _TS),
+        ("C", 1, "tool", "r1", "search", _TS),
+        ("C", 3, "tool", "r2", "fetch", _TS),  # gap in turn_idx is fine
+        ("C", 5, "tool", "r3", "search", _TS),
+        ("C", 6, "assistant", "a", "", _TS),
+        ("D", 0, "tool", "r", "fetch", _TS),
+        ("D", 1, "tool", "", None, _TS),  # null tool name: not a call
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).repartition(3)
+    out = {
+        (r["prev_tool"], r["tool"]): r["n_transitions"]
+        for r in transcripts.tool_transitions(df).collect()
+    }
+    assert out == {
+        ("<start>", "search"): 1,
+        ("search", "fetch"): 1,
+        ("fetch", "search"): 1,
+        ("<start>", "fetch"): 1,
+    }
+
+
+def test_truncate_to_budget_suffix(spark):
+    # per-turn cost = words + 1 (role tag); conv A tail-first:
+    # t3 "here it is" = 4, t2 "searched the docs" = 4, t1 = 4, t0 = 4
+    out = transcripts.truncate_to_budget(_turns(spark), budget=8).collect()
+    kept = {(r["conv_id"], r["turn_idx"]): r for r in out}
+    # A: t3 (4) + t2 (4) = 8 <= 8; adding t1 would be 12 -> exactly the
+    # maximal suffix {3, 2}
+    assert {k for k in kept if k[0] == "A"} == {("A", 3), ("A", 2)}
+    assert kept[("A", 3)]["n_tokens"] == 4 and kept[("A", 3)]["cum_tokens"] == 4
+    assert kept[("A", 2)]["cum_tokens"] == 8
+    # budget smaller than the last turn alone -> conversation contributes 0
+    none = transcripts.truncate_to_budget(_turns(spark), budget=2).collect()
+    assert [r for r in none if r["conv_id"] == "A"] == []
+
+
+def test_conv_dup_groups_string_ids(spark):
+    base = " ".join(f"w{i:02d}" for i in range(40))
+    other = " ".join(f"x{i:02d}" for i in range(12))
+    rows = []
+    for conv, turn0, turn1 in [
+        ("c1", base, base),
+        ("c2", base, base),  # byte-identical rendered conversation
+        ("c3", base, base + " extra"),  # one appended token: Jaccard ~0.99
+        ("c4", other, "completely different content about unrelated things"),
+    ]:
+        rows += [
+            (conv, 0, "user", turn0, "", _TS),
+            (conv, 1, "assistant", turn1, "", _TS.replace(minute=1)),
+        ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).repartition(3)
+    out = {r["doc_id"]: r["canonical_id"] for r in transcripts.conv_dup_groups(df).collect()}
+    assert out["c1"] == "c1" and out["c2"] == "c1"  # exact collapse, lexicographic min
+    assert out["c3"] == "c1"  # near-dup joins the component
+    assert out["c4"] == "c4"  # singleton maps to itself
+
+
 def test_partition_invariance(spark):
     t = _turns(spark)
     one = transcripts.chat_render(t.coalesce(1)).collect()
