@@ -1594,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _synth_transcripts(s, d), budget=48
         ),
         "chat_dup_groups": lambda s, d: transcripts.conv_dup_groups(_synth_transcripts(s, d)),
+        "chat_quality": lambda s, d: transcripts.conv_quality(_synth_transcripts(s, d)),
         # --- analytics / window coverage ---
         "tpch_q1": lambda s, d: relational.tpch_q1(load(s, d, "lineitem")),
         "events_sessionize": lambda s, d: relational.sessionize(load(s, d, "events")),
@@ -2702,6 +2703,35 @@ FROM tr GROUP BY conv_id
 """
     )
 
+    sql["chat_quality"] = (
+        "WITH " + _TR_CTE + """,
+g AS (
+  SELECT conv_id, count(*) AS n_turns,
+         CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN coalesce(text, '') = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         string_agg(substr(role, 1, 1), '' ORDER BY turn_idx) AS role_seq
+  FROM tr GROUP BY conv_id
+),
+f AS (
+  SELECT conv_id, n_turns, total_chars, n_empty,
+         CASE WHEN substr(role_seq, 1, 1) = 'u'
+                   AND NOT role_seq LIKE 't%'
+                   AND NOT role_seq LIKE '%ut%'
+                   AND NOT role_seq LIKE '%uu%' THEN 1 ELSE 0 END AS role_valid,
+         CASE WHEN n_turns BETWEEN 2 AND 64 THEN 1 ELSE 0 END AS turns_ok,
+         CASE WHEN total_chars BETWEEN 10 AND 20000 THEN 1 ELSE 0 END AS chars_ok,
+         CASE WHEN n_empty <= 0 THEN 1 ELSE 0 END AS empty_ok
+  FROM g
+)
+SELECT conv_id, n_turns, total_chars, n_empty,
+       CAST(role_valid AS INTEGER) AS role_valid,
+       CAST(turns_ok AS INTEGER) AS turns_ok,
+       CAST(chars_ok AS INTEGER) AS chars_ok,
+       CAST(empty_ok AS INTEGER) AS empty_ok,
+       CAST(role_valid * turns_ok * chars_ok * empty_ok AS INTEGER) AS keep
+FROM f
+"""
+    )
     sql["chat_tool_transitions"] = (
         "WITH " + _TR_CTE + """,
 calls AS (

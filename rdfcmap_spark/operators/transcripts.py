@@ -25,6 +25,9 @@ dedup/quality family:
   conversation suffix whose token cost fits a budget.
 * :func:`conv_dup_groups` — conversation-level near-dup groups
   (chat_render composed with the document dedup family).
+* :func:`conv_quality` — the trainability gate: role validity + turn /
+  character / empty-text bounds and a final ``keep`` bit, in one
+  aggregate.
 
 Scale posture: every operator is exactly ONE shuffle keyed on ``conv_id``
 (hash aggregate with map-side partial ``collect_list``/counts, or one
@@ -196,6 +199,63 @@ def truncate_to_budget(turns: DataFrame, budget: int = 48) -> DataFrame:
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget)
         .select("conv_id", "turn_idx", "role", "text", "n_tokens", "cum_tokens")
+    )
+
+
+def conv_quality(
+    turns: DataFrame,
+    min_turns: int = 2,
+    max_turns: int = 64,
+    min_chars: int = 10,
+    max_chars: int = 20000,
+    max_empty: int = 0,
+) -> DataFrame:
+    """(conv_id, n_turns, total_chars, n_empty, role_valid, turns_ok,
+    chars_ok, empty_ok, keep) — the conversation-level trainability gate:
+    one row per conversation with integer flags and the final ``keep`` bit
+    a corpus-assembly pipeline filters on before rendering/packing.
+
+    Gates: the :func:`role_check` role-sequence validity, turn-count
+    bounds, total-character bounds, and at most ``max_empty`` empty/null
+    turn texts. All flags are integers over integer stats — engine-exact.
+
+    Everything is computed in ONE map-side-combinable hash aggregate on
+    ``conv_id`` (stats and the role-initial string together), not a join
+    of :func:`conv_stats` and :func:`role_check` — one shuffle, not two
+    plus a join exchange.
+    """
+    seq = _ordered_concat(F.substring("role", 1, 1), "")
+    g = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("total_chars"),
+        F.sum(
+            (F.coalesce(F.col("text"), F.lit("")) == "").cast("long")
+        ).alias("n_empty"),
+        seq.alias("role_seq"),
+    )
+    role_valid = (
+        (F.substring("role_seq", 1, 1) == "u")
+        & ~F.col("role_seq").startswith("t")
+        & ~F.col("role_seq").contains("ut")
+        & ~F.col("role_seq").contains("uu")
+    ).cast("int")
+    turns_ok = (
+        (F.col("n_turns") >= min_turns) & (F.col("n_turns") <= max_turns)
+    ).cast("int")
+    chars_ok = (
+        (F.col("total_chars") >= min_chars) & (F.col("total_chars") <= max_chars)
+    ).cast("int")
+    empty_ok = (F.col("n_empty") <= max_empty).cast("int")
+    return g.select(
+        "conv_id",
+        "n_turns",
+        "total_chars",
+        "n_empty",
+        role_valid.alias("role_valid"),
+        turns_ok.alias("turns_ok"),
+        chars_ok.alias("chars_ok"),
+        empty_ok.alias("empty_ok"),
+        (role_valid * turns_ok * chars_ok * empty_ok).alias("keep"),
     )
 
 

@@ -141,6 +141,23 @@ def test_conv_dup_groups_string_ids(spark):
     assert out["c4"] == "c4"  # singleton maps to itself
 
 
+def test_conv_quality_gate(spark):
+    out = {r["conv_id"]: r for r in transcripts.conv_quality(_turns(spark)).collect()}
+    a, b = out["A"], out["B"]
+    # A: valid roles, 4 turns, 53 chars, no empties -> keep
+    assert (a["role_valid"], a["turns_ok"], a["chars_ok"], a["empty_ok"], a["keep"]) == (1, 1, 1, 1, 1)
+    # B: invalid role sequence kills it despite ok sizes
+    assert (b["role_valid"], b["keep"]) == (0, 0)
+    # bounds exercise: a 1-turn conversation with empty text fails turns/chars/empty
+    extra = spark.createDataFrame(
+        [("E", 0, "user", "", "", _TS)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    e = transcripts.conv_quality(extra).collect()[0]
+    assert (e["turns_ok"], e["chars_ok"], e["empty_ok"], e["keep"]) == (0, 0, 0, 0)
+    assert e["n_empty"] == 1
+
+
 def test_partition_invariance(spark):
     t = _turns(spark)
     one = transcripts.chat_render(t.coalesce(1)).collect()

@@ -35,6 +35,7 @@ QUERIES = {
     "chat_conv_stats": T.conv_stats,
     "chat_tool_transitions": T.tool_transitions,
     "chat_truncate_budget": lambda df: T.truncate_to_budget(df, budget=48),
+    "chat_quality": T.conv_quality,
     "chat_dup_groups": T.conv_dup_groups,
 }
 
