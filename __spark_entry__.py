@@ -351,6 +351,47 @@ def _kg_title_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return title_ladder(triples)
 
 
+def _kg_reverse_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-node visualization (the reference's default
+    ``visualizeLiterals=true``; ``--hideliterals`` disables —
+    `Turtle2CmapConverter.addLiteralNodesForVisualization:438-620`): one
+    (concept, link) group per instance-graph literal statement, dct:title
+    skip-listed, XSD-compacted ``"lex"^^xsd:t`` labels, addPrefix'd link
+    labels, deterministic uuid3 ids. Fixture planted on `part`: prefixable
+    namespaces (dct), the OBO idspace ladder (iao), an unprefixed
+    namespace whose predicate carries its own dct:title, a skipped
+    dct:title statement, and a non-instance subject that must not emit."""
+    from rdfcmap_spark.operators.reverse import literal_nodes
+    from rdfcmap_spark import vocab as V
+
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    m = k % 5
+    inst = F.concat(F.lit("urn:uuid:s"), k.cast("string"))
+    bnode = F.concat(F.lit("_:b"), k.cast("string"))
+    ex_pred = "http://example.org/x/p"
+
+    def lit_t(s, pred, lex, dt):
+        return F.struct(
+            s.cast("string").alias("subj"), F.lit(pred).alias("pred"),
+            F.lit("literal").alias("obj_kind"), F.lit(None).cast("string").alias("obj_iri"),
+            lex.cast("string").alias("obj_lexical"), F.lit(dt).alias("obj_datatype"),
+            F.lit(None).cast("string").alias("conv_id"), F.lit(None).cast("int").alias("turn_idx"),
+        )
+
+    name = F.col("p_name")
+    arr = F.array(
+        F.when(m == 0, lit_t(inst, V.DCT + "description", name, V.XSD_STRING)),
+        F.when(m == 1, lit_t(inst, V.OBO + "IAO_0000115", name, V.XSD_STRING)),
+        F.when(m == 2, lit_t(bnode, ex_pred, F.col("p_size"), V.XSD_DOUBLE)),
+        F.when(m == 2, lit_t(F.lit(ex_pred), V.DCT_TITLE, F.lit("has price"), V.XSD_STRING)),
+        F.when(m == 3, lit_t(inst, V.DCT_TITLE, name, V.XSD_STRING)),
+        F.when(m == 4, lit_t(F.concat(F.lit("http://example.org/v"), k.cast("string")), V.DCT + "description", name, V.XSD_STRING)),
+    )
+    triples = part.select(F.explode(arr).alias("t")).filter(F.col("t").isNotNull()).select("t.*")
+    return literal_nodes(triples)
+
+
 def _kg_owl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 RDF/XML vocabulary read (`Turtle2CmapConverter.java:87-108`): a
     deterministic ``.owl`` document planted on `part` (typed node elements,
@@ -1438,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_x6_prefix_compact": lambda s, d: relational.x6_prefix_compact(load(s, d, "part")),
         "kg_sparql_body": _kg_sparql_body,
         "kg_title_ladder": _kg_title_ladder,
+        "kg_reverse_literals": _kg_reverse_literals,
         "kg_ontology": _kg_ontology,
         "kg_shacl_shapes": lambda s, d: relational.shacl_shape_summary(
             load(s, d, "customer"), load(s, d, "orders"), load(s, d, "nation")
@@ -2189,6 +2231,43 @@ FROM (
 )
 """
     )
+
+    # literal-node visualization mirror: same planted fixture, per-branch
+    # expected labels, and the shared uuid3 for both minted ids
+    from rdfcmap_spark import vocab as _V
+
+    def _lit_ids(key_expr: str) -> str:
+        return (
+            "'urn:uuid:' || " + _uuid_sql(f"'litnode|' || {key_expr}")
+            + " AS concept_id, "
+            + "'urn:uuid:' || " + _uuid_sql(f"'litlink|' || {key_expr}")
+            + " AS link_id"
+        )
+
+    _XS, _XD = _V.XSD_STRING, _V.XSD_DOUBLE
+    sql["kg_reverse_literals"] = f"""
+WITH p AS (SELECT p_partkey AS k, p_partkey % 5 AS m, p_name, p_size FROM part),
+rows0 AS (
+  SELECT 'urn:uuid:s' || k AS subj, '{_V.DCT}description' AS pred,
+         p_name AS lexical, '{_XS}' AS dt,
+         '"' || p_name || '"^^xsd:string' AS concept_label,
+         'dct:description' AS link_label
+  FROM p WHERE m = 0
+  UNION ALL
+  SELECT 'urn:uuid:s' || k, '{_V.OBO}IAO_0000115', p_name, '{_XS}',
+         '"' || p_name || '"^^xsd:string', 'iao:IAO_0000115'
+  FROM p WHERE m = 1
+  UNION ALL
+  SELECT '_:b' || k, 'http://example.org/x/p', CAST(p_size AS VARCHAR), '{_XD}',
+         '"' || p_size || '"^^xsd:double', 'has price'
+  FROM p WHERE m = 2
+),
+keyed AS (
+  SELECT *, subj || '|' || pred || '|' || lexical || '|' || dt AS key FROM rows0
+)
+SELECT subj, pred, {_lit_ids('key')}, concept_label, link_label
+FROM keyed
+"""
 
     sql["kg_title_ladder"] = r"""
 WITH p AS (SELECT p_partkey AS k, p_partkey % 6 AS m, p_partkey % 7 AS tk, p_name FROM part),

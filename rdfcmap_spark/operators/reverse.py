@@ -116,8 +116,115 @@ def link_edges(triples: DataFrame) -> DataFrame:
     ).select("subj", "pred", F.col("obj_iri").alias("obj"))
 
 
-def reconstruct_cmap(triples: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def _ns_to_prefix_map():
+    """namespace -> prefix lookup (inverse of vocab.NS_PREFIX_MAP) as a map
+    literal — tiny, stays inside codegen. Built lazily: F.lit needs an
+    active SparkContext, so this cannot be a module constant."""
+    return F.create_map(
+        *[
+            F.lit(x)
+            for ns_pfx in ((ns, p) for p, ns in vocab.NS_PREFIX_MAP.items())
+            for x in ns_pfx
+        ]
+    )
+
+
+def _title_prefix(pred, label):
+    """``prefix:label`` when the predicate's namespace is in the prefix
+    dictionary, with the OBO idspace special case
+    (`Turtle2CmapConverter.addPrefix:2284-2300` →
+    `getPrefixForOboTermLabel:835-871`, the X7 ladder)."""
+    local = _local_name(pred)
+    ns = F.regexp_extract(pred, r"^(.*[#/])", 1)
+    base = _ns_to_prefix_map()[ns]
+    obo = (
+        F.when(local.startswith("BFO"), F.lit("bfo"))
+        .when(local.startswith("IAO"), F.lit("iao"))
+        .when(local.startswith("OBI"), F.lit("obi"))
+        .when(local.startswith("RO"), F.lit("ro"))
+        .when(local.startswith("CHEBI"), F.lit("chebi"))
+        .when(local.startswith("PATO"), F.lit("pato"))
+        .when(F.instr(local, "_") > 0, F.lower(F.substring_index(local, "_", 1)))
+        .otherwise(F.lit("obo"))
+    )
+    prefix = F.when(base == "obo", obo).otherwise(base)
+    return F.when(
+        prefix.isNotNull() & (prefix != ""), F.concat(prefix, F.lit(":"), label)
+    ).otherwise(label)
+
+
+def literal_nodes(triples: DataFrame, titles: DataFrame | None = None) -> DataFrame:
+    """One row per literal statement of the instance graph that becomes a
+    (concept, link, two connections) group in the CXL — the reference's
+    DEFAULT ``visualizeLiterals=true`` path, which ``--hideliterals`` turns
+    off (`Turtle2CmapConverter.addLiteralNodesForVisualization:438-620`,
+    skip-list = dct:title only, `isLiteralPropertyToSkip:771-779`).
+
+    Output (subj, pred, concept_id, concept_label, link_id, link_label):
+
+    * ``concept_label`` — ``"lexical"^^xsd:t`` with ONLY the XSD namespace
+      compacted, exactly the reference's `:470-472` replaceAll;
+    * ``link_label`` — the predicate's ladder title (or local name) with
+      the prefix prepended per `addPrefix:2284-2300`;
+    * ids are deterministic uuid3 of (kind, subj, pred, lexical, datatype)
+      replacing the reference's fresh UUIDs (the X5 policy used for all
+      minted ids in this repo, stable under resume and cluster size).
+
+    Plan shape: a filter + projection over the triples scan plus the same
+    broadcast-sized title join ``reconstruct_cmap`` already does — no new
+    shuffle.
+    """
+    lit = triples.filter(
+        (F.col("obj_kind") == "literal")
+        & (F.col("pred") != vocab.DCT_TITLE)
+        & (F.col("subj").startswith("urn:uuid:") | F.col("subj").startswith("_:"))
+    )
+    if titles is None:
+        titles = title_ladder(triples)
+    pred_titles = (
+        titles.withColumnRenamed("subj", "pred")
+        .withColumnRenamed("title", "pred_title")
+        .select("pred", "pred_title")
+    )
+    dt = F.coalesce(F.col("obj_datatype"), F.lit(vocab.XSD_STRING))
+    concept_label = F.concat(
+        F.lit('"'),
+        F.col("obj_lexical"),
+        F.lit('"^^'),
+        F.regexp_replace(dt, "^" + vocab.XSD, "xsd:"),
+    )
+    key = F.concat_ws("|", F.col("subj"), F.col("pred"), F.col("obj_lexical"), dt)
+    raw_label = F.when(
+        F.col("pred_title").isNotNull() & (F.col("pred_title") != "instance"),
+        F.col("pred_title"),
+    ).otherwise(_local_name(F.col("pred")))
+    return (
+        lit.join(pred_titles, "pred", "left")
+        .select(
+            "subj",
+            "pred",
+            F.concat(F.lit("urn:uuid:"), name_uuid_col(F.concat(F.lit("litnode|"), key))).alias(
+                "concept_id"
+            ),
+            concept_label.alias("concept_label"),
+            F.concat(F.lit("urn:uuid:"), name_uuid_col(F.concat(F.lit("litlink|"), key))).alias(
+                "link_id"
+            ),
+            _title_prefix(F.col("pred"), raw_label).alias("link_label"),
+        )
+    )
+
+
+def reconstruct_cmap(
+    triples: DataFrame, visualize_literals: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """triples -> (concepts, links, connections) — the §3.2 reverse mapping.
+
+    ``visualize_literals=True`` additionally emits one concept + link +
+    two connections per literal statement (:func:`literal_nodes`) — the
+    reference's default; False is its ``--hideliterals``. This repo's
+    historical default (False) is kept for signature stability; pass True
+    for reference-default parity.
 
     * ``concepts(concept_id, label)`` — every relation endpoint, labelled by
       the title ladder;
@@ -170,6 +277,29 @@ def reconstruct_cmap(triples: DataFrame) -> tuple[DataFrame, DataFrame, DataFram
         .select("c.*")
         .distinct()
     )
+    if visualize_literals:
+        lr = literal_nodes(triples, titles=titles)
+        concepts = concepts.unionByName(
+            lr.select(F.col("concept_id"), F.col("concept_label").alias("label"))
+        )
+        links = links.unionByName(
+            lr.select("link_id", F.col("link_label").alias("label"))
+        )
+        connections = connections.unionByName(
+            lr.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("subj").alias("from_id"), F.col("link_id").alias("to_id")
+                        ),
+                        F.struct(
+                            F.col("link_id").alias("from_id"),
+                            F.col("concept_id").alias("to_id"),
+                        ),
+                    )
+                ).alias("c")
+            ).select("c.*")
+        )
     return concepts, links, connections
 
 

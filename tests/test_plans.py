@@ -268,3 +268,36 @@ def test_span_dedup_two_shuffles_no_sort_aggregate(spark, tmp_path):
     assert len(shuffles) == 2, shuffles
     assert "SortAggregate" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_transcripts_family_single_shuffle(spark):
+    """The conversation-assembly operators' scale contract: chat_render and
+    conv_quality are ONE hash exchange with a map-side partial aggregate
+    (ObjectHashAggregate for the bounded collect_list, never a
+    SortAggregate); sft_pairs and truncate_to_budget are ONE window
+    exchange; tool_transitions is the window exchange plus one
+    low-cardinality hash aggregate. No joins anywhere."""
+    import re as _re
+
+    from rdfcmap_spark.operators import transcripts as T
+
+    t = transcripts_df(spark, 16, 4)
+
+    def shuffles(df):
+        p = plan_of(df)
+        return len([ln for ln in p.splitlines() if _re.search(r"\)\s+Exchange\b", ln)]), p
+
+    for df in (T.chat_render(t), T.conv_quality(t)):
+        n, p = shuffles(df)
+        assert n == 1, p
+        assert "ObjectHashAggregate" in p and "SortAggregate" not in p
+        assert "Join" not in p
+
+    for df in (T.sft_pairs(t), T.truncate_to_budget(t)):
+        n, p = shuffles(df)
+        assert n == 1, p
+        assert "Window" in p and "Join" not in p
+
+    n, p = shuffles(T.tool_transitions(t))
+    assert n == 2, p
+    assert "Window" in p and "HashAggregate" in p and "Join" not in p

@@ -157,3 +157,48 @@ def test_update_mode_roundtrip_fixed_point(spark, tmp_path):
     assert after == before and len(after) > 0
     # idempotence: re-rendering the parsed-back shape is byte-identical
     assert render_cxl(c2, l2, x2) == render_cxl(concepts, links, connections)
+
+
+def test_literal_nodes_semantics(spark):
+    """visualizeLiterals path (`addLiteralNodesForVisualization:438-620`):
+    dct:title skip-listed, instance-graph subjects only (urn:uuid / bnode),
+    XSD-compacted concept labels, addPrefix'd link labels, deterministic
+    ids shared between the row and reconstruct_cmap's union."""
+    from rdfcmap_spark.operators.reverse import literal_nodes
+
+    rows = [
+        # instance node: plain string literal on a prefixable predicate
+        ("urn:uuid:e1", vocab.DCT + "description", "literal", None, "a desc", vocab.XSD_STRING, None, None),
+        # bnode subject, non-prefixable predicate that carries its own title
+        ("_:b1", "http://example.org/x/p", "literal", None, "42", vocab.XSD_DOUBLE, None, None),
+        _lit("http://example.org/x/p", vocab.DCT_TITLE, "has price"),
+        # dct:title literal on an instance -> SKIPPED
+        ("urn:uuid:e1", vocab.DCT_TITLE, "literal", None, "shown as node title", vocab.XSD_STRING, None, None),
+        # literal on a non-instance subject -> excluded
+        ("http://example.org/vocab1", vocab.DCT + "description", "literal", None, "x", vocab.XSD_STRING, None, None),
+        # OBO idspace ladder
+        ("urn:uuid:e2", vocab.OBO + "IAO_0000115", "literal", None, "defn", vocab.XSD_STRING, None, None),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES)
+    out = {(r["subj"], r["pred"]): r for r in literal_nodes(df).collect()}
+    assert set(out) == {
+        ("urn:uuid:e1", vocab.DCT + "description"),
+        ("_:b1", "http://example.org/x/p"),
+        ("urn:uuid:e2", vocab.OBO + "IAO_0000115"),
+    }
+    e1 = out[("urn:uuid:e1", vocab.DCT + "description")]
+    assert e1["concept_label"] == '"a desc"^^xsd:string'
+    assert e1["link_label"] == "dct:description"
+    b1 = out[("_:b1", "http://example.org/x/p")]
+    assert b1["concept_label"] == '"42"^^xsd:double'
+    assert b1["link_label"] == "has price"  # predicate's own dct:title, no prefix
+    assert out[("urn:uuid:e2", vocab.OBO + "IAO_0000115")]["link_label"] == "iao:IAO_0000115"
+    # ids deterministic and distinct per (concept, link)
+    assert e1["concept_id"].startswith("urn:uuid:") and e1["concept_id"] != e1["link_id"]
+
+    # reconstruct_cmap(visualize_literals=True) unions exactly these groups
+    c0, l0, x0 = reconstruct_cmap(df)
+    c1, l1, x1 = reconstruct_cmap(df, visualize_literals=True)
+    assert c1.count() == c0.count() + 3 and l1.count() == l0.count() + 3
+    assert x1.count() == x0.count() + 6  # two connections per literal group
+    assert c1.where(F.col("label") == '"a desc"^^xsd:string').count() == 1
