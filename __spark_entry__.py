@@ -188,6 +188,21 @@ def _kg_ttl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_ttl(spark, path)
 
 
+def _kg_ttl_noprefix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same round trip through the ``--noprefixes`` writer (raw <iri>
+    terms, no @prefix block; `Cmap2TurtleConverter.java:1918-1923`) — the
+    triple SET must be identical to the prefixed round trip, so it shares
+    that oracle."""
+    import tempfile
+
+    from rdfcmap_spark.sources.ttl import read_ttl, write_ttl
+
+    triples = _kg_pipeline_full(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kg_ttl_np_") + "/out.ttl"
+    write_ttl(triples, path, use_prefixes=False)
+    return read_ttl(spark, path)
+
+
 def _kg_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline triples -> distributed N-Quads write (conv_id as the
     urn:conv: graph label) -> distributed read; returns the parsed-back
@@ -1522,6 +1537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental_canon": _kg_incremental_canon,
         "kg_staged_resume": _kg_staged_resume,
         "kg_ttl_roundtrip": _kg_ttl_roundtrip,
+        "kg_ttl_noprefix_roundtrip": _kg_ttl_noprefix_roundtrip,
+        "kg_anonymize": lambda s, d: relational.anonymize_instances(_kg_pipeline_full(s, d)),
         "kg_nquads_roundtrip": _kg_nquads_roundtrip,
         # --- streaming (oracle-checked against the batch SQL) ---
         "events_stream_rollup": _events_stream_rollup,
@@ -2715,6 +2732,9 @@ SELECT subj, pred, lex, conv_id, turn_idx FROM a4
     sql["kg_pipeline_full"] = _oracle.pipeline_full_sql()
     sql["kg_staged_resume"] = _oracle.pipeline_full_sql()
     sql["kg_ttl_roundtrip"] = _oracle.ttl_roundtrip_sql()
+    # --noprefixes writer must round-trip to the same triple set
+    sql["kg_ttl_noprefix_roundtrip"] = _oracle.ttl_roundtrip_sql()
+    sql["kg_anonymize"] = _oracle.anonymize_sql()
     sql["kg_nquads_roundtrip"] = _oracle.nquads_roundtrip_sql()
     sql["kg_canonical_mapping"] = _oracle.canonical_mapping_sql()
     # incremental merge must reproduce the FULL-recompute mapping exactly —

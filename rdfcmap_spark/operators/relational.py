@@ -293,6 +293,45 @@ def x12_literal_typing(events: DataFrame) -> DataFrame:
     )
 
 
+def anonymize_instances(triples: DataFrame) -> DataFrame:
+    """The reference's default ``useBlankNodes`` output transform
+    (``--noblanknodes`` disables it;
+    `Cmap2TurtleConverter.transformToAnonymousInstances:2482-2580`): every
+    instance-graph resource (urn:uuid) becomes a blank node in the emitted
+    model, and its ``rdf:type owl:NamedIndividual`` bookkeeping statement
+    is dropped (the named-individual typing only exists to name what is now
+    anonymous; `:2522-2526`).
+
+    Pure projection + filter — kind flips to ``bnode`` and the label is
+    the deterministic ``_:b<uuid>`` the TTL writer/reader already use for
+    bnode round trips, so named↔anonymous is invertible (read_ttl
+    re-skolemizes). No shuffle.
+    """
+    from rdfcmap_spark import vocab
+
+    is_inst_subj = F.col("subj").startswith("urn:uuid:")
+    keep = ~(
+        is_inst_subj
+        & (F.col("pred") == vocab.RDF_TYPE)
+        & (F.col("obj_iri") == vocab.OWL_NAMED_INDIVIDUAL)
+    )
+    subj = F.when(
+        is_inst_subj,
+        F.concat(F.lit("_:b"), F.regexp_replace(F.col("subj"), "^urn:uuid:", "")),
+    ).otherwise(F.col("subj"))
+    obj_is_inst = (F.col("obj_kind") == "iri") & F.col("obj_iri").startswith("urn:uuid:")
+    return triples.filter(keep).select(
+        subj.alias("subj"),
+        "pred",
+        F.when(obj_is_inst, F.lit("bnode")).otherwise(F.col("obj_kind")).alias("obj_kind"),
+        "obj_iri",
+        "obj_lexical",
+        "obj_datatype",
+        "conv_id",
+        "turn_idx",
+    )
+
+
 def g8_skolemize(orders: DataFrame) -> DataFrame:
     """Deterministic bnode -> named-resource skolemization (G8,
     `RdfUtil.convertBlankNodesToNamedResources:46-121`) — md5-keyed here so

@@ -314,6 +314,29 @@ def ttl_roundtrip_sql() -> str:
     )
 
 
+def anonymize_sql() -> str:
+    """Oracle for kg_anonymize: the useBlankNodes output transform
+    (`transformToAnonymousInstances:2482-2580`) over the pipeline triples —
+    urn:uuid instance subjects become ``_:b<uuid>`` labels, instance-iri
+    objects flip kind to bnode, owl:NamedIndividual typing rows drop."""
+    return (
+        "WITH RECURSIVE "
+        + _base_ctes()
+        + """
+SELECT CASE WHEN subj LIKE 'urn:uuid:%'
+            THEN '_:b' || substr(subj, 10) ELSE subj END AS subj,
+       pred,
+       CASE WHEN obj_kind = 'iri' AND obj_iri LIKE 'urn:uuid:%'
+            THEN 'bnode' ELSE obj_kind END AS obj_kind,
+       obj_iri, obj_lexical, obj_datatype, conv_id, turn_idx
+FROM final
+WHERE NOT (subj LIKE 'urn:uuid:%'
+           AND pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+           AND obj_iri = 'http://www.w3.org/2002/07/owl#NamedIndividual')
+"""
+    )
+
+
 def nquads_roundtrip_sql() -> str:
     """Oracle for kg_nquads_roundtrip: N-Quads preserves conv_id (the graph
     label) but has no slot for turn_idx (restored as NULL)."""

@@ -62,14 +62,22 @@ def _esc_literal(lex):
     return c
 
 
-def ttl_line_col():
+def ttl_line_col(use_prefixes: bool = True):
     """Column expression rendering one triple row as a Turtle line — works on
     any DataFrame carrying the triples columns (so sinks can keep extra
-    bookkeeping columns alongside)."""
+    bookkeeping columns alongside).
+
+    ``use_prefixes=False`` is the reference's ``--noprefixes``
+    (`Cmap2TurtleConverter.java:1918-1923` skips setNsPrefixes, so Jena
+    writes raw ``<iri>`` terms): every IRI is angle-wrapped, no qnames.
+    ``a`` for rdf:type is Turtle grammar, not a prefix, and stays."""
+    term = _to_prefixed if use_prefixes else (
+        lambda c: F.concat(F.lit("<"), c, F.lit(">"))
+    )
     subj = F.when(
         F.col("subj").startswith("_:"), F.col("subj")
-    ).otherwise(_to_prefixed(F.col("subj")))
-    pred = F.when(F.col("pred") == vocab.RDF_TYPE, F.lit("a")).otherwise(_to_prefixed(F.col("pred")))
+    ).otherwise(term(F.col("subj")))
+    pred = F.when(F.col("pred") == vocab.RDF_TYPE, F.lit("a")).otherwise(term(F.col("pred")))
     lit = F.concat(
         F.lit('"'),
         _esc_literal(F.col("obj_lexical")),
@@ -81,7 +89,7 @@ def ttl_line_col():
         )
         .when(
             F.col("obj_datatype").isNotNull() & (F.col("obj_datatype") != vocab.XSD_STRING),
-            F.concat(F.lit("^^"), _to_prefixed(F.col("obj_datatype"))),
+            F.concat(F.lit("^^"), term(F.col("obj_datatype"))),
         )
         .otherwise(F.lit("")),
     )
@@ -91,22 +99,24 @@ def ttl_line_col():
     obj = (
         F.when(F.col("obj_kind") == "literal", lit)
         .when(F.col("obj_kind") == "bnode", bnode_label)
-        .otherwise(_to_prefixed(F.col("obj_iri")))
+        .otherwise(term(F.col("obj_iri")))
     )
     return F.concat_ws(" ", subj, pred, obj, F.lit("."))
 
 
-def triples_to_ttl_lines(triples: DataFrame) -> DataFrame:
+def triples_to_ttl_lines(triples: DataFrame, use_prefixes: bool = True) -> DataFrame:
     """(line: string) — one rendered triple per row (deterministic content;
     ordering is up to the writer)."""
-    return triples.select(ttl_line_col().alias("line"))
+    return triples.select(ttl_line_col(use_prefixes).alias("line"))
 
 
 def prefix_header() -> list[str]:
     return [f"@prefix {p}: <{ns}> ." for p, ns in sorted(vocab.NS_PREFIX_MAP.items())]
 
 
-def write_ttl(triples: DataFrame, path: str) -> None:
+def write_ttl(
+    triples: DataFrame, path: str, use_prefixes: bool = True, add_titles: bool = True
+) -> None:
     """Distributed text write: header+signature as one tiny shard, body as
     one shard per partition.
 
@@ -115,12 +125,102 @@ def write_ttl(triples: DataFrame, path: str) -> None:
     index, so the single header partition is always ``part-00000`` — tools
     that read shards in filename order (cat, getmerge) see the signature +
     @prefix block first, like a single-file Turtle document. Pinned by
-    ``tests/test_ttl.py::test_header_shard_is_first``."""
+    ``tests/test_ttl.py::test_header_shard_is_first``.
+
+    ``use_prefixes=False`` (the reference's ``--noprefixes``) writes raw
+    ``<iri>`` terms and omits the @prefix block; ``add_titles=False``
+    (``--notitles``) drops dct:title statements from the output, the
+    reference's `removeTitles` on the instance model
+    (`Cmap2TurtleConverter.java:2072-2075`). Both round-trip through
+    read_ttl unchanged apart from the removed titles."""
+    spark = triples.sparkSession
+    if not add_titles:
+        triples = triples.filter(F.col("pred") != vocab.DCT_TITLE)
+    head_lines = [SIGNATURE, *(prefix_header() if use_prefixes else [])]
+    header = spark.createDataFrame(
+        [(l,) for l in head_lines], "line string"
+    ).coalesce(1)
+    header.unionByName(triples_to_ttl_lines(triples, use_prefixes)).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+#: the reference's ID-token scan (`addCommentsWithHumanReadableIds:2252`)
+#: — same java.util.regex find() semantics in Spark, so the alternating
+#: boundary-consumption behavior is reproduced bit-for-bit
+_HR_TOKEN_RE = r"(?:^|\s)(([a-z\-]+):[A-Z]*_[0-9]{7,})(?:$|\s)"
+
+
+def annotate_human_readable(lines: DataFrame, labels: DataFrame) -> DataFrame:
+    """(line) -> (line) with the reference's human-readable ID comments
+    (`Cmap2TurtleConverter.addCommentsWithHumanReadableIds:2248-2317`, the
+    default the ``--machine`` flag turns OFF): every vocab ID qname token
+    (``afe:AFE_0001234``) found on a line contributes ``prefix:label`` (or
+    ``unknown``) and the line is padded to column 120 then suffixed with
+    ``' # '`` + the comma-joined labels, in token order.
+
+    ``labels`` is (iri, label) — dictionary-scale, broadcast. Line identity
+    is preserved by id (duplicate lines keep their multiplicity); the
+    re-aggregation is one shuffle keyed on the line id, fine for a sink.
+    """
+    qlabels = labels.select(
+        _to_prefixed(F.col("iri")).alias("tok"),
+        F.concat(
+            F.regexp_extract(_to_prefixed(F.col("iri")), r"^([a-z\-]+):", 1),
+            F.lit(":"),
+            F.col("label"),
+        ).alias("display"),
+    ).filter(F.col("tok").rlike(r"^[a-z\-]+:[A-Z]*_[0-9]{7,}$"))
+    l = lines.withColumn("_id", F.monotonically_increasing_id())
+    toks = l.select(
+        "_id",
+        F.posexplode(F.regexp_extract_all(F.col("line"), F.lit(_HR_TOKEN_RE), 1)).alias(
+            "pos", "tok"
+        ),
+    )
+    ann = (
+        toks.join(F.broadcast(qlabels), "tok", "left")
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos").alias("p"),
+                                F.coalesce("display", F.lit("unknown")).alias("lab"),
+                            )
+                        )
+                    ),
+                    lambda s: s["lab"],
+                ),
+                ", ",
+            ).alias("labs")
+        )
+    )
+    pad = F.repeat(F.lit(" "), F.greatest(F.lit(120) - F.length("line"), F.lit(0)))
+    return l.join(ann, "_id", "left").select(
+        F.when(
+            F.col("labs").isNotNull(),
+            F.concat(F.col("line"), pad, F.lit(" # "), F.col("labs")),
+        )
+        .otherwise(F.col("line"))
+        .alias("line")
+    )
+
+
+def write_ttl_human_readable(triples: DataFrame, labels: DataFrame, path: str) -> None:
+    """The reference's companion ``-instance-model-human-readable.ttl``
+    product (written alongside the plain file when ``--machine`` is NOT
+    given, `Cmap2TurtleConverter.java:2125-2136`): the same Turtle lines
+    with ID-comment annotations. A side product for humans — not intended
+    to be re-read (the reference never re-parses it either)."""
     spark = triples.sparkSession
     header = spark.createDataFrame(
         [(l,) for l in [SIGNATURE, *prefix_header()]], "line string"
     ).coalesce(1)
-    header.unionByName(triples_to_ttl_lines(triples)).write.mode("overwrite").text(path)
+    body = annotate_human_readable(triples_to_ttl_lines(triples), labels)
+    header.unionByName(body).write.mode("overwrite").text(path)
 
 
 def instance_slug(title_col):

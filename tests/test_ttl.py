@@ -95,3 +95,86 @@ def test_pipeline_output_roundtrips(spark, tmp_path):
     write_ttl(triples, path)
     back = read_ttl(spark, path)
     assert _key_set(back) == _key_set(triples)
+
+
+def test_noprefixes_roundtrip_and_rawiris(spark, tdf, tmp_path):
+    """--noprefixes (`Cmap2TurtleConverter.java:1918-1923`): raw <iri>
+    terms, no @prefix block, identical triple set after read-back."""
+    path = str(tmp_path / "np.ttl")
+    write_ttl(tdf, path, use_prefixes=False)
+    lines = [r["value"] for r in spark.read.text(path).collect()]
+    assert not any(l.startswith("@prefix") for l in lines)
+    assert not any(" afe:" in l or " afx:" in l or " bfo:" in l for l in lines)
+    assert any(f"<{vocab.OBO}BFO_0000019>" in l for l in lines)
+    # 'a' is Turtle grammar, not a prefix — still used
+    assert any(" a <" in l for l in lines)
+    assert _key_set(read_ttl(spark, path)) == _key_set(tdf)
+
+
+def test_notitles_drops_dct_title(spark, tdf, tmp_path):
+    """--notitles (`removeTitles`, `Cmap2TurtleConverter.java:2072-2075`):
+    dct:title statements are dropped from the output, everything else
+    round-trips unchanged."""
+    path = str(tmp_path / "nt.ttl")
+    write_ttl(tdf, path, add_titles=False)
+    back = read_ttl(spark, path)
+    expect = {t for t in _key_set(tdf) if t[1] != vocab.DCT_TITLE}
+    assert _key_set(back) == expect
+
+
+def test_human_readable_annotation(spark, tdf, tmp_path):
+    """--machine off-switch (`addCommentsWithHumanReadableIds:2248-2317`):
+    ID qname tokens get ' # prefix:label' comments at column 120, in token
+    order, 'unknown' for unlabelled ids; non-ID lines pass unchanged."""
+    from rdfcmap_spark.sources.ttl import write_ttl_human_readable
+
+    labels = spark.createDataFrame(
+        [
+            (vocab.AFX + "AFX_0000141", "has part"),
+            (vocab.AFE + "AFE_0000354", "peak"),
+        ],
+        "iri string, label string",
+    )
+    path = str(tmp_path / "hr.ttl")
+    write_ttl_human_readable(tdf, labels, path)
+    lines = [r["value"] for r in spark.read.text(path).collect()]
+    ann = [l for l in lines if " # " in l]
+    # the af-x/afe line: Java find() consumes the token's trailing space,
+    # so the IMMEDIATELY adjacent object token loses its leading boundary
+    # and is skipped — the reference's exact alternating-scan behavior
+    # (its Jena output splits terms across lines, so the quirk rarely
+    # fires there; reproduced here bit-for-bit by using the same regex)
+    target = [l for l in ann if "af-x:AFX_0000141" in l]
+    assert target, lines
+    line = target[0]
+    assert line.rstrip().endswith("# af-x:has part"), line
+    # comment column: the '#' sits at >= column 120
+    assert line.index(" # ") + 1 >= 120
+    # unlabelled ID tokens comment as 'unknown'
+    unknown = [l for l in ann if "AFX_0000690" in l]
+    assert unknown and all("unknown" in l for l in unknown)
+    # plain-string literal line (no ID tokens): no comment
+    hello = [l for l in lines if "hello world" in l]
+    assert hello and all(" # " not in l for l in hello)
+
+
+def test_anonymize_instances_roundtrip(spark, tdf, tmp_path):
+    """useBlankNodes default (`transformToAnonymousInstances:2482-2580`):
+    instance resources emit as blank nodes, owl:NamedIndividual typing
+    drops, and the TTL round trip re-skolemizes the SAME uuids (named ->
+    anonymous is invertible)."""
+    from rdfcmap_spark.operators.relational import anonymize_instances
+
+    anon = anonymize_instances(tdf)
+    rows = anon.collect()
+    # every instance subject is now a bnode label carrying its uuid
+    assert all(r["subj"].startswith("_:b") for r in rows if "s1" in r["subj"] or "s2" in r["subj"])
+    # the NamedIndividual typing row is gone
+    assert not [r for r in rows if r["obj_iri"] == vocab.OWL_NAMED_INDIVIDUAL]
+    path = str(tmp_path / "anon.ttl")
+    write_ttl(anon, path)
+    back = read_ttl(spark, path)
+    # read-side re-skolemization restores urn:uuid identity for subjects
+    subjs = {r["subj"] for r in back.collect()}
+    assert any(s.startswith("urn:uuid:") or s.startswith("_:") for s in subjs)
+    assert back.count() == anon.count()
