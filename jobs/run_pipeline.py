@@ -21,7 +21,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# local runs (`python jobs/run_pipeline.py ...`): sys.path[0] is jobs/, not
+# the repo root; on a cluster --py-files provides the package instead
+try:  # pragma: no cover - trivial import guard
+    import rdfcmap_spark  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -30,6 +38,26 @@ def main() -> None:
     ap.add_argument("--synthetic-convs", type=int, default=None)
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--output", required=True)
+    # reference CLI parity (rdfcmap's output flags, RdfCmap.java):
+    ap.add_argument("--ttl-output", default=None, help="also write a Turtle dump here")
+    ap.add_argument(
+        "--noprefixes", action="store_true", help="raw <iri> terms, no @prefix block"
+    )
+    ap.add_argument(
+        "--notitles", action="store_true", help="drop dct:title statements from TTL"
+    )
+    ap.add_argument(
+        "--noblanknodes",
+        action="store_true",
+        help="keep instances named (default anonymizes them to bnodes in TTL, "
+        "like the reference's useBlankNodes)",
+    )
+    ap.add_argument(
+        "--separate",
+        default=None,
+        metavar="DIR",
+        help="also write one TTL file per instance (writeSeparateTurtleFiles)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,16 +85,30 @@ def main() -> None:
         args.output,
         key_cols=["subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"],
     )
-    print(
-        json.dumps(
-            {
-                "triples": manifest["row_count"],
-                "snapshot_id": manifest["snapshot_id"],
-                "stages_ran": run.ran,
-                "stages_resumed": run.skipped,
-            }
+    result = {
+        "triples": manifest["row_count"],
+        "snapshot_id": manifest["snapshot_id"],
+        "stages_ran": run.ran,
+        "stages_resumed": run.skipped,
+    }
+    if args.ttl_output:
+        from rdfcmap_spark.operators.relational import anonymize_instances
+        from rdfcmap_spark.sources.ttl import write_ttl
+
+        ttl = triples if args.noblanknodes else anonymize_instances(triples)
+        write_ttl(
+            ttl,
+            args.ttl_output,
+            use_prefixes=not args.noprefixes,
+            add_titles=not args.notitles,
         )
-    )
+        result["ttl_output"] = args.ttl_output
+    if args.separate:
+        from rdfcmap_spark.sources.ttl import write_instance_files
+
+        names = write_instance_files(triples, args.separate)
+        result["separate_files"] = len(names)
+    print(json.dumps(result))
     spark.stop()
 
 

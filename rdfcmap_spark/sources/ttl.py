@@ -331,11 +331,33 @@ _LIT = (
 TRIPLE_RE = rf"^\s*{_TERM}\s+{_TERM}\s+(?:{_LIT}|{_TERM})\s*\.\s*$"
 
 
+def ttl_rejects(spark: SparkSession, path: str) -> DataFrame:
+    """(line) — input lines that are neither comments/@prefix/blank nor
+    parseable triples: the quarantine view of :func:`read_ttl`'s silent
+    drop. The reference aborts the JVM on unparseable input
+    (`CmapUtil.extractModelFromOntologyFile` lets Jena throw); at
+    10^12-turn scale a poison line must neither kill the job NOR vanish
+    unaccounted — monitoring asserts ``ttl_rejects(...).count() == 0`` (or
+    routes the rows to a dead-letter sink). Same pushed-down scan shape as
+    the parser, just the complement predicate."""
+    return (
+        spark.read.text(path)
+        .filter(
+            ~F.col("value").startswith("#")
+            & ~F.col("value").startswith("@prefix")
+            & (F.length(F.trim(F.col("value"))) > 0)
+            & ~F.col("value").rlike(TRIPLE_RE)
+        )
+        .select(F.col("value").alias("line"))
+    )
+
+
 def read_ttl(spark: SparkSession, path: str) -> DataFrame:
     """Distributed parse of the line-oriented TTL subset back into the
     triples schema. Prefix expansion is a broadcast-free when-ladder over
     the static prefix map; comment/@prefix lines are filtered out by one
-    pushed-down predicate."""
+    pushed-down predicate. Lines that match neither form are dropped from
+    this view and surfaced by :func:`ttl_rejects`."""
     lines = spark.read.text(path).filter(
         ~F.col("value").startswith("#") & ~F.col("value").startswith("@prefix")
         & (F.length(F.trim(F.col("value"))) > 0)

@@ -178,3 +178,24 @@ def test_anonymize_instances_roundtrip(spark, tdf, tmp_path):
     subjs = {r["subj"] for r in back.collect()}
     assert any(s.startswith("urn:uuid:") or s.startswith("_:") for s in subjs)
     assert back.count() == anon.count()
+
+
+def test_ttl_rejects_quarantine(spark, tdf, tmp_path):
+    """Poison lines are quarantined (ttl_rejects), not silently lost and
+    not fatal — the scale posture vs the reference's JVM abort: read_ttl
+    parses what it can, rejects() accounts for the rest, and
+    |parsed| + |rejects| covers every content line."""
+    import os
+
+    from rdfcmap_spark.sources.ttl import ttl_rejects
+
+    path = str(tmp_path / "poison.ttl")
+    write_ttl(tdf, path)
+    # a fresh shard (appending in place trips Spark's file-status cache)
+    with open(os.path.join(path, "part-99999-poison.txt"), "w") as fh:
+        fh.write("this is not a triple\n")
+        fh.write("<urn:uuid:x> missing-object .\n")
+    back = read_ttl(spark, path)
+    rejects = [r["line"] for r in ttl_rejects(spark, path).collect()]
+    assert _key_set(back) == _key_set(tdf)  # clean rows unaffected
+    assert sorted(rejects) == ["<urn:uuid:x> missing-object .", "this is not a triple"]
