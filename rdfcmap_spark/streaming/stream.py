@@ -107,3 +107,48 @@ def streaming_hourly_rollup(events_stream: DataFrame, watermark: str = "2 hours"
         )
         .select(F.col("w.start").alias("hour"), "event_type", "n", "value_sum")
     )
+
+
+def streaming_conv_stats(
+    transcripts_stream: DataFrame,
+    watermark: str = "2 hours",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Conversation-level stats over the live turn stream — the streaming
+    twin of :func:`rdfcmap_spark.operators.transcripts.conv_stats`.
+
+    A conversation on an infinite stream has no natural end, so the
+    grouping key is (conv_id, **session window**): a conversation closes
+    after ``gap`` of inactivity, and its stats row is emitted once the
+    watermark passes the session end. State per open conversation is one
+    stats accumulator; closed sessions are GC'd with the watermark — the
+    state store stays bounded by the number of conversations ACTIVE inside
+    the watermark, not by stream history (the 10^12-turn requirement).
+
+    Output adds session_start/session_end (the wall-clock conversation
+    span) to the batch operator's integer stats.
+    """
+    return (
+        transcripts_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+            F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
+            F.sum(
+                ((F.col("role") == "tool") & (F.col("tool") != "")).cast("long")
+            ).alias("n_tool_calls"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("total_chars"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+            "n_user",
+            "n_assistant",
+            "n_tool_calls",
+            "total_chars",
+        )
+    )

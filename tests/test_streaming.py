@@ -196,3 +196,23 @@ def test_streaming_nquads_sink_lines_equal_batch(spark, transcripts_dir, tmp_pat
     )
     assert {r["line"] for r in got.collect()} == {r["line"] for r in batch.collect()}
     assert got.count() > 0
+
+
+def test_streaming_conv_stats_matches_batch(spark, transcripts_dir):
+    """Session-windowed conversation stats == the batch conv_stats integer
+    columns once every conversation's session closes (fixture turns sit
+    well inside one gap per conversation)."""
+    from rdfcmap_spark.operators.transcripts import conv_stats
+    from rdfcmap_spark.streaming.stream import streaming_conv_stats
+
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(transcripts_dir)
+    got = _complete_stream(spark, streaming_conv_stats(stream), "t_conv_stats")
+    cols = ["conv_id", "n_turns", "n_user", "n_assistant", "n_tool_calls", "total_chars"]
+    batch = conv_stats(spark.read.parquet(transcripts_dir)).select(*cols)
+    assert {tuple(r) for r in got.select(*cols).collect()} == {
+        tuple(r) for r in batch.collect()
+    }
+    # one closed session per conversation, spanning its first..last turn
+    assert got.groupBy("conv_id").count().filter(F.col("count") > 1).count() == 0
+    one = got.limit(1).collect()[0]
+    assert one["session_end"] > one["session_start"]
