@@ -243,6 +243,34 @@ def _events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _chat_stream_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of chat_conv_stats: session-windowed
+    (30-min gap) conversation stats over the live turn stream. The synth
+    fixture spaces turns 30 s apart within a conversation, so every
+    conversation closes as exactly ONE session and the result must match
+    the batch/DuckDB oracle (session_end = max(ts) + gap)."""
+    from rdfcmap_spark.oracle import TRANSCRIPTS_ORACLE_PATH
+    from rdfcmap_spark.streaming.stream import streaming_conv_stats
+
+    batch = _synth_transcripts(spark, sf_dir)  # publishes the fixture
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(TRANSCRIPTS_ORACLE_PATH)
+    )
+    name = "chat_stream_conv_stats_result"
+    q = (
+        streaming_conv_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 def _kg_sparql_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 product: BFS path from a marked source to its target over a
     relational entity graph, emitted as SPARQL BGP statement rows
@@ -1654,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "chat_dup_groups": lambda s, d: transcripts.conv_dup_groups(_synth_transcripts(s, d)),
         "chat_quality": lambda s, d: transcripts.conv_quality(_synth_transcripts(s, d)),
+        "chat_stream_conv_stats": _chat_stream_conv_stats,
         # --- analytics / window coverage ---
         "tpch_q1": lambda s, d: relational.tpch_q1(load(s, d, "lineitem")),
         "events_sessionize": lambda s, d: relational.sessionize(load(s, d, "events")),
@@ -2798,6 +2827,20 @@ SELECT conv_id, count(*) AS n_turns,
        CAST(sum(CASE WHEN role = 'tool' AND tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
        CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
        date_diff('second', min(ts), max(ts)) AS duration_secs
+FROM tr GROUP BY conv_id
+"""
+    )
+
+    sql["chat_stream_conv_stats"] = (
+        "WITH " + _TR_CTE + """
+SELECT conv_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(sum(CASE WHEN role = 'tool' AND tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars
 FROM tr GROUP BY conv_id
 """
     )
