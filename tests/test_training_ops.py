@@ -756,3 +756,22 @@ def test_pii_redact_output_has_no_residual_matches(spark):
     for r in twice:
         assert r["text_redacted"] == [x for x in once.collect() if x["doc_id"] == r["doc_id"]][0]["text"]
         assert sum(r[f"n_{k}"] for k in textstats.PII_REDACT_ORDER) == 0
+
+
+def test_lm_score_hand_computed(spark):
+    """Unigram add-one LM on a 3-doc corpus: counts a:3 b:2 c:1, N=6, V=3."""
+    docs = _docs(spark, ["a a b", "a c", "b"])
+    out = {r["doc_id"]: r for r in textstats.lm_score(docs).collect()}
+    lp = {
+        "a": round(math.log(4 / 9), 6),
+        "b": round(math.log(3 / 9), 6),
+        "c": round(math.log(2 / 9), 6),
+    }
+    assert (out[0]["n_tokens"], out[0]["n_hapax"]) == (3, 0)
+    assert (out[1]["n_tokens"], out[1]["n_hapax"]) == (2, 1)
+    assert (out[2]["n_tokens"], out[2]["n_hapax"]) == (1, 0)
+    assert out[0]["avg_nll"] == round(-(2 * lp["a"] + lp["b"]) / 3, 4)
+    assert out[1]["avg_nll"] == round(-(lp["a"] + lp["c"]) / 2, 4)
+    assert out[2]["avg_nll"] == round(-lp["b"], 4)
+    # corpus-typical text scores lower (better) than hapax-heavy text
+    assert out[0]["avg_nll"] < out[1]["avg_nll"]

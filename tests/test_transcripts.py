@@ -163,3 +163,34 @@ def test_partition_invariance(spark):
     one = transcripts.chat_render(t.coalesce(1)).collect()
     many = transcripts.chat_render(t.repartition(7)).collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_entity_pmi_hand_computed(spark):
+    """3 conversations, 4 entities; pair counts and PMI checked by hand."""
+    import math
+
+    from rdfcmap_spark.operators.transcripts import entity_pmi
+
+    rows = [
+        ("A", 0, "user", "«alpha» relates to «beta».", "", _TS),
+        ("B", 0, "user", "«alpha» relates to «beta». «alpha» relates to «gamma».", "", _TS),
+        ("C", 0, "user", "«gamma» relates to «delta».", "", _TS),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).repartition(3)
+    got = {(r["ent_a"], r["ent_b"]): r for r in entity_pmi(turns).collect()}
+    assert set(got) == {
+        ("alpha", "beta"),
+        ("alpha", "gamma"),
+        ("beta", "gamma"),
+        ("delta", "gamma"),
+    }
+    ab = got[("alpha", "beta")]
+    assert (ab["n_pair"], ab["n_a"], ab["n_b"]) == (2, 2, 2)
+    assert ab["pmi"] == round(math.log(2 * 3 / (2 * 2)), 6)
+    ag = got[("alpha", "gamma")]
+    assert (ag["n_pair"], ag["pmi"]) == (1, round(math.log(3 / 4), 6))
+    dg = got[("delta", "gamma")]
+    assert (dg["n_pair"], dg["n_a"], dg["n_b"]) == (1, 1, 2)
+    assert dg["pmi"] == round(math.log(3 / 2), 6)
