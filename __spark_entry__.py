@@ -1517,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load(s, d, "events")
         ),
         "kg_g2_shortest_path": lambda s, d: relational.g2_shortest_paths(load(s, d, "events")),
+        "kg_pagerank": lambda s, d: relational.entity_pagerank(load(s, d, "events")),
         "kg_g4_hierarchy_level": lambda s, d: relational.g4_hierarchy_levels(s),
         "kg_x4_long_comments": lambda s, d: relational.x4_long_comments(load(s, d, "part")),
         "kg_x6_prefix_compact": lambda s, d: relational.x6_prefix_compact(load(s, d, "part")),
@@ -2009,6 +2010,48 @@ reach(node, hops) AS (
 )
 SELECT node, CAST(min(hops) AS INTEGER) AS hops FROM reach GROUP BY node
 """
+
+    # kg_pagerank: unrolled fixed-iteration nano-rank PageRank over the same
+    # identity graph as kg_g2 (graph.pagerank's arithmetic contract: integer
+    # division for contributions, exact BIGINT sums, IEEE-double teleport/
+    # damping terms whose literals are the python doubles' exact reprs)
+    _pr_iters = 10
+    _pr_tel = repr((1.0 - 0.85) * 1_000_000_000.0)
+    _pr_ctes = [
+        r"""g AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, 'u' || CAST(user_id AS VARCHAR) AS node FROM events
+),
+hub AS (SELECT event_type, day, min(node) AS hub FROM g GROUP BY event_type, day),
+e0 AS (
+  SELECT DISTINCT h.hub AS src, g.node AS dst
+  FROM g JOIN hub h USING (event_type, day) WHERE g.node <> h.hub
+),
+pedges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+pnodes AS (SELECT src AS node FROM pedges UNION SELECT dst FROM pedges),
+pnn AS (SELECT count(*) AS n_nodes FROM pnodes),
+poutd AS (SELECT src AS node, count(*) AS outdeg FROM pedges GROUP BY src),
+pr0 AS (SELECT node, CAST(floor(CAST(1000000000 AS DOUBLE) / n_nodes) AS BIGINT) AS r_nano FROM pnodes CROSS JOIN pnn)"""
+    ]
+    for _i in range(_pr_iters):
+        _pr_ctes.append(
+            f"""pc{_i} AS (
+  SELECT e.dst AS node, r.r_nano // o.outdeg AS c
+  FROM pr{_i} r JOIN poutd o USING (node) JOIN pedges e ON e.src = r.node
+),
+ps{_i} AS (SELECT node, CAST(sum(c) AS BIGINT) AS s FROM pc{_i} GROUP BY node),
+pr{_i + 1} AS (
+  SELECT n.node,
+         CAST(floor(CAST('{_pr_tel}' AS DOUBLE) / pnn.n_nodes)
+              + floor(CAST('0.85' AS DOUBLE) * CAST(coalesce(s.s, 0) AS DOUBLE)) AS BIGINT) AS r_nano
+  FROM pnodes n LEFT JOIN ps{_i} s USING (node) CROSS JOIN pnn
+)"""
+        )
+    sql["kg_pagerank"] = (
+        "WITH "
+        + ",\n".join(_pr_ctes)
+        + f"\nSELECT node, r_nano, round(CAST(r_nano AS DOUBLE) / CAST(1000000000 AS DOUBLE), 9) AS pr"
+        f" FROM pr{_pr_iters}"
+    )
 
     from rdfcmap_spark import vocab as _vocab
 

@@ -634,3 +634,17 @@ def hourly_event_rollup(events: DataFrame) -> DataFrame:
             F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).cast("double").alias("value_sum"),
         )
     )
+
+
+def entity_pagerank(events: DataFrame, iters: int = 10) -> DataFrame:
+    """Centrality over the symmetrized user-identity graph (the same edge
+    set G2's BFS walks): fixed-point nano-rank PageRank — see
+    :func:`rdfcmap_spark.operators.graph.pagerank` for the engine-exact
+    arithmetic contract."""
+    from rdfcmap_spark.operators.graph import pagerank
+
+    e0 = user_identity_edges(events)
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return pagerank(edges, iters=iters)
