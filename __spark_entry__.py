@@ -1629,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # precise-replace PII redaction (ordered patterns, progressive counts)
         "text_pii_redact": lambda s, d: textstats.pii_redact(load(s, d, "documents")),
         "text_lm_score": lambda s, d: textstats.lm_score(load(s, d, "documents")),
+        "text_tfidf_keywords": lambda s, d: textstats.tfidf_keywords(load(s, d, "documents")),
         # benchmark = deterministic 5% sample (doc_id % 20): in production the
         # benchmark frame is the eval suite; here it must be derivable from
         # the shared parquet views so the DuckDB oracle sees the same set
@@ -3498,6 +3499,27 @@ GROUP BY dt.doc_id
 """
 
     sql["chat_entity_pmi"] = _oracle.entity_pmi_sql()
+
+    sql["text_tfidf_keywords"] = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+dt AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfq AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+idf AS (
+  SELECT tok, df,
+         CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS DECIMAL(18,6)) AS idf
+  FROM dfq CROSS JOIN nd
+),
+sc AS (SELECT dt.doc_id, dt.tok, dt.tf, idf.df, dt.tf * idf.idf AS score FROM dt JOIN idf USING (tok)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank FROM sc)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, CAST(score AS DOUBLE) AS score
+FROM rk WHERE rank <= 3
+"""
 
     sql["text_decontaminate"] = (
         "WITH "

@@ -59,6 +59,8 @@ SECONDARY = [
     "kg_sparql_exec_full",
     "kg_sparql_path",
     "kg_sparql_agg",
+    "text_lm_score",
+    "kg_pagerank",
 ]
 
 

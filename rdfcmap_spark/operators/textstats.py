@@ -459,3 +459,45 @@ def lm_score(docs: DataFrame) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the corpus-statistics
+    keyword extractor (doc tagging / topic hints for data mixing).
+
+    ``score = tf * round(ln(N/df), 6)`` with ``tf`` the in-doc occurrence
+    count, ``df`` the containing-doc count and ``N`` the corpus document
+    count (docs with >=1 token) — one rounded ``ln`` per DISTINCT token,
+    everything else exact integer/DECIMAL arithmetic, so the scores (and
+    the (score desc, token asc) top-k cut) are engine- and
+    partitioning-exact.
+
+    Scale: same shape as :func:`lm_score` — per-(doc,tok) map-side
+    pre-aggregation, model join shuffled on ``tok`` (AQE skew-splits
+    stopwords), ``N`` on a 1-row broadcast; the top-k is one window over
+    doc-sized groups.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = dt.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(nd)).select(
+        "tok",
+        "df",
+        F.round(F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("idf"),
+    )
+    scored = dt.join(idf, "tok").select(
+        "doc_id", "tok", "tf", "df", (F.col("tf") * F.col("idf")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "tok", "tf", "df", F.col("score").cast("double").alias("score"))
+    )

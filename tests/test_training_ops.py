@@ -775,3 +775,19 @@ def test_lm_score_hand_computed(spark):
     assert out[2]["avg_nll"] == round(-lp["b"], 4)
     # corpus-typical text scores lower (better) than hapax-heavy text
     assert out[0]["avg_nll"] < out[1]["avg_nll"]
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """3 docs; 'rare' appears in one doc, 'common' in all three."""
+    docs = _docs(spark, ["common rare rare", "common alpha", "common beta"])
+    out = textstats.tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top0 = sorted(by_doc[0], key=lambda r: r["rank"])
+    # rare: tf=2 df=1 idf=ln(3); common: tf=1 df=3 idf=0
+    assert (top0[0]["tok"], top0[0]["tf"], top0[0]["df"]) == ("rare", 2, 1)
+    assert top0[0]["score"] == float(2 * round(math.log(3), 6))
+    assert (top0[1]["tok"], top0[1]["score"]) == ("common", 0.0)
+    # every doc emits at most k rows, ranks are 1..k
+    assert all([r["rank"] for r in sorted(v, key=lambda r: r["rank"])] == list(range(1, len(v) + 1)) for v in by_doc.values())

@@ -37,6 +37,7 @@ QUERIES = {
     "chat_truncate_budget": lambda df: T.truncate_to_budget(df, budget=48),
     "chat_quality": T.conv_quality,
     "chat_dup_groups": T.conv_dup_groups,
+    "chat_entity_pmi": T.entity_pmi,
 }
 
 
