@@ -50,6 +50,8 @@ QUERIES = [
     "text_langid",
     "text_token_stats",
     "text_fingerprint",
+    "text_lm_score",
+    "text_tfidf_keywords",
 ]
 
 
