@@ -1518,6 +1518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "kg_g2_shortest_path": lambda s, d: relational.g2_shortest_paths(load(s, d, "events")),
         "kg_pagerank": lambda s, d: relational.entity_pagerank(load(s, d, "events")),
+        "kg_khop_sample": lambda s, d: relational.khop_neighborhood(load(s, d, "events")),
+        "data_kg_negatives": lambda s, d: relational.kg_triple_negatives(load(s, d, "events")),
         "kg_g4_hierarchy_level": lambda s, d: relational.g4_hierarchy_levels(s),
         "kg_x4_long_comments": lambda s, d: relational.x4_long_comments(load(s, d, "part")),
         "kg_x6_prefix_compact": lambda s, d: relational.x6_prefix_compact(load(s, d, "part")),
@@ -1687,6 +1689,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_quality": lambda s, d: transcripts.conv_quality(_synth_transcripts(s, d)),
         "chat_stream_conv_stats": _chat_stream_conv_stats,
         "chat_entity_pmi": lambda s, d: transcripts.entity_pmi(_synth_transcripts(s, d)),
+        "chat_entity_timeline": lambda s, d: transcripts.entity_timeline(
+            _synth_transcripts(s, d)
+        ),
+        "chat_pronoun_coref": lambda s, d: transcripts.pronoun_antecedents(
+            _synth_transcripts(s, d)
+        ),
         # --- analytics / window coverage ---
         "tpch_q1": lambda s, d: relational.tpch_q1(load(s, d, "lineitem")),
         "events_sessionize": lambda s, d: relational.sessionize(load(s, d, "events")),
@@ -2053,6 +2061,80 @@ pr{_i + 1} AS (
         + f"\nSELECT node, r_nano, round(CAST(r_nano AS DOUBLE) / CAST(1000000000 AS DOUBLE), 9) AS pr"
         f" FROM pr{_pr_iters}"
     )
+
+    # kg_khop_sample: unrolled 2-hop deterministic GraphSAGE sample over the
+    # same symmetrized identity graph as kg_g2 (rank = md5(seed|parent|dst),
+    # fanouts 3 then 2, per-seed first-hop dedup via NOT EXISTS)
+    sql["kg_khop_sample"] = r"""
+WITH g AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, 'u' || CAST(user_id AS VARCHAR) AS node FROM events
+),
+hub AS (SELECT event_type, day, min(node) AS hub FROM g GROUP BY event_type, day),
+e0 AS (
+  SELECT DISTINCT h.hub AS src, g.node AS dst
+  FROM g JOIN hub h USING (event_type, day) WHERE g.node <> h.hub
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+seeds AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS node FROM events WHERE user_id < 5),
+v0 AS (SELECT node AS seed, node, 0 AS hop FROM seeds),
+c1 AS (
+  SELECT v.seed, e.src, e.dst,
+         row_number() OVER (PARTITION BY v.seed, e.src
+                            ORDER BY md5(v.seed || '|' || e.src || '|' || e.dst), e.dst) AS rk
+  FROM v0 v JOIN edges e ON e.src = v.node
+),
+n1 AS (SELECT DISTINCT seed, dst AS node FROM c1 WHERE rk <= 3),
+n1f AS (
+  SELECT seed, node, 1 AS hop FROM n1
+  WHERE NOT EXISTS (SELECT 1 FROM v0 WHERE v0.seed = n1.seed AND v0.node = n1.node)
+),
+v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM n1f),
+c2 AS (
+  SELECT v.seed, e.src, e.dst,
+         row_number() OVER (PARTITION BY v.seed, e.src
+                            ORDER BY md5(v.seed || '|' || e.src || '|' || e.dst), e.dst) AS rk
+  FROM n1f v JOIN edges e ON e.src = v.node
+),
+n2 AS (SELECT DISTINCT seed, dst AS node FROM c2 WHERE rk <= 2),
+n2f AS (
+  SELECT seed, node, 2 AS hop FROM n2
+  WHERE NOT EXISTS (SELECT 1 FROM v1 WHERE v1.seed = n2.seed AND v1.node = n2.node)
+)
+SELECT seed, node, CAST(hop AS INTEGER) AS hop FROM v1
+UNION ALL
+SELECT seed, node, CAST(hop AS INTEGER) AS hop FROM n2f
+"""
+
+    # data_kg_negatives: filtered negative sampling over the typed identity
+    # triples — entity index = row_number ORDER BY ent (the dense_ordinal
+    # contract), neg pick = md5-prefix bucket, filtered protocol via NOT
+    # EXISTS on the true-triple key
+    sql["data_kg_negatives"] = r"""
+WITH g AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, 'u' || CAST(user_id AS VARCHAR) AS node FROM events
+),
+hub AS (SELECT event_type, day, min(node) AS hub FROM g GROUP BY event_type, day),
+t AS (
+  SELECT DISTINCT h.hub AS subj, g.event_type AS pred, g.node AS obj
+  FROM g JOIN hub h USING (event_type, day) WHERE g.node <> h.hub
+),
+ents AS (SELECT subj AS ent FROM t UNION SELECT obj FROM t),
+eidx AS (SELECT ent, row_number() OVER (ORDER BY ent) AS idx FROM ents),
+nn AS (SELECT count(*) AS n_ents FROM eidx),
+cand AS (
+  SELECT t.subj, t.pred, t.obj, r.i AS neg_i,
+         (('0x' || substr(md5(t.subj || '|' || t.pred || '|' || t.obj || ':neg' || CAST(r.i AS VARCHAR)), 1, 6))::BIGINT
+          % nn.n_ents) + 1 AS neg_idx
+  FROM t CROSS JOIN nn CROSS JOIN UNNEST(range(1, 4)) AS r(i)
+),
+j AS (
+  SELECT c.subj, c.pred, c.obj, CAST(c.neg_i AS INTEGER) AS neg_i, e.ent AS neg_obj
+  FROM cand c JOIN eidx e ON e.idx = c.neg_idx
+)
+SELECT * FROM j
+WHERE neg_obj <> obj
+  AND NOT EXISTS (SELECT 1 FROM t WHERE t.subj = j.subj AND t.pred = j.pred AND t.obj = j.neg_obj)
+"""
 
     from rdfcmap_spark import vocab as _vocab
 
@@ -3499,6 +3581,8 @@ GROUP BY dt.doc_id
 """
 
     sql["chat_entity_pmi"] = _oracle.entity_pmi_sql()
+    sql["chat_entity_timeline"] = _oracle.entity_timeline_sql()
+    sql["chat_pronoun_coref"] = _oracle.pronoun_antecedents_sql()
 
     sql["text_tfidf_keywords"] = r"""
 WITH toks AS (

@@ -273,3 +273,59 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFr
     return ranks.select(
         "node", "r_nano", F.round(F.col("r_nano") / F.lit(float(PR_SCALE)), 9).alias("pr")
     )
+
+
+def khop_sample(
+    edges: DataFrame, seeds: DataFrame, fanouts: tuple[int, ...] = (3, 2)
+) -> DataFrame:
+    """GraphSAGE-style deterministic k-hop neighbor sampling: for every seed,
+    expand ``len(fanouts)`` hops, keeping at most ``fanouts[h]`` neighbors
+    per (seed, parent) at hop ``h+1`` — the subgraph-extraction step that
+    feeds GNN / graph-embedding training without materializing full
+    neighborhoods (no reference counterpart: rdfcmap's graphs are one map;
+    sampling only matters at corpus-scale KGs where hub fan-out is huge).
+
+    Sampling is hash-deterministic, not random: neighbors of a (seed,
+    parent) pair are ranked by ``md5(seed|parent|dst)`` and the top
+    ``fanouts[h]`` survive — reproducible across runs, cluster sizes, and
+    engines (the DuckDB oracle replays the identical ranking).
+
+    Output: (seed, node, hop) — hop 0 is the seed itself; a node appears
+    once per seed at its FIRST sampled hop (later re-arrivals are dropped
+    by a per-seed visited anti-join, mirroring bfs_hops' min-hop contract).
+
+    Scale posture: the per-hop candidate set is ``frontier ⨝ edges`` — one
+    shuffle keyed on the parent node; the rank window partitions by (seed,
+    parent) whose group size is the parent's out-degree BEFORE sampling,
+    but the *output* is capped at ``fanouts[h]`` rows per pair, so frontier
+    growth is bounded by ``Π fanouts`` per seed regardless of hub skew (the
+    window itself is where AQE's skew-split applies for true mega-hubs).
+    Lineage is truncated per hop with lazy localCheckpoints; the
+    convergence probe is the single materializing job per hop.
+    """
+    from pyspark.sql import Window
+
+    visited = (
+        seeds.select(F.col("node").alias("seed"), F.col("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited
+    for hop, fanout in enumerate(fanouts, start=1):
+        cand = frontier.select("seed", F.col("node").alias("src")).join(edges, "src")
+        key = F.md5(F.concat_ws("|", F.col("seed"), F.col("src"), F.col("dst")).cast("binary"))
+        w = Window.partitionBy("seed", "src").orderBy(key, "dst")
+        samp = cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= fanout)
+        nxt = (
+            samp.select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

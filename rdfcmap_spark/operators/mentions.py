@@ -133,17 +133,22 @@ def extract_sentences(transcripts: DataFrame) -> DataFrame:
 
 def mention_surfaces(sentences: DataFrame) -> DataFrame:
     """Every entity-position mention (subject + non-literal object), with the
-    X9-normalized surface used as the linking key (J2).
+    X9-normalized surface used as the linking key (J2). ``pos`` is the
+    in-sentence mention order (subject 0, object 1) so (sent_idx, pos) is a
+    total within-turn mention order for recency-based consumers
+    (:func:`rdfcmap_spark.operators.transcripts.pronoun_antecedents`).
     """
     subj = sentences.select(
         "conv_id", "turn_idx", "sent_idx",
         F.col("subj").alias("surface"),
         F.lit(False).alias("is_bnode"),
+        F.lit(0).alias("pos"),
     )
     obj = sentences.filter(F.col("form") == "relation").select(
         "conv_id", "turn_idx", "sent_idx",
         F.col("obj").alias("surface"),
         F.col("obj_bnode").alias("is_bnode"),
+        F.lit(1).alias("pos"),
     )
     return (
         subj.unionByName(obj)

@@ -648,3 +648,53 @@ def entity_pagerank(events: DataFrame, iters: int = 10) -> DataFrame:
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     return pagerank(edges, iters=iters)
+
+
+def khop_neighborhood(events: DataFrame) -> DataFrame:
+    """Deterministic 2-hop GraphSAGE-style neighbor sample (fanouts 3, 2)
+    from the G2 seed set over the symmetrized user-identity graph — see
+    :func:`rdfcmap_spark.operators.graph.khop_sample`."""
+    from rdfcmap_spark.operators.graph import khop_sample
+
+    e0 = user_identity_edges(events)
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = (
+        events.filter(F.col("user_id") < 5)
+        .select(F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("node"))
+        .distinct()
+    )
+    return khop_sample(edges, seeds, fanouts=(3, 2)).select(
+        "seed", "node", F.col("hop").cast("int").alias("hop")
+    )
+
+
+def typed_identity_triples(events: DataFrame) -> DataFrame:
+    """(subj, pred, obj) multi-relation KG over the identity graph: the
+    hub-star edges keyed by the co-occurrence event_type as the predicate —
+    the triple-shaped input for KG-embedding training products."""
+    g = events.select(
+        F.col("event_type"),
+        F.to_date("ts").alias("day"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("node"),
+    ).distinct()
+    hub = g.groupBy("event_type", "day").agg(F.min("node").alias("hub"))
+    return (
+        g.join(hub, ["event_type", "day"])
+        .filter(F.col("node") != F.col("hub"))
+        .select(
+            F.col("hub").alias("subj"),
+            F.col("event_type").alias("pred"),
+            F.col("node").alias("obj"),
+        )
+        .distinct()
+    )
+
+
+def kg_triple_negatives(events: DataFrame, k: int = 3) -> DataFrame:
+    """Filtered negative samples for KG-embedding training over the typed
+    identity triples — see :func:`rdfcmap_spark.operators.traindata.kg_negatives`."""
+    from rdfcmap_spark.operators.traindata import kg_negatives
+
+    return kg_negatives(typed_identity_triples(events), k=k)

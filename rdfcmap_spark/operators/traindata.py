@@ -242,3 +242,91 @@ def cap_per_source(docs: DataFrame, k: int = 100, key: str = "source") -> DataFr
         .filter(F.col("rank_in_source") <= k)
         .select("doc_id", "stratum", "rank_in_source")
     )
+
+
+def dense_ordinal(df: DataFrame, col: str, n_parts: int = 32) -> DataFrame:
+    """(col, idx) — 1-based dense rank of ``col`` (distinct values, ordered
+    ascending) built WITHOUT a single-partition window: range exchange →
+    per-partition row_number → in-plan prefix-sum offsets (the
+    :func:`shuffle_order` machinery generalized to any orderable column).
+    The input must already be distinct on ``col``."""
+    ranged = (
+        df.select(col)
+        .repartitionByRange(n_parts, col)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("pid").orderBy(col)
+    within = ranged.withColumn("within", F.row_number().over(w))
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    offw = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select("pid", F.coalesce(F.sum("n").over(offw), F.lit(0)).alias("off"))
+    return within.join(F.broadcast(offsets), "pid").select(
+        col, (F.col("off") + F.col("within")).cast("long").alias("idx")
+    )
+
+
+def kg_negatives(triples: DataFrame, k: int = 3) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training (TransE/DistMult
+    family): for every true triple (subj, pred, obj), emit up to ``k``
+    corrupted examples (subj, pred, neg_obj) where ``neg_obj`` is a
+    hash-picked entity, dropping corruptions that collide with the true
+    object or with ANY true triple (the standard "filtered" protocol, so no
+    negative is secretly positive). This is the bridge from the constructed
+    KG to an embedding-model training set — a first-class training-data
+    product at corpus scale.
+
+    Determinism: the ``i``-th negative for a triple indexes the entity
+    table at ``int(md5(subj|pred|obj:neg·i)[:6], 16) % n_ents`` — the same
+    md5-prefix device as :func:`split_assign`, reproducible verbatim in the
+    DuckDB oracle and invariant to partitioning / cluster size. Entities
+    are indexed by :func:`dense_ordinal` (range exchange + prefix-sum — no
+    single-partition window at any size).
+
+    Output: (subj, pred, obj, neg_i, neg_obj); a triple yields < k rows
+    exactly when a corruption was filtered (collision with a true triple).
+
+    Scale posture: the entity-index join shuffles on ``idx``, which is
+    hash-uniform by construction (no hot entity no matter how skewed the
+    real degree distribution); the filtered-protocol check is one left-anti
+    join on the (subj, pred, obj) triple key; candidate volume is exactly
+    k × |triples| before filtering. All JVM expressions.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    ents = (
+        t.select(F.col("subj").alias("ent"))
+        .unionByName(t.select(F.col("obj").alias("ent")))
+        .distinct()
+    )
+    idx = dense_ordinal(ents, "ent")
+    n = idx.agg(F.count(F.lit(1)).alias("n_ents"))
+    cand = (
+        t.crossJoin(F.broadcast(n))
+        .select("*", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_i"))
+    )
+    hex6 = F.substring(
+        F.md5(
+            F.concat(
+                F.concat_ws("|", F.col("subj"), F.col("pred"), F.col("obj")),
+                F.lit(":neg"),
+                F.col("neg_i").cast("string"),
+            ).cast("binary")
+        ),
+        1, 6,
+    )
+    cand = cand.withColumn(
+        "neg_idx", (F.conv(hex6, 16, 10).cast("long") % F.col("n_ents")) + 1
+    )
+    joined = cand.join(idx, cand.neg_idx == idx.idx).select(
+        "subj", "pred", "obj", F.col("neg_i").cast("int").alias("neg_i"),
+        F.col("ent").alias("neg_obj"),
+    )
+    true_keys = t.select(
+        F.col("subj").alias("t_s"), F.col("pred").alias("t_p"), F.col("obj").alias("t_o")
+    )
+    return joined.filter(F.col("neg_obj") != F.col("obj")).join(
+        true_keys,
+        (F.col("subj") == F.col("t_s"))
+        & (F.col("pred") == F.col("t_p"))
+        & (F.col("neg_obj") == F.col("t_o")),
+        "left_anti",
+    )

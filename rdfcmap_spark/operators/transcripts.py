@@ -333,15 +333,7 @@ def entity_pmi(turns: DataFrame, min_pair: int = 1) -> DataFrame:
     AQE splitting the hot-entity skew; ``n_convs`` rides a 1-row
     broadcast.
     """
-    from rdfcmap_spark.operators.linking import link_mentions, resolved_alias_df
-    from rdfcmap_spark.operators.mentions import extract_sentences, mention_surfaces
-
-    ments = link_mentions(
-        mention_surfaces(extract_sentences(turns)), resolved_alias_df(turns.sparkSession)
-    )
-    ents = ments.select(
-        "conv_id", F.coalesce(F.col("resolved_iri"), F.col("surface_norm")).alias("ent")
-    ).distinct()
+    ents = _linked_mentions(turns).select("conv_id", "ent").distinct()
     n_convs = ents.agg(F.countDistinct("conv_id").alias("n_convs"))
     ec = ents.groupBy("ent").agg(F.count(F.lit(1)).alias("n_e"))
     pairs = (
@@ -371,5 +363,116 @@ def entity_pmi(turns: DataFrame, min_pair: int = 1) -> DataFrame:
                 ),
                 6,
             ).alias("pmi"),
+        )
+    )
+
+
+def _linked_mentions(turns: DataFrame) -> DataFrame:
+    """Shared mention-extraction head: linked mention rows with the
+    conversation-independent entity key ``ent`` = J2-resolved vocabulary IRI
+    when the mention links, else the X9-normalized surface (the same key
+    :func:`entity_pmi` aggregates on, so corpus statistics line up across
+    operators)."""
+    from rdfcmap_spark.operators.linking import link_mentions, resolved_alias_df
+    from rdfcmap_spark.operators.mentions import extract_sentences, mention_surfaces
+
+    ments = link_mentions(
+        mention_surfaces(extract_sentences(turns)), resolved_alias_df(turns.sparkSession)
+    )
+    return ments.withColumn(
+        "ent", F.coalesce(F.col("resolved_iri"), F.col("surface_norm"))
+    )
+
+
+def entity_timeline(turns: DataFrame) -> DataFrame:
+    """Temporal provenance per entity — the temporal-KG signal over the
+    constructed graph: when an entity first/last appears in the corpus and
+    how broadly it is mentioned (no reference counterpart: rdfcmap sees one
+    map at a time; an entity timeline only exists at corpus scale).
+
+    Output: (ent, first_ts, last_ts, n_mentions, n_convs, n_turns) where
+    ``ent`` is the shared conversation-independent entity key (J2-resolved
+    IRI else normalized surface) and the timestamps come from the turns the
+    mentions occur in.
+
+    Scale posture: mentions join back to turns on (conv_id, turn_idx) — an
+    equi-join both sides of which are partitioned by the same compound key
+    (no hot key: conversations are bounded); the timeline itself is ONE
+    map-side-combinable hash aggregate on ``ent`` (min/max/count all have
+    partial aggregates; the two distinct counts expand to a two-level
+    aggregate, still map-side combined per group). AQE splits hot-entity
+    skew on the final exchange.
+    """
+    ments = _linked_mentions(turns).select("conv_id", "turn_idx", "ent")
+    withts = ments.join(turns.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
+    return withts.groupBy("ent").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.countDistinct("conv_id", "turn_idx").alias("n_turns"),
+    )
+
+
+#: pronoun alternation shared verbatim with the DuckDB oracle (all-ASCII, so
+#: RE2's ASCII-only \b and Java's \b agree; alternatives are whole words
+#: bounded by \b, so alternation-order semantics cannot differ either)
+PRONOUN_RE = r"\b(it|they|this|that|these|those)\b"
+
+
+def pronoun_antecedents(turns: DataFrame) -> DataFrame:
+    """Coreference-lite: for every turn that contains a bare pronoun, bind
+    it to the most recent entity mention in any EARLIER turn of the same
+    conversation (classic recency heuristic — the deterministic stand-in
+    for a learned coref model, and the mention-stage enrichment a
+    transcripts→KG pipeline needs so pronoun-only turns still attach to an
+    entity).
+
+    "Most recent" is exact: mentions are ordered within a turn by
+    (sent_idx, pos) — subject before object within a sentence — and the
+    per-turn last mention is reduced with a single-string ``max`` over a
+    zero-padded sort key (hash-aggregatable; ``max(struct)`` would force a
+    SortAggregate). The antecedent is then ``last(…, ignorenulls)`` over
+    the conversation's preceding turns.
+
+    Output: (conv_id, turn_idx, n_pronouns, antecedent) for turns with ≥1
+    pronoun; ``antecedent`` NULL when no prior mention exists (a turn-0
+    pronoun) — kept, because the unresolved-pronoun rate is itself a
+    corpus-quality signal.
+
+    Scale posture: one (conv_id, turn_idx) hash aggregate over mentions,
+    one per-conversation window (bounded partitions — conversations are
+    short), no joins against anything corpus-sized except the mention
+    frame itself. All JVM expressions.
+    """
+    ments = _linked_mentions(turns)
+    # within-turn recency key: sent_idx (≤ 6 digits) then pos (1 digit),
+    # then '|' + entity — fixed 8-char prefix, so the entity substring
+    # starts at 9 regardless of content
+    enc = F.concat(
+        F.lpad(F.col("sent_idx").cast("string"), 6, "0"),
+        F.col("pos").cast("string"),
+        F.lit("|"),
+        F.col("ent"),
+    )
+    last_in_turn = ments.groupBy("conv_id", "turn_idx").agg(F.max(enc).alias("enc"))
+    t = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.regexp_count(F.lower(F.col("text")), F.lit(PRONOUN_RE)).alias("n_pronouns"),
+    ).join(last_in_turn, ["conv_id", "turn_idx"], "left")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.withColumn("prev_enc", F.last("enc", ignorenulls=True).over(w))
+        .filter(F.col("n_pronouns") > 0)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("n_pronouns").cast("long").alias("n_pronouns"),
+            F.expr("substr(prev_enc, 9)").alias("antecedent"),
         )
     )

@@ -383,3 +383,79 @@ JOIN pec eb ON eb.ent = ppairs.ent_b
 CROSS JOIN pg
 """
     )
+
+
+#: turn-indexed mention CTEs shared by the timeline / coref oracles —
+#: mirrors mentions.mention_surfaces (subject rows for every parsed form,
+#: object rows for relations, norm <> '' filter, (sent_idx, pos) order key)
+#: + the transcripts._linked_mentions entity key coalesce(res, norm)
+_CMENT_CTES = """
+cment AS (
+  SELECT conv_id, turn_idx, sent_idx, 0 AS pos, subj_norm AS norm, subj_res AS res FROM linked
+  UNION ALL
+  SELECT conv_id, turn_idx, sent_idx, 1, obj_norm, obj_res FROM linked
+  WHERE form = 'relation' AND obj_norm IS NOT NULL
+),
+cm AS (SELECT *, coalesce(res, norm) AS ent FROM cment WHERE norm <> '')
+"""
+
+
+def entity_timeline_sql() -> str:
+    """Oracle for chat_entity_timeline: per-entity first/last mention
+    timestamp + mention breadth, from the shared turn-indexed mention CTE
+    joined back to the turns for ts."""
+    return (
+        "WITH RECURSIVE "
+        + _base_ctes()
+        + ","
+        + _CMENT_CTES
+        + """,
+ct AS (
+  SELECT cm.conv_id, cm.turn_idx, cm.ent, tr.ts
+  FROM cm JOIN tr ON tr.conv_id = cm.conv_id AND tr.turn_idx = cm.turn_idx
+)
+SELECT ent, min(ts) AS first_ts, max(ts) AS last_ts,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(DISTINCT (conv_id, turn_idx)) AS BIGINT) AS n_turns
+FROM ct GROUP BY ent
+"""
+    )
+
+
+def pronoun_antecedents_sql() -> str:
+    """Oracle for chat_pronoun_coref: most-recent-prior-turn entity binding
+    for pronoun-bearing turns (window last_value IGNORE NULLS mirror of the
+    Spark window; the per-turn recency reduce is the same zero-padded
+    single-string max)."""
+    from rdfcmap_spark.operators.transcripts import PRONOUN_RE
+
+    return (
+        "WITH RECURSIVE "
+        + _base_ctes()
+        + ","
+        + _CMENT_CTES
+        + f""",
+cmx AS (
+  SELECT conv_id, turn_idx,
+         max(lpad(CAST(sent_idx AS VARCHAR), 6, '0') || CAST(pos AS VARCHAR) || '|' || ent) AS enc
+  FROM cm GROUP BY conv_id, turn_idx
+),
+pt AS (
+  SELECT tr.conv_id, tr.turn_idx,
+         len(regexp_extract_all(lower(tr.text), '{PRONOUN_RE}')) AS n_pronouns,
+         cmx.enc
+  FROM tr LEFT JOIN cmx USING (conv_id, turn_idx)
+),
+pw AS (
+  SELECT conv_id, turn_idx, n_pronouns,
+         last_value(enc IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_enc
+  FROM pt
+)
+SELECT conv_id, turn_idx, CAST(n_pronouns AS BIGINT) AS n_pronouns,
+       substr(prev_enc, 9) AS antecedent
+FROM pw WHERE n_pronouns > 0
+"""
+    )

@@ -141,3 +141,94 @@ def test_pack_concat_chunk_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def _md5(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_khop_sample_deterministic_fanout(spark):
+    from rdfcmap_spark.operators.graph import khop_sample
+
+    und = [("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"), ("b", "f")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    ).repartition(4)
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {(r["seed"], r["node"]): r["hop"] for r in khop_sample(edges, seeds, (2, 1)).collect()}
+
+    # python mirror of the hash ranking
+    adj = {}
+    for x, y in und + [(y, x) for x, y in und]:
+        adj.setdefault(x, []).append(y)
+    h1 = sorted(adj["a"], key=lambda d: (_md5(f"a|a|{d}"), d))[:2]
+    expect = {("a", "a"): 0, **{(("a", n)): 1 for n in h1}}
+    visited = {"a", *h1}
+    h2 = set()
+    for p in h1:
+        for n in sorted(adj.get(p, []), key=lambda d: (_md5(f"a|{p}|{d}"), d))[:1]:
+            if n not in visited:
+                h2.add(n)
+    for n in h2:
+        expect[("a", n)] = 2
+    assert got == expect
+
+
+def test_khop_sample_first_hop_wins(spark):
+    """A node sampled at hop 1 is not re-emitted at hop 2."""
+    from rdfcmap_spark.operators.graph import khop_sample
+
+    edges = spark.createDataFrame(
+        [("s", "x"), ("s", "y"), ("x", "y"), ("y", "z")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    rows = khop_sample(edges, seeds, (5, 5)).collect()
+    per_node = {}
+    for r in rows:
+        per_node.setdefault((r["seed"], r["node"]), []).append(r["hop"])
+    assert all(len(h) == 1 for h in per_node.values())
+    assert per_node[("s", "x")] == [1] and per_node[("s", "y")] == [1]
+    assert per_node[("s", "z")] == [2]
+
+
+def test_dense_ordinal_is_sorted_rank(spark):
+    from rdfcmap_spark.operators.traindata import dense_ordinal
+
+    vals = [f"e{i:03d}" for i in range(97)]
+    import random
+
+    shuffled = vals[:]
+    random.Random(7).shuffle(shuffled)
+    df = spark.createDataFrame([(v,) for v in shuffled], "ent string").repartition(9)
+    got = {r["ent"]: r["idx"] for r in dense_ordinal(df, "ent", n_parts=5).collect()}
+    assert got == {v: i + 1 for i, v in enumerate(sorted(vals))}
+
+
+def test_kg_negatives_hand_computed(spark):
+    from rdfcmap_spark.operators.traindata import kg_negatives
+
+    trips = [
+        ("a", "knows", "b"),
+        ("a", "knows", "c"),
+        ("b", "likes", "c"),
+        ("c", "knows", "a"),
+    ]
+    t = spark.createDataFrame(trips, "subj string, pred string, obj string").repartition(3)
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["neg_i"]): r["neg_obj"]
+        for r in kg_negatives(t, k=3).collect()
+    }
+
+    ents = sorted({s for s, _, _ in trips} | {o for _, _, o in trips})
+    true = set(trips)
+    expect = {}
+    for s, p, o in trips:
+        for i in range(1, 4):
+            idx = int(_md5(f"{s}|{p}|{o}:neg{i}")[:6], 16) % len(ents) + 1
+            neg = ents[idx - 1]
+            if neg != o and (s, p, neg) not in true:
+                expect[(s, p, o, i)] = neg
+    assert got == expect
+    assert len(expect) > 0

@@ -194,3 +194,54 @@ def test_entity_pmi_hand_computed(spark):
     dg = got[("delta", "gamma")]
     assert (dg["n_pair"], dg["n_a"], dg["n_b"]) == (1, 1, 2)
     assert dg["pmi"] == round(math.log(3 / 2), 6)
+
+
+def test_entity_timeline_hand_computed(spark):
+    from datetime import datetime
+
+    rows = [
+        ("A", 0, "user", "«alpha» relates to «beta».", "", _TS),
+        ("A", 1, "user", "«alpha» relates to «gamma».", "", _TS.replace(minute=5)),
+        ("B", 0, "user", "«beta» relates to «gamma».", "", _TS.replace(hour=1)),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).repartition(3)
+    out = {r["ent"]: r for r in transcripts.entity_timeline(turns).collect()}
+    assert set(out) == {"alpha", "beta", "gamma"}
+    a = out["alpha"]
+    assert (a["n_mentions"], a["n_convs"], a["n_turns"]) == (2, 1, 2)
+    assert a["first_ts"].replace(tzinfo=None) == datetime(2026, 1, 1, 0, 0)
+    assert a["last_ts"].replace(tzinfo=None) == datetime(2026, 1, 1, 0, 5)
+    b = out["beta"]
+    assert (b["n_mentions"], b["n_convs"], b["n_turns"]) == (2, 2, 2)
+    assert b["last_ts"].replace(tzinfo=None) == datetime(2026, 1, 1, 1, 0)
+    g = out["gamma"]
+    assert g["first_ts"].replace(tzinfo=None) == datetime(2026, 1, 1, 0, 5)
+
+
+def test_pronoun_antecedents_recency(spark):
+    rows = [
+        # turn 0 mentions alpha (subj) then beta (obj) — beta is most recent
+        ("A", 0, "user", "«alpha» relates to «beta».", "", _TS),
+        # two pronouns, no mentions of its own -> binds to beta
+        ("A", 1, "assistant", "ok note that it works.", "", _TS.replace(minute=1)),
+        # pronoun + fresh mentions; antecedent still from EARLIER turns (beta)
+        ("A", 2, "user", "«gamma» relates to «delta». and this too.", "", _TS.replace(minute=2)),
+        # binds to delta (turn 2's object, most recent prior mention)
+        ("A", 3, "user", "they said so.", "", _TS.replace(minute=3)),
+        # pronoun at turn 0 of its conversation: unresolved (NULL antecedent)
+        ("B", 0, "user", "this is odd.", "", _TS),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).repartition(4)
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in transcripts.pronoun_antecedents(turns).collect()
+    }
+    assert set(out) == {("A", 1), ("A", 2), ("A", 3), ("B", 0)}
+    assert (out[("A", 1)]["n_pronouns"], out[("A", 1)]["antecedent"]) == (2, "beta")
+    assert (out[("A", 2)]["n_pronouns"], out[("A", 2)]["antecedent"]) == (1, "beta")
+    assert (out[("A", 3)]["n_pronouns"], out[("A", 3)]["antecedent"]) == (1, "delta")
+    assert out[("B", 0)]["antecedent"] is None
