@@ -112,6 +112,12 @@ def _kg_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.triples
 
 
+def _kg_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdfcmap_spark.plans.pipeline import triple_support
+
+    return triple_support(_synth_transcripts(spark, sf_dir))
+
+
 def _synth_identity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sameAs ∪ shared-identifier star edges from the synthetic transcripts
     (the pipeline's exact identity-edge derivation, shared by the
@@ -1564,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_results_xml": lambda s, d: _results_serialized(s, d, "xml"),
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
+        "kg_triple_support": _kg_triple_support,
         "kg_canonical_mapping": _kg_canonical_mapping,
         "kg_incremental_canon": _kg_incremental_canon,
         "kg_staged_resume": _kg_staged_resume,
@@ -2887,6 +2894,7 @@ SELECT subj, pred, lex, conv_id, turn_idx FROM a4
     from rdfcmap_spark import oracle as _oracle
 
     sql["kg_pipeline_full"] = _oracle.pipeline_full_sql()
+    sql["kg_triple_support"] = _oracle.triple_support_sql()
     sql["kg_staged_resume"] = _oracle.pipeline_full_sql()
     sql["kg_ttl_roundtrip"] = _oracle.ttl_roundtrip_sql()
     # --noprefixes writer must round-trip to the same triple set

@@ -404,15 +404,23 @@ def connected_components(
     return connected_components_with_count(edges, max_iter, driver_threshold)[0]
 
 
-def rewrite_triples(
+def rewritten_candidates(
     triples: DataFrame,
     mapping: DataFrame,
     n_mapping: int | None = None,
     compact_shuffle: bool = False,
-) -> DataFrame:
-    """Rewrite subj and obj_iri through the canonical mapping, then enforce
-    RDF set semantics (dropDuplicates on the triple key, keeping the min
-    provenance — deterministic).
+):
+    """The canonical-rewrite candidate stream BEFORE set-semantics dedup.
+
+    Returns ``(out, key, (d_iri, d_kind, d_dt))``: ``out`` is the rewritten
+    per-mention triple stream with (possibly codec-encoded) columns
+    [subj_b, pred, kind_t, obj_b, obj_lexical, dt_b, conv_id, turn_idx],
+    ``key`` the encoded triple-key column names, and the third element the
+    decoders back to TRIPLES columns. Shared head of
+    :func:`rewrite_triples` (min-provenance set dedup) and
+    :func:`rdfcmap_spark.plans.pipeline.triple_support` (evidence counts) —
+    one implementation of the join strategy and the kind/identity
+    invariant.
 
     The mapping (merged entities only) usually sits right at the 10MB
     auto-broadcast threshold, where AQE would fall back to two full
@@ -503,6 +511,25 @@ def rewrite_triples(
         )
     )
     key = ["subj_b", "pred", "kind_t", "obj_b", "obj_lexical", "dt_b"]
+    return out, key, (d_iri, d_kind, d_dt)
+
+
+def rewrite_triples(
+    triples: DataFrame,
+    mapping: DataFrame,
+    n_mapping: int | None = None,
+    compact_shuffle: bool = False,
+) -> DataFrame:
+    """Rewrite subj and obj_iri through the canonical mapping, then enforce
+    RDF set semantics (dropDuplicates on the triple key, keeping the min
+    provenance — deterministic). Candidate construction (join strategy,
+    size-gated broadcast, codecs, kind/identity invariant) lives in
+    :func:`rewritten_candidates`; this function is that stream plus the
+    tuned min-provenance set-semantics aggregate.
+    """
+    out, key, (d_iri, d_kind, d_dt) = rewritten_candidates(
+        triples, mapping, n_mapping=n_mapping, compact_shuffle=compact_shuffle
+    )
     # provenance min as ONE sortable string: min(struct(...)) is not
     # hash-aggregatable — Spark plans SortAggregate on BOTH sides of the
     # shuffle, fully sorting the wide 6-string-column stream twice (the

@@ -459,3 +459,19 @@ SELECT conv_id, turn_idx, CAST(n_pronouns AS BIGINT) AS n_pronouns,
 FROM pw WHERE n_pronouns > 0
 """
     )
+
+
+def triple_support_sql() -> str:
+    """Oracle for kg_triple_support: distinct-provenance evidence counts
+    over the pre-dedup canonical-rewrite stream (the ``rew`` CTE)."""
+    return (
+        "WITH RECURSIVE "
+        + _base_ctes()
+        + """
+SELECT subj, pred, obj_kind, obj_iri, obj_lexical, obj_datatype,
+       CAST(count(DISTINCT (conv_id, coalesce(turn_idx, -1))) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM rew
+GROUP BY subj, pred, obj_kind, obj_iri, obj_lexical, obj_datatype
+"""
+    )

@@ -90,6 +90,43 @@ def linked_sentences(transcripts: DataFrame, alias: DataFrame) -> DataFrame:
     return out
 
 
+def identity_inputs(sent: DataFrame, checkpoint: bool = True):
+    """(sameas, idents) — the identity families that feed canonicalization,
+    not the output model. ONE scan of the 2 GB-per-2M-turn sentence
+    checkpoint extracts BOTH into a tiny (kind, a, b) frame, checkpointed so
+    the CC machinery's actions (gate count, edge materialization) never
+    touch the wide stream again — materializing sameas and idents separately
+    was two full checkpoint scans (stage-probe measured, 8->32 scaling
+    work)."""
+    lit_token = F.concat(F.lit('"'), F.col("lex"), F.lit('"^^xsd:'), F.col("dt_local"))
+    obj_lex, _, lex_valid = literal_cols(lit_token)
+    is_sameas = (
+        (F.col("form") == "relation")
+        & F.col("obj_entity").isNotNull()
+        & (F.col("pred_iri") == vocab.OWL_SAME_AS)
+    )
+    is_ident = (
+        (F.col("form") == "literal")
+        & (F.col("pred_iri") == vocab.DCT + "identifier")
+        & F.coalesce(lex_valid, F.lit(False))
+    )
+    ident_pre = (
+        sent.select(
+            F.when(is_sameas, F.lit("sameas")).when(is_ident, F.lit("ident")).alias("kind"),
+            F.col("subj_entity").alias("a"),
+            F.when(is_sameas, F.col("obj_entity")).otherwise(obj_lex).alias("b"),
+        )
+        .filter(F.col("kind").isNotNull())
+    )
+    if checkpoint:
+        ident_pre = ident_pre.localCheckpoint()
+    sameas = ident_pre.filter(F.col("kind") == "sameas").select("a", "b")
+    idents = ident_pre.filter(F.col("kind") == "ident").select(
+        F.col("a").alias("entity_id"), F.col("b").alias("value")
+    )
+    return sameas, idents
+
+
 def run_pipeline(
     transcripts: DataFrame,
     alias: DataFrame | None = None,
@@ -141,38 +178,7 @@ def run_pipeline(
     # (per-mention emission + final dedup is set-identical).
     triples = assembly.sentence_triples(sent)
 
-    # --- identity inputs (feed canonicalization, not the output model).
-    # ONE scan of the 2 GB-per-2M-turn sentence checkpoint extracts BOTH
-    # identity families into a tiny (kind, a, b) frame, checkpointed so the
-    # CC machinery's actions (gate count, edge materialization) never touch
-    # the wide stream again — materializing sameas and idents separately was
-    # two full checkpoint scans (stage-probe measured, 8->32 scaling work).
-    lit_token = F.concat(F.lit('"'), F.col("lex"), F.lit('"^^xsd:'), F.col("dt_local"))
-    obj_lex, _, lex_valid = literal_cols(lit_token)
-    is_sameas = (
-        (F.col("form") == "relation")
-        & F.col("obj_entity").isNotNull()
-        & (F.col("pred_iri") == vocab.OWL_SAME_AS)
-    )
-    is_ident = (
-        (F.col("form") == "literal")
-        & (F.col("pred_iri") == vocab.DCT + "identifier")
-        & F.coalesce(lex_valid, F.lit(False))
-    )
-    ident_pre = (
-        sent.select(
-            F.when(is_sameas, F.lit("sameas")).when(is_ident, F.lit("ident")).alias("kind"),
-            F.col("subj_entity").alias("a"),
-            F.when(is_sameas, F.col("obj_entity")).otherwise(obj_lex).alias("b"),
-        )
-        .filter(F.col("kind").isNotNull())
-    )
-    if checkpoint:
-        ident_pre = ident_pre.localCheckpoint()
-    sameas = ident_pre.filter(F.col("kind") == "sameas").select("a", "b")
-    idents = ident_pre.filter(F.col("kind") == "ident").select(
-        F.col("a").alias("entity_id"), F.col("b").alias("value")
-    )
+    sameas, idents = identity_inputs(sent, checkpoint=checkpoint)
 
     metrics: dict = {}
     if with_canonicalization:
@@ -220,3 +226,61 @@ def pipeline_metrics(transcripts: DataFrame, alias: DataFrame | None = None) -> 
         ),
     ).collect()[0]
     return row.asDict()
+
+
+def triple_support(
+    transcripts: DataFrame,
+    alias: DataFrame | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Evidence counts per canonical triple — the confidence signal a
+    corpus-built KG needs for downstream edge pruning and conflict
+    resolution (no reference counterpart: one CXL map is one witness; at
+    10^12 turns the same canonical triple is asserted by many independent
+    conversations, and how many is the signal).
+
+    Output: the TRIPLES key columns + ``n_turns`` (distinct supporting
+    (conv_id, turn_idx) provenances) + ``n_convs`` (distinct supporting
+    conversations). Counts are DISTINCT-provenance — robust to the
+    candidate stream's per-mention emission multiplicity, and exactly
+    mirrorable over the oracle's ``rew`` CTE.
+
+    Scale posture: identical to the flagship pipeline up to the rewrite
+    (shuffle-free extract/link/assemble, CC over identity edges only,
+    size-gated broadcast rewrite joins via
+    :func:`~rdfcmap_spark.operators.canonicalize.rewritten_candidates`);
+    the counting itself is ONE hash aggregate on the triple key (the two
+    distinct counts expand ×3 with map-side partial aggregation — no
+    sort, no window). The candidate stream is touched exactly once.
+    """
+    spark = transcripts.sparkSession
+    alias = alias if alias is not None else linking.resolved_alias_df(spark)
+    sent = linked_sentences(transcripts, alias).drop("phrase", "phrase_norm", "obj_bnode")
+    if checkpoint:
+        from pyspark import StorageLevel
+
+        sent = sent.persist(StorageLevel.MEMORY_AND_DISK)
+        sent.count()
+    triples = assembly.sentence_triples(sent)
+    sameas, idents = identity_inputs(sent, checkpoint=checkpoint)
+    edges = canonicalize.identity_edges(sameas, idents)
+    mapping, n_mapping = canonicalize.connected_components_with_count(edges)
+    out, key, (d_iri, d_kind, d_dt) = canonicalize.rewritten_candidates(
+        triples, mapping, n_mapping=n_mapping
+    )
+    agg = out.groupBy(*key).agg(
+        F.countDistinct(
+            F.col("conv_id"), F.coalesce(F.col("turn_idx"), F.lit(-1))
+        ).alias("n_turns"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+    return agg.select(
+        d_iri(F.col("subj_b")).alias("subj"),
+        F.col("pred"),
+        d_kind(F.col("kind_t")).alias("obj_kind"),
+        d_iri(F.col("obj_b")).alias("obj_iri"),
+        F.col("obj_lexical"),
+        d_dt(F.col("dt_b")).alias("obj_datatype"),
+        "n_turns",
+        "n_convs",
+    )

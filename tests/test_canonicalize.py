@@ -295,3 +295,47 @@ def test_rewrite_unbnodes_objects_canonicalized_to_named_nodes(spark):
     assert out["urn:uuid:s1"] == ("iri", "http://qudt.org/vocab/unit#DEG_C-Individual")
     assert out["urn:uuid:s2"] == ("bnode", "urn:uuid:canon-anon")
     assert out["urn:uuid:s3"] == ("iri", "http://qudt.org/vocab/unit#DEG_C-Individual")
+
+
+def test_triple_support_counts_cross_conv_evidence(spark):
+    """Two conversations assert the same facts about an identifier-merged
+    entity; a third asserts a conv-local fact. Support counts by hand."""
+    from datetime import datetime
+
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.ids import name_uuid
+    from rdfcmap_spark.plans.pipeline import triple_support
+
+    ts = datetime(2026, 1, 1)
+    rows = [
+        ("A", 0, "user", '«widget» has identifier "X-1"^^xsd:string.', "", ts),
+        ("A", 1, "user", '«widget» has value "42"^^xsd:integer.', "", ts),
+        ("B", 0, "user", '«widget» has identifier "X-1"^^xsd:string.', "", ts),
+        ("B", 1, "user", '«widget» has value "42"^^xsd:integer.', "", ts),
+        ("C", 0, "user", "«gadget» relates to «widget».", "", ts),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).repartition(3)
+    got = {
+        (r["subj"], r["pred"], r["obj_kind"], r["obj_iri"], r["obj_lexical"]): (
+            r["n_turns"],
+            r["n_convs"],
+        )
+        for r in triple_support(turns, checkpoint=False).collect()
+    }
+
+    eids = {c: "urn:uuid:" + name_uuid(f"ent|{c}|widget") for c in "ABC"}
+    canon = min(eids["A"], eids["B"])  # identifier-star merge of A and B only
+    # identifier + value literals: one turn per conversation, two convs
+    ident_key = (canon, vocab.DCT + "identifier", "literal", None, "X-1")
+    assert got[ident_key] == (2, 2)
+    val = [k for k in got if k[0] == canon and k[4] == "42"]
+    assert len(val) == 1 and got[val[0]] == (2, 2)
+    # entity-declaration family carries NULL turn provenance -> one distinct
+    # (conv, -1) per conversation
+    type_key = (canon, vocab.RDF_TYPE, "iri", vocab.OWL_NAMED_INDIVIDUAL, None)
+    assert got[type_key] == (2, 2)
+    # C's widget did NOT merge (no shared identifier); its type triple is
+    # conv-local evidence
+    assert got[(eids["C"], vocab.RDF_TYPE, "iri", vocab.OWL_NAMED_INDIVIDUAL, None)] == (1, 1)
