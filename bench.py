@@ -61,6 +61,11 @@ SECONDARY = [
     "kg_sparql_agg",
     "text_lm_score",
     "kg_pagerank",
+    "kg_triple_support",
+    "kg_khop_sample",
+    "data_kg_negatives",
+    "chat_entity_timeline",
+    "chat_pronoun_coref",
 ]
 
 

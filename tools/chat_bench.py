@@ -38,7 +38,16 @@ QUERIES = {
     "chat_quality": T.conv_quality,
     "chat_dup_groups": T.conv_dup_groups,
     "chat_entity_pmi": T.entity_pmi,
+    "chat_entity_timeline": T.entity_timeline,
+    "chat_pronoun_coref": T.pronoun_antecedents,
+    "kg_triple_support": None,  # resolved lazily (plans import)
 }
+
+
+def _triple_support(df):
+    from rdfcmap_spark.plans.pipeline import triple_support
+
+    return triple_support(df)
 
 
 def consume(df) -> int:
@@ -68,8 +77,9 @@ def main() -> None:
     rows: dict[str, int] = {}
     t_all = time.perf_counter()
     for name in subset:
+        fn = QUERIES[name] or _triple_support
         t0 = time.perf_counter()
-        rows[name] = consume(QUERIES[name](turns))
+        rows[name] = consume(fn(turns))
         out[name] = round(time.perf_counter() - t0, 3)
         print(f"{name}: {out[name]} s, {rows[name]} rows", file=sys.stderr)
     print(
