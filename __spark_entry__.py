@@ -1525,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_g2_shortest_path": lambda s, d: relational.g2_shortest_paths(load(s, d, "events")),
         "kg_pagerank": lambda s, d: relational.entity_pagerank(load(s, d, "events")),
         "kg_khop_sample": lambda s, d: relational.khop_neighborhood(load(s, d, "events")),
+        "kg_triangle_count": lambda s, d: relational.part_triangle_count(load(s, d, "lineitem")),
         "data_kg_negatives": lambda s, d: relational.kg_triple_negatives(load(s, d, "events")),
         "kg_g4_hierarchy_level": lambda s, d: relational.g4_hierarchy_levels(s),
         "kg_x4_long_comments": lambda s, d: relational.x4_long_comments(load(s, d, "part")),
@@ -2110,6 +2111,42 @@ n2f AS (
 SELECT seed, node, CAST(hop AS INTEGER) AS hop FROM v1
 UNION ALL
 SELECT seed, node, CAST(hop AS INTEGER) AS hop FROM n2f
+"""
+
+    # kg_triangle_count: degree-oriented triangle counting over the part
+    # co-purchase graph — orientation rank is the same zero-padded
+    # (deg, node) string; each triangle counted once at its lowest corner,
+    # then fanned to all three corners
+    sql["kg_triangle_count"] = r"""
+WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+),
+nodes AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT node, count(*) AS deg FROM nodes GROUP BY node),
+dr AS (SELECT node, lpad(CAST(deg AS VARCHAR), 12, '0') || '|' || CAST(node AS VARCHAR) AS rk FROM deg),
+o AS (
+  SELECT CASE WHEN da.rk < db.rk THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.rk < db.rk THEN e.b ELSE e.a END AS v,
+         CASE WHEN da.rk < db.rk THEN db.rk ELSE da.rk END AS rkv
+  FROM e JOIN dr da ON da.node = e.a JOIN dr db ON db.node = e.b
+),
+wedges AS (
+  SELECT x.u AS wu, x.v AS wv, y.v AS ww
+  FROM o x JOIN o y ON x.u = y.u AND x.rkv < y.rkv
+),
+tri AS (
+  SELECT w.wu, w.wv, w.ww
+  FROM wedges w JOIN o c ON c.u = w.wv AND c.v = w.ww
+),
+corners AS (
+  SELECT wu AS node FROM tri
+  UNION ALL SELECT wv FROM tri
+  UNION ALL SELECT ww FROM tri
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
 """
 
     # data_kg_negatives: filtered negative sampling over the typed identity

@@ -329,3 +329,63 @@ def khop_sample(
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph
+    ``edges(a, b)`` — the local clustering signal for KG quality audits
+    (no reference counterpart: corpus-scale graph statistics).
+
+    Node-iterator++ with DEGREE ORIENTATION: every undirected edge is
+    directed from its lower-(degree, node) endpoint to the higher one, so
+    each triangle is counted exactly once (at its lowest-rank corner) and
+    — the scale property — the out-degree of every node is O(√m) on ANY
+    graph, bounding the wedge-join mass by m^1.5 instead of Σ deg² (a
+    mega-hub contributes almost no wedges because nearly all its edges
+    point INTO it). The rank is a single zero-padded string (deg, node) —
+    plain column comparisons, engine-portable, no struct ordering.
+
+    Plan: two shuffles to build degrees/orientation, one self-join on the
+    wedge apex (bounded by orientation), one closing-edge equi-join, one
+    count aggregate. AQE handles residual skew on the apex key.
+
+    Output: (node, n_triangles) for nodes in ≥1 triangle.
+    """
+    und = (
+        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = und.select(F.col("a").alias("node")).unionByName(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    rk = F.concat(
+        F.lpad(F.col("deg").cast("string"), 12, "0"),
+        F.lit("|"),
+        F.col("node").cast("string"),
+    )
+    dr = deg.select("node", rk.alias("rk"))
+    j = (
+        und.join(dr.select(F.col("node").alias("a"), F.col("rk").alias("rka")), "a")
+        .join(dr.select(F.col("node").alias("b"), F.col("rk").alias("rkb")), "b")
+    )
+    lo_first = F.col("rka") < F.col("rkb")
+    o = j.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.col("rkb")).otherwise(F.col("rka")).alias("rkv"),
+    )
+    x = o.select(F.col("u").alias("wu"), F.col("v").alias("wv"), F.col("rkv").alias("wrk"))
+    y = o.select(F.col("u").alias("yu"), F.col("v").alias("ww"), F.col("rkv").alias("yrk"))
+    wedges = x.join(
+        y, (F.col("wu") == F.col("yu")) & (F.col("wrk") < F.col("yrk"))
+    ).select("wu", "wv", "ww")
+    closing = o.select(F.col("u").alias("wv"), F.col("v").alias("ww"))
+    tri = wedges.join(closing, ["wv", "ww"])
+    corners = (
+        tri.select(F.col("wu").alias("node"))
+        .unionByName(tri.select(F.col("wv").alias("node")))
+        .unionByName(tri.select(F.col("ww").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

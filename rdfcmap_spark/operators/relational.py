@@ -698,3 +698,27 @@ def kg_triple_negatives(events: DataFrame, k: int = 3) -> DataFrame:
     from rdfcmap_spark.operators.traindata import kg_negatives
 
     return kg_negatives(typed_identity_triples(events), k=k)
+
+
+def part_triangle_count(lineitem: DataFrame) -> DataFrame:
+    """Triangle counts over the part co-purchase graph (parts linked when
+    they appear in the same order — per-order pair fan-out is bounded by
+    the ≤7-lineitem order shape, never corpus-quadratic) — see
+    :func:`rdfcmap_spark.operators.graph.triangle_count` for the
+    degree-oriented counting."""
+    from rdfcmap_spark.operators.graph import triangle_count
+
+    pp = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    b = pp.select(F.col("ok"), F.col("pk").alias("pk2"))
+    edges = (
+        pp.join(b, "ok")
+        .filter(F.col("pk") < F.col("pk2"))
+        .select(F.col("pk").alias("a"), F.col("pk2").alias("b"))
+        .distinct()
+    )
+    return triangle_count(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )

@@ -232,3 +232,27 @@ def test_kg_negatives_hand_computed(spark):
                 expect[(s, p, o, i)] = neg
     assert got == expect
     assert len(expect) > 0
+
+
+def test_triangle_count_hand_built(spark):
+    from rdfcmap_spark.operators.graph import triangle_count
+
+    # K4 minus edge cd -> triangles abc, abd; reversed duplicates and a
+    # self-loop must be canonicalized away; star h-x* contributes nothing
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("e", "e"),
+        ("h", "x1"), ("h", "x2"), ("h", "x3"), ("h", "x4"), ("h", "x5"),
+    ]
+    df = spark.createDataFrame(edges, "a string, b string").repartition(4)
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_triangle_count_k4(spark):
+    from rdfcmap_spark.operators.graph import triangle_count
+
+    edges = [(x, y) for x in "abcd" for y in "abcd" if x < y]
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {c: 3 for c in "abcd"}
