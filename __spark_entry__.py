@@ -96,6 +96,57 @@ def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(TRANSCRIPTS_ORACLE_PATH)
 
 
+def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once JSONL twin of the transcripts fixture (same params/
+    staging/rename discipline as _synth_transcripts), for the JSONL
+    ingest round-trip query and its DuckDB read_json oracle."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from rdfcmap_spark.oracle import TRANSCRIPTS_ORACLE_PATH
+    from rdfcmap_spark.sources.jsonl import write_transcripts_jsonl
+    from rdfcmap_spark.synth import SYNTH_VERSION
+
+    path = TRANSCRIPTS_ORACLE_PATH + "-jsonl"
+    sf = _sf_of(sf_dir)
+    n_convs = max(8, int(400 * sf))
+    params = json.dumps({"n_convs": n_convs, "turns": 8, "ver": SYNTH_VERSION})
+    # marker deliberately NOT named *.json — the oracle's read_json glob
+    # must see only the data shards
+    marker = os.path.join(path, "_PARAMS")
+    try:
+        with open(marker) as fh:
+            if fh.read() == params:
+                return path
+    except OSError:
+        pass
+    turns = _synth_transcripts(spark, sf_dir)
+    staging = path + ".staging-" + uuid.uuid4().hex
+    write_transcripts_jsonl(turns, staging)
+    with open(os.path.join(staging, "_PARAMS"), "w") as fh:
+        fh.write(params)
+    old = path + ".old-" + uuid.uuid4().hex
+    try:
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    return path
+
+
+def _kg_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdfcmap_spark.sources.jsonl import read_transcripts_jsonl, split_quarantine
+
+    good, _bad = split_quarantine(
+        read_transcripts_jsonl(spark, _jsonl_fixture(spark, sf_dir))
+    )
+    return good
+
+
 def _lsh_verified(docs: DataFrame) -> DataFrame:
     """LSH candidates + exact-Jaccard verify. The shingle frame is
     recomputed per consumer BY DESIGN: persisting it was A/B'd at 500k docs
@@ -1572,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_triple_support": _kg_triple_support,
+        "kg_jsonl_roundtrip": _kg_jsonl_roundtrip,
         "kg_canonical_mapping": _kg_canonical_mapping,
         "kg_incremental_canon": _kg_incremental_canon,
         "kg_staged_resume": _kg_staged_resume,
@@ -2932,6 +2984,17 @@ SELECT subj, pred, lex, conv_id, turn_idx FROM a4
 
     sql["kg_pipeline_full"] = _oracle.pipeline_full_sql()
     sql["kg_triple_support"] = _oracle.triple_support_sql()
+    # kg_jsonl_roundtrip: DuckDB reads the very JSONL files the Spark query
+    # wrote (same fixture contract as the transcripts parquet oracle);
+    # zone-free microsecond timestampFormat is shared so the lexical forms
+    # parse identically
+    sql["kg_jsonl_roundtrip"] = (
+        "SELECT conv_id, turn_idx, role, text, tool, ts FROM read_json('"
+        + _oracle.TRANSCRIPTS_ORACLE_PATH
+        + "-jsonl/*.json', format='newline_delimited', columns={"
+        "conv_id: 'VARCHAR', turn_idx: 'INTEGER', role: 'VARCHAR', "
+        "text: 'VARCHAR', tool: 'VARCHAR', ts: 'TIMESTAMP'})"
+    )
     sql["kg_staged_resume"] = _oracle.pipeline_full_sql()
     sql["kg_ttl_roundtrip"] = _oracle.ttl_roundtrip_sql()
     # --noprefixes writer must round-trip to the same triple set
