@@ -1577,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": lambda s, d: relational.entity_pagerank(load(s, d, "events")),
         "kg_khop_sample": lambda s, d: relational.khop_neighborhood(load(s, d, "events")),
         "kg_triangle_count": lambda s, d: relational.part_triangle_count(load(s, d, "lineitem")),
+        "kg_kcore": lambda s, d: relational.part_kcore(load(s, d, "lineitem")),
         "data_kg_negatives": lambda s, d: relational.kg_triple_negatives(load(s, d, "events")),
         "kg_g4_hierarchy_level": lambda s, d: relational.g4_hierarchy_levels(s),
         "kg_x4_long_comments": lambda s, d: relational.x4_long_comments(load(s, d, "part")),
@@ -2200,6 +2201,45 @@ corners AS (
 SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM corners GROUP BY node
 """
+
+    # kg_kcore: synchronous-peel 80-core over the near-regular part
+    # co-purchase graph (deg 42-206 at sf0.01; k=80 peels 143 nodes over a
+    # 5-round cascade — real bite),
+    # unrolled to the operator's bounded round count (12) — extra rounds
+    # after the fixed point are no-ops, so early convergence on the Spark
+    # side is result-identical
+    # every round references the prior edge CTE 3x (degree union + two
+    # semi-joins) — WITHOUT materialization DuckDB inlines the chain into
+    # 3^rounds parquet scans (observed as a too-many-open-files blowup),
+    # so each round's frames are AS MATERIALIZED
+    _kc_rounds, _kc_k = 12, 80
+    _kc_ctes = [
+        r"""kpp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+ke0 AS MATERIALIZED (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM kpp a JOIN kpp b ON a.ok = b.ok AND a.pk < b.pk
+)"""
+    ]
+    for _i in range(_kc_rounds):
+        _kc_ctes.append(
+            f"""kd{_i} AS MATERIALIZED (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM ke{_i} UNION ALL SELECT b FROM ke{_i}) GROUP BY node
+),
+kk{_i} AS MATERIALIZED (SELECT node FROM kd{_i} WHERE deg >= {_kc_k}),
+ke{_i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM ke{_i} e
+  JOIN kk{_i} ka ON ka.node = e.a JOIN kk{_i} kb ON kb.node = e.b
+)"""
+        )
+    sql["kg_kcore"] = (
+        "WITH "
+        + ",\n".join(_kc_ctes)
+        + f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg
+FROM (SELECT a AS node FROM ke{_kc_rounds} UNION ALL SELECT b FROM ke{_kc_rounds})
+GROUP BY node HAVING count(*) >= {_kc_k}"""
+    )
 
     # data_kg_negatives: filtered negative sampling over the typed identity
     # triples — entity index = row_number ORDER BY ent (the dense_ordinal

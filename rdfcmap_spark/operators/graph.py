@@ -389,3 +389,56 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .unionByName(tri.select(F.col("ww").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 12) -> DataFrame:
+    """Nodes of the k-core (maximal subgraph where every node has degree
+    ≥ k), by synchronous peeling — the dense-subgraph filter for KG
+    quality audits (peripheral entities fall away; what remains is the
+    richly-attested core). Same bounded-round determinism contract as
+    :func:`pagerank`: exactly ``rounds`` synchronous prune passes (each
+    pass removes ALL nodes currently under-degree, recomputes degrees,
+    repeats), converging early when a pass removes nothing. On any input
+    whose peel depth exceeds ``rounds`` the result is the (documented)
+    round-capped superset — callers raise ``rounds`` for pathological
+    chains; the oracle unrolls the identical count.
+
+    Scale posture: each pass is one map-side-combinable degree aggregate
+    + one semi-join of the edge list against the surviving nodes — the
+    edge frame shrinks monotonically; lineage cut with lazy
+    localCheckpoints, one materializing count per pass (the convergence
+    probe). Output: (node, deg) — the degree within the final core.
+    """
+    und = (
+        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e = und
+    n_prev = -1
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node").localCheckpoint(eager=False)
+        n = keep.count()
+        if n == n_prev:
+            break
+        n_prev = n
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= k)
+    )

@@ -700,25 +700,40 @@ def kg_triple_negatives(events: DataFrame, k: int = 3) -> DataFrame:
     return kg_negatives(typed_identity_triples(events), k=k)
 
 
-def part_triangle_count(lineitem: DataFrame) -> DataFrame:
-    """Triangle counts over the part co-purchase graph (parts linked when
-    they appear in the same order — per-order pair fan-out is bounded by
-    the ≤7-lineitem order shape, never corpus-quadratic) — see
-    :func:`rdfcmap_spark.operators.graph.triangle_count` for the
-    degree-oriented counting."""
-    from rdfcmap_spark.operators.graph import triangle_count
-
+def _part_pair_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected part co-purchase edges (parts appearing in the same
+    order) — per-order pair fan-out is bounded by the ≤7-lineitem order
+    shape, never corpus-quadratic."""
     pp = lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
     b = pp.select(F.col("ok"), F.col("pk").alias("pk2"))
-    edges = (
+    return (
         pp.join(b, "ok")
         .filter(F.col("pk") < F.col("pk2"))
         .select(F.col("pk").alias("a"), F.col("pk2").alias("b"))
         .distinct()
     )
-    return triangle_count(edges).select(
+
+
+def part_kcore(lineitem: DataFrame, k: int = 80) -> DataFrame:
+    """k-core of the part co-purchase graph — see
+    :func:`rdfcmap_spark.operators.graph.kcore`."""
+    from rdfcmap_spark.operators.graph import kcore
+
+    return kcore(_part_pair_edges(lineitem), k=k).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("deg").cast("long").alias("deg"),
+    )
+
+
+def part_triangle_count(lineitem: DataFrame) -> DataFrame:
+    """Triangle counts over the part co-purchase graph — see
+    :func:`rdfcmap_spark.operators.graph.triangle_count` for the
+    degree-oriented counting."""
+    from rdfcmap_spark.operators.graph import triangle_count
+
+    return triangle_count(_part_pair_edges(lineitem)).select(
         F.col("node").cast("long").alias("node"),
         F.col("n_triangles").cast("long").alias("n_triangles"),
     )

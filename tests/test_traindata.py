@@ -256,3 +256,16 @@ def test_triangle_count_k4(spark):
     df = spark.createDataFrame(edges, "a string, b string")
     got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert got == {c: 3 for c in "abcd"}
+
+
+def test_kcore_cascade_and_thresholds(spark):
+    from rdfcmap_spark.operators.graph import kcore
+
+    # K4 on a,b,c,d plus a pendant chain d-e-f: peeling f cascades to e
+    edges = [(x, y) for x in "abcd" for y in "abcd" if x < y] + [("d", "e"), ("e", "f")]
+    df = spark.createDataFrame(edges, "a string, b string").repartition(3)
+    got2 = {r["node"]: r["deg"] for r in kcore(df, k=2).collect()}
+    assert got2 == {"a": 3, "b": 3, "c": 3, "d": 3}
+    got3 = {r["node"]: r["deg"] for r in kcore(df, k=3).collect()}
+    assert got3 == {"a": 3, "b": 3, "c": 3, "d": 3}
+    assert kcore(df, k=4).count() == 0
