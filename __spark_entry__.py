@@ -1578,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_khop_sample": lambda s, d: relational.khop_neighborhood(load(s, d, "events")),
         "kg_triangle_count": lambda s, d: relational.part_triangle_count(load(s, d, "lineitem")),
         "kg_kcore": lambda s, d: relational.part_kcore(load(s, d, "lineitem")),
+        "kg_label_prop": lambda s, d: relational.entity_communities(load(s, d, "events")),
         "data_kg_negatives": lambda s, d: relational.kg_triple_negatives(load(s, d, "events")),
         "kg_g4_hierarchy_level": lambda s, d: relational.g4_hierarchy_levels(s),
         "kg_x4_long_comments": lambda s, d: relational.x4_long_comments(load(s, d, "part")),
@@ -2239,6 +2240,41 @@ ke{_i + 1} AS MATERIALIZED (
 SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg
 FROM (SELECT a AS node FROM ke{_kc_rounds} UNION ALL SELECT b FROM ke{_kc_rounds})
 GROUP BY node HAVING count(*) >= {_kc_k}"""
+    )
+
+    # kg_label_prop: synchronous mode-of-neighbors label propagation over
+    # the identity graph, unrolled to the operator's fixed 6 rounds
+    # (tie-break = smallest label; MATERIALIZED per round)
+    _lp_rounds = 6
+    _lp_ctes = [
+        r"""lg AS MATERIALIZED (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, 'u' || CAST(user_id AS VARCHAR) AS node FROM events
+),
+lhub AS MATERIALIZED (SELECT event_type, day, min(node) AS hub FROM lg GROUP BY event_type, day),
+le0 AS MATERIALIZED (
+  SELECT DISTINCT h.hub AS src, g.node AS dst
+  FROM lg g JOIN lhub h USING (event_type, day) WHERE g.node <> h.hub
+),
+lsym AS MATERIALIZED (SELECT src, dst FROM le0 UNION SELECT dst, src FROM le0),
+ll0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM lsym)"""
+    ]
+    for _i in range(_lp_rounds):
+        _lp_ctes.append(
+            f"""ln{_i} AS MATERIALIZED (
+  SELECT s.src AS node, l.label, count(*) AS n
+  FROM lsym s JOIN ll{_i} l ON l.node = s.dst
+  GROUP BY s.src, l.label
+),
+ll{_i + 1} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY n DESC, label ASC) AS rk
+    FROM ln{_i}
+  ) WHERE rk = 1
+)"""
+        )
+    sql["kg_label_prop"] = (
+        "WITH " + ",\n".join(_lp_ctes) + f"\nSELECT node, label FROM ll{_lp_rounds}"
     )
 
     # data_kg_negatives: filtered negative sampling over the typed identity

@@ -442,3 +442,56 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 12) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
         .filter(F.col("deg") >= k)
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 6) -> DataFrame:
+    """Synchronous label-propagation communities over an undirected graph
+    ``edges(src, dst)`` — the soft entity-clustering complement to the
+    hard connected components of canonicalization (CC merges everything
+    reachable; LPA finds densely-linked neighborhoods inside a component).
+
+    Deterministic by construction (no random visit order): every round,
+    EVERY node simultaneously adopts the most frequent label among its
+    neighbors, ties broken by the smallest label; exactly ``rounds``
+    synchronous rounds (label oscillation on bipartite structures makes
+    "run to convergence" ill-defined — the bounded-round contract is the
+    determinism contract, same as :func:`pagerank`). Labels start as the
+    node's own id.
+
+    Scale posture: each round is one join of the label frame against the
+    symmetrized edge list (shuffle on the neighbor key, AQE splits hub
+    skew) + one map-side-combinable (node, label) count + one per-node
+    window top-1 (the argmax; partition = node, bounded by degree);
+    lineage cut per round with lazy checkpoints.
+
+    Output: (node, label) after the final round.
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("n"))
+        labels = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+        labels.count()
+    return labels

@@ -737,3 +737,12 @@ def part_triangle_count(lineitem: DataFrame) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("n_triangles").cast("long").alias("n_triangles"),
     )
+
+
+def entity_communities(events: DataFrame, rounds: int = 6) -> DataFrame:
+    """Label-propagation communities over the symmetrized user-identity
+    graph (the same edge set G1/G2/PageRank walk) — see
+    :func:`rdfcmap_spark.operators.graph.label_propagation`."""
+    from rdfcmap_spark.operators.graph import label_propagation
+
+    return label_propagation(user_identity_edges(events), rounds=rounds)

@@ -269,3 +269,14 @@ def test_kcore_cascade_and_thresholds(spark):
     got3 = {r["node"]: r["deg"] for r in kcore(df, k=3).collect()}
     assert got3 == {"a": 3, "b": 3, "c": 3, "d": 3}
     assert kcore(df, k=4).count() == 0
+
+
+def test_label_propagation_splits_bridged_triangles(spark):
+    """Two triangles joined by one bridge edge: CC would merge everything;
+    LPA's fixed point keeps one community per triangle (hand-traced)."""
+    from rdfcmap_spark.operators.graph import label_propagation
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"), ("d", "f"), ("e", "f"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(3)
+    got = {r["node"]: r["label"] for r in label_propagation(df, rounds=6).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "c", "e": "c", "f": "c"}
