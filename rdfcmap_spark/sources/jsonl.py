@@ -76,3 +76,20 @@ def split_quarantine(raw: DataFrame, materialize: bool = True) -> tuple[DataFram
         F.col("_corrupt").alias("raw_line")
     )
     return good, bad
+
+
+def read_transcripts_jsonl_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Structured Streaming twin of :func:`read_transcripts_jsonl` — the
+    continuous-ingest path for JSONL conversation logs (same pushed
+    schema, corrupt-record capture and timestamp format; new files picked
+    up incrementally). Composes with the streaming triple emission and
+    watermarked dedup in :mod:`rdfcmap_spark.streaming.stream` exactly as
+    the parquet stream does — the reader is the only streaming-specific
+    piece."""
+    return (
+        spark.readStream.schema(_READ_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("timestampFormat", TS_FMT)
+        .json(path)
+    )

@@ -50,3 +50,32 @@ def test_quarantine_captures_bad_lines(spark, tmp_path):
     raw = [r["raw_line"] for r in bad.collect()]
     assert len(raw) == 2
     assert "not json" in raw[0] or "not json" in raw[1]
+
+
+def test_jsonl_stream_equals_batch(spark, tmp_path):
+    """The streaming JSONL reader yields exactly the batch reader's rows,
+    and composes with the streaming triple emission."""
+    from rdfcmap_spark.sources.jsonl import read_transcripts_jsonl_stream
+    from rdfcmap_spark.synth import transcripts_df
+
+    d = os.path.join(str(tmp_path), "logs")
+    turns = transcripts_df(spark, n_convs=4, turns_per_conv=5)
+    write_transcripts_jsonl(turns, d)
+
+    stream = read_transcripts_jsonl_stream(spark, d)
+    good_stream = stream.filter(stream["_corrupt"].isNull()).drop("_corrupt")
+    q = (
+        good_stream.writeStream.format("memory")
+        .queryName("jsonl_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("jsonl_stream")
+    batch, _ = split_quarantine(read_transcripts_jsonl(spark, d), materialize=False)
+    key = ["conv_id", "turn_idx", "role", "text", "tool"]
+    assert {tuple(r) for r in got.select(*key).collect()} == {
+        tuple(r) for r in batch.select(*key).collect()
+    }
+    assert got.count() == 20
