@@ -301,3 +301,53 @@ def test_transcripts_family_single_shuffle(spark):
     n, p = shuffles(T.tool_transitions(t))
     assert n == 2, p
     assert "Window" in p and "HashAggregate" in p and "Join" not in p
+
+
+def test_triple_support_hash_aggregate_broadcast_rewrite(spark):
+    """Evidence counting must stay HashAggregate (no min(struct)/string-min
+    SortAggregate anywhere) and probe the canonical mapping via broadcast."""
+    from rdfcmap_spark.plans.pipeline import triple_support
+
+    p = plan_of(triple_support(transcripts_df(spark, 6, 4), checkpoint=False))
+    assert "SortAggregate" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_graph_family_no_cartesian_no_nested_loop(spark):
+    """khop sampling, triangle counting, k-core, LPA: every join is an
+    equi-join (hash/sort-merge) — no cartesian or broadcast nested loop."""
+    from rdfcmap_spark.operators.graph import (
+        kcore,
+        khop_sample,
+        label_propagation,
+        triangle_count,
+    )
+
+    edges_ab = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "a string, b string"
+    )
+    edges_sd = edges_ab.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    seeds = spark.createDataFrame([("a",)], "node string")
+    for df in (
+        khop_sample(edges_sd, seeds, (2, 1)),
+        triangle_count(edges_ab),
+        kcore(edges_ab, k=2, rounds=3),
+        label_propagation(edges_sd, rounds=2),
+    ):
+        p = plan_of(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_kg_negatives_index_join_and_anti(spark):
+    """The filtered protocol is a LeftAnti on the triple key; the entity
+    index attaches by equi-join (the hash-uniform neg_idx key)."""
+    from rdfcmap_spark.operators.traindata import kg_negatives
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")], "subj string, pred string, obj string"
+    )
+    p = plan_of(kg_negatives(t, k=2))
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
