@@ -66,6 +66,9 @@ SECONDARY = [
     "data_kg_negatives",
     "chat_entity_timeline",
     "chat_pronoun_coref",
+    "kg_triangle_count",
+    "kg_kcore",
+    "kg_label_prop",
 ]
 
 
