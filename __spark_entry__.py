@@ -1575,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "kg_g2_shortest_path": lambda s, d: relational.g2_shortest_paths(load(s, d, "events")),
         "kg_pagerank": lambda s, d: relational.entity_pagerank(load(s, d, "events")),
+        "kg_ppr": lambda s, d: relational.entity_ppr(load(s, d, "events")),
         "kg_khop_sample": lambda s, d: relational.khop_neighborhood(load(s, d, "events")),
         "kg_triangle_count": lambda s, d: relational.part_triangle_count(load(s, d, "lineitem")),
         "kg_kcore": lambda s, d: relational.part_kcore(load(s, d, "lineitem")),
@@ -2122,6 +2123,59 @@ pr{_i + 1} AS (
         + ",\n".join(_pr_ctes)
         + f"\nSELECT node, r_nano, round(CAST(r_nano AS DOUBLE) / CAST(1000000000 AS DOUBLE), 9) AS pr"
         f" FROM pr{_pr_iters}"
+    )
+
+    # kg_ppr: personalized PageRank — kg_pagerank's unrolled nano-rank
+    # arithmetic with the teleport term restricted to the seed set
+    _qpr_iters = 10
+    _qpr_tel = repr((1.0 - 0.85) * 1_000_000_000.0)
+    _qpr_ctes = [
+        r"""qg AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, 'u' || CAST(user_id AS VARCHAR) AS node FROM events
+),
+qhub AS (SELECT event_type, day, min(node) AS hub FROM qg GROUP BY event_type, day),
+qe0 AS (
+  SELECT DISTINCT h.hub AS src, qg.node AS dst
+  FROM qg JOIN qhub h USING (event_type, day) WHERE qg.node <> h.hub
+),
+qedges AS (SELECT src, dst FROM qe0 UNION SELECT dst, src FROM qe0),
+qnodes AS (SELECT src AS node FROM qedges UNION SELECT dst FROM qedges),
+qseeds AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS node FROM events WHERE user_id < 5
+),
+qsg AS (SELECT s.node FROM qseeds s JOIN qnodes n ON n.node = s.node),
+qns AS (SELECT count(*) AS n_seeds FROM qsg),
+qoutd AS (SELECT src AS node, count(*) AS outdeg FROM qedges GROUP BY src),
+qr0 AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN CAST(floor(CAST(1000000000 AS DOUBLE) / qns.n_seeds) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS r_nano
+  FROM qnodes n LEFT JOIN qsg s ON s.node = n.node CROSS JOIN qns
+)"""
+    ]
+    for _i in range(_qpr_iters):
+        _qpr_ctes.append(
+            f"""qc{_i} AS (
+  SELECT e.dst AS node, r.r_nano // o.outdeg AS c
+  FROM qr{_i} r JOIN qoutd o USING (node) JOIN qedges e ON e.src = r.node
+),
+qs{_i} AS (SELECT node, CAST(sum(c) AS BIGINT) AS s FROM qc{_i} GROUP BY node),
+qr{_i + 1} AS (
+  SELECT n.node,
+         CAST(CASE WHEN sd.node IS NOT NULL
+                   THEN floor(CAST('{_qpr_tel}' AS DOUBLE) / qns.n_seeds)
+                   ELSE 0 END
+              + floor(CAST('0.85' AS DOUBLE) * CAST(coalesce(s.s, 0) AS DOUBLE)) AS BIGINT) AS r_nano
+  FROM qnodes n LEFT JOIN qs{_i} s USING (node)
+  LEFT JOIN qsg sd ON sd.node = n.node CROSS JOIN qns
+)"""
+        )
+    sql["kg_ppr"] = (
+        "WITH "
+        + ",\n".join(_qpr_ctes)
+        + f"\nSELECT node, r_nano, round(CAST(r_nano AS DOUBLE) / CAST(1000000000 AS DOUBLE), 9) AS pr"
+        f" FROM qr{_qpr_iters}"
     )
 
     # kg_khop_sample: unrolled 2-hop deterministic GraphSAGE sample over the

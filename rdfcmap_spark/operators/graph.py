@@ -495,3 +495,72 @@ def label_propagation(edges: DataFrame, rounds: int = 6) -> DataFrame:
         )
         labels.count()
     return labels
+
+
+def personalized_pagerank(
+    edges: DataFrame, seeds: DataFrame, iters: int = 10, damping: float = 0.85
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to the SEED set instead
+    of spreading uniformly — relevance of every entity *to the seeds*
+    (query-anchored KG ranking / related-entity retrieval), where global
+    :func:`pagerank` measures importance in the abstract.
+
+    Same engine-exact nano-rank arithmetic contract as :func:`pagerank`
+    (BIGINT nanos, integer-division contributions, IEEE-double teleport
+    and damping terms): initial mass ``floor(1e9 / |S|)`` on each seed,
+    zero elsewhere; per round ``r'(v) = [v ∈ S]·floor((1-d)·1e9/|S|) +
+    floor(d·Σ contrib)``. Dangling mass is not redistributed (same
+    documented leak as the global variant). Same plan shape per iteration:
+    one source-key join (AQE splits hub skew), one map-side-combinable
+    destination aggregate, 1-row broadcasts for the seed count.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sd = seeds.select("node").distinct()
+    marked = nodes.join(
+        sd.withColumn("is_seed", F.lit(1)), "node", "left"
+    ).localCheckpoint(eager=False)
+    outd = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
+    ns = sd.join(nodes, "node", "left_semi").agg(F.count(F.lit(1)).alias("n_seeds"))
+    ranks = marked.crossJoin(F.broadcast(ns)).select(
+        "node",
+        F.when(
+            F.col("is_seed").isNotNull(),
+            F.floor(F.lit(float(PR_SCALE)) / F.col("n_seeds")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r_nano"),
+    )
+    teleport_nano = (1.0 - damping) * PR_SCALE  # python double, mirrored in the oracle
+    for i in range(iters):
+        contrib = (
+            ranks.join(outd, "node")
+            .join(e, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"), F.expr("r_nano div outdeg").alias("c"))
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            marked.join(s, "node", "left")
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("is_seed").isNotNull(),
+                        F.floor(F.lit(teleport_nano) / F.col("n_seeds")),
+                    ).otherwise(F.lit(0))
+                    + F.floor(F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)).cast("double"))
+                ).cast("long").alias("r_nano"),
+            )
+        )
+        if (i + 1) % 4 == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        "node", "r_nano", F.round(F.col("r_nano") / F.lit(float(PR_SCALE)), 9).alias("pr")
+    )

@@ -746,3 +746,21 @@ def entity_communities(events: DataFrame, rounds: int = 6) -> DataFrame:
     from rdfcmap_spark.operators.graph import label_propagation
 
     return label_propagation(user_identity_edges(events), rounds=rounds)
+
+
+def entity_ppr(events: DataFrame, iters: int = 10) -> DataFrame:
+    """Personalized PageRank from the G2 seed users over the symmetrized
+    identity graph — see
+    :func:`rdfcmap_spark.operators.graph.personalized_pagerank`."""
+    from rdfcmap_spark.operators.graph import personalized_pagerank
+
+    e0 = user_identity_edges(events)
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = (
+        events.filter(F.col("user_id") < 5)
+        .select(F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("node"))
+        .distinct()
+    )
+    return personalized_pagerank(edges, seeds, iters=iters)

@@ -47,3 +47,40 @@ def test_pagerank_dangling_leak_documented(spark):
     assert got == _ref_pagerank(edges, iters=5)
     assert got["b"] > got["a"] == got["c"] > 0
     assert sum(got.values()) < PR_SCALE
+
+
+def _ref_ppr(edges, seeds, iters=10, d=0.85):
+    """Driver-side mirror of personalized_pagerank's pinned arithmetic."""
+    nodes = sorted({x for e in edges for x in e})
+    sd = sorted(set(seeds) & set(nodes))
+    ns = len(sd)
+    outd = {}
+    for s, _ in edges:
+        outd[s] = outd.get(s, 0) + 1
+    r = {v: (math.floor(float(PR_SCALE) / ns) if v in sd else 0) for v in nodes}
+    teleport_nano = (1.0 - d) * PR_SCALE
+    for _ in range(iters):
+        s_in = {v: 0 for v in nodes}
+        for u, v in edges:
+            s_in[v] += r[u] // outd.get(u, 1)
+        r = {
+            v: (math.floor(teleport_nano / ns) if v in sd else 0)
+            + math.floor(d * float(s_in[v]))
+            for v in nodes
+        }
+    return r
+
+
+def test_ppr_matches_python_mirror_and_localizes(spark):
+    from rdfcmap_spark.operators.graph import personalized_pagerank
+
+    # component 1 (contains the seed) + disconnected component 2
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(3)
+    seeds = spark.createDataFrame([("a",), ("zzz-not-in-graph",)], "node string")
+    got = {r["node"]: r["r_nano"] for r in personalized_pagerank(df, seeds).collect()}
+    assert got == _ref_ppr(edges, ["a", "zzz-not-in-graph"])
+    # mass localizes: the seed's component holds all rank, the other none
+    assert got["a"] > 0 and got["b"] > 0 and got["c"] > 0
+    assert got["x"] == 0 and got["y"] == 0
