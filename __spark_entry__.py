@@ -1580,6 +1580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangle_count": lambda s, d: relational.part_triangle_count(load(s, d, "lineitem")),
         "kg_kcore": lambda s, d: relational.part_kcore(load(s, d, "lineitem")),
         "kg_label_prop": lambda s, d: relational.entity_communities(load(s, d, "events")),
+        "kg_ktruss": lambda s, d: relational.part_ktruss(load(s, d, "lineitem")),
+        "kg_link_predict": lambda s, d: relational.part_link_predict(load(s, d, "lineitem")),
+        "kg_random_walks": lambda s, d: relational.entity_walks(load(s, d, "events")),
         "data_kg_negatives": lambda s, d: relational.kg_triple_negatives(load(s, d, "events")),
         "kg_g4_hierarchy_level": lambda s, d: relational.g4_hierarchy_levels(s),
         "kg_x4_long_comments": lambda s, d: relational.x4_long_comments(load(s, d, "part")),
@@ -1694,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # precise-replace PII redaction (ordered patterns, progressive counts)
         "text_pii_redact": lambda s, d: textstats.pii_redact(load(s, d, "documents")),
         "text_lm_score": lambda s, d: textstats.lm_score(load(s, d, "documents")),
+        "text_lm_bigram": lambda s, d: textstats.lm_score_bigram(load(s, d, "documents")),
         "text_tfidf_keywords": lambda s, d: textstats.tfidf_keywords(load(s, d, "documents")),
         # benchmark = deterministic 5% sample (doc_id % 20): in production the
         # benchmark frame is the eval suite; here it must be derivable from
@@ -2361,6 +2365,123 @@ SELECT * FROM j
 WHERE neg_obj <> obj
   AND NOT EXISTS (SELECT 1 FROM t WHERE t.subj = j.subj AND t.pred = j.pred AND t.obj = j.neg_obj)
 """
+
+    # kg_ktruss: synchronous support peeling to the 12-truss of the part
+    # co-purchase graph (min support 10; 115.7k -> 1.1k edges over a
+    # 4-effective-round cascade at sf0.01), unrolled to the operator's
+    # bounded round count (6) — support per edge = |N(a) ∩ N(b)|, the
+    # plain common-neighbor form (the Spark side's degree ORIENTATION is
+    # a compute device, not a semantics change); extra rounds after the
+    # fixed point are no-ops, so Spark's early exit is result-identical.
+    # MATERIALIZED per round for the same CTE-inlining reason as kg_kcore.
+    _kt_rounds, _kt_sup = 6, 10
+    _kt_ctes = [
+        r"""tpp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+te0 AS MATERIALIZED (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM tpp a JOIN tpp b ON a.ok = b.ok AND a.pk < b.pk
+)"""
+    ]
+    for _i in range(_kt_rounds):
+        _kt_ctes.append(
+            f"""tadj{_i} AS MATERIALIZED (SELECT a AS w, b AS x FROM te{_i} UNION ALL SELECT b, a FROM te{_i}),
+ts{_i} AS MATERIALIZED (
+  SELECT e.a, e.b, count(*) AS support
+  FROM te{_i} e
+  JOIN tadj{_i} l ON l.x = e.a
+  JOIN tadj{_i} r ON r.x = e.b AND r.w = l.w
+  GROUP BY e.a, e.b HAVING count(*) >= {_kt_sup}
+),
+te{_i + 1} AS MATERIALIZED (SELECT a, b FROM ts{_i})"""
+        )
+    sql["kg_ktruss"] = (
+        "WITH "
+        + ",\n".join(_kt_ctes)
+        + f"""
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(support AS BIGINT) AS support
+FROM ts{_kt_rounds - 1}"""
+    )
+
+    # kg_link_predict: Adamic–Adar missing links over the part co-purchase
+    # graph — wedge centers capped at degree 100 (the operator's documented
+    # hub exclusion), integer-nano contributions floor(1e9/ln(deg)) summed
+    # as BIGINT (order-free), existing edges anti-joined away, top-10 per
+    # left endpoint by (nano desc, b asc)
+    sql["kg_link_predict"] = r"""
+WITH lpp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+le AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM lpp a JOIN lpp b ON a.ok = b.ok AND a.pk < b.pk
+),
+ladj AS (SELECT a AS w, b AS x FROM le UNION ALL SELECT b, a FROM le),
+ldeg AS (SELECT w AS node, count(*) AS deg FROM ladj GROUP BY w),
+lcent AS (
+  SELECT node AS w, CAST(floor(1e9 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS nano
+  FROM ldeg WHERE deg BETWEEN 2 AND 100
+),
+linc AS (SELECT a.w, a.x, c.nano FROM ladj a JOIN lcent c USING (w)),
+lpairs AS (
+  SELECT l.x AS a, r.x AS b, l.nano
+  FROM linc l JOIN linc r ON l.w = r.w AND l.x < r.x
+),
+lcand AS (
+  SELECT a, b, count(*) AS n_common, CAST(sum(nano) AS BIGINT) AS aa_nano
+  FROM lpairs GROUP BY a, b
+),
+lout AS (
+  SELECT * FROM lcand c
+  WHERE NOT EXISTS (SELECT 1 FROM le WHERE le.a = c.a AND le.b = c.b)
+),
+lrk AS (
+  SELECT *, row_number() OVER (PARTITION BY a ORDER BY aa_nano DESC, b ASC) AS rank
+  FROM lout
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(rank AS INTEGER) AS rank,
+       CAST(n_common AS BIGINT) AS n_common, aa_nano,
+       CAST(round(aa_nano / 1e9, 9) AS DOUBLE) AS aa_score
+FROM lrk WHERE rank <= 10
+"""
+
+    # kg_random_walks: deterministic DeepWalk corpus over the identity
+    # graph — per step, the neighbor minimizing md5('walk'|walk_id|step|u|v)
+    # (binary varchar min over the 32-hex-prefixed key, neighbor recovered
+    # by substring from 34), unrolled to the operator's 4 steps × 2 walks
+    _rw_ctes = [
+        r"""wg AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, 'u' || CAST(user_id AS VARCHAR) AS node FROM events
+),
+whub AS (SELECT event_type, day, min(node) AS hub FROM wg GROUP BY event_type, day),
+we0 AS (
+  SELECT DISTINCT h.hub AS src, g.node AS dst
+  FROM wg g JOIN whub h USING (event_type, day) WHERE g.node <> h.hub
+),
+wsym AS (SELECT src, dst FROM we0 UNION SELECT dst, src FROM we0),
+wstart AS (SELECT DISTINCT src AS start FROM wsym),
+w0 AS (
+  SELECT start || '#' || CAST(wk AS VARCHAR) AS walk_id, start,
+         CAST(0 AS INTEGER) AS step, start AS node
+  FROM wstart CROSS JOIN (SELECT unnest([0, 1]) AS wk)
+)"""
+    ]
+    for _i in range(1, 5):
+        _rw_ctes.append(
+            f"""w{_i} AS (
+  SELECT walk_id, start, CAST({_i} AS INTEGER) AS step,
+         substring(
+           min(md5(concat_ws('|', 'walk', walk_id, '{_i}', node, dst)) || '|' || dst),
+           34) AS node
+  FROM w{_i - 1} JOIN wsym ON wsym.src = w{_i - 1}.node
+  GROUP BY walk_id, start
+)"""
+        )
+    sql["kg_random_walks"] = (
+        "WITH "
+        + ",\n".join(_rw_ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT walk_id, start, step, node FROM w{_i}" for _i in range(5)
+        )
+    )
 
     from rdfcmap_spark import vocab as _vocab
 
@@ -3816,6 +3937,51 @@ SELECT dt.doc_id,
        round(-CAST(sum(dt.k * lp.logp) AS DOUBLE) / sum(dt.k), 4) AS avg_nll
 FROM dt JOIN lp ON lp.tok = dt.tok
 GROUP BY dt.doc_id
+"""
+
+    # text_lm_bigram: add-one-smoothed bigram LM — bigrams formed by
+    # position indexing into the split token array (unnest(generate_series)
+    # mirrors Spark's in-row transform-over-sequence; no token-position
+    # window), per-bigram log-probs rounded to 6 decimals and summed as
+    # DECIMAL, the same order-free contract as text_lm_score
+    sql["text_lm_bigram"] = r"""
+WITH arr AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS a
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+  FROM arr WHERE len(a) >= 2
+),
+bi AS (SELECT doc_id, a[i] AS t1, a[i + 1] AS t2 FROM idx),
+dbt AS (SELECT doc_id, t1, t2, count(*) AS k FROM bi GROUP BY doc_id, t1, t2),
+c AS (SELECT t1, t2, CAST(sum(k) AS BIGINT) AS c FROM dbt GROUP BY t1, t2),
+ctx AS (SELECT t1, CAST(sum(c) AS BIGINT) AS c_ctx FROM c GROUP BY t1),
+toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+lp AS (
+  SELECT c.t1, c.t2, c.c,
+         CAST(round(ln(CAST(c.c + 1 AS DOUBLE) / CAST(ctx.c_ctx + vocab.v AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS logp
+  FROM c JOIN ctx USING (t1) CROSS JOIN vocab
+),
+sc AS (
+  SELECT dbt.doc_id,
+         CAST(sum(dbt.k) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN lp.c = 1 THEN dbt.k ELSE 0 END) AS BIGINT) AS n_unseen_ctx,
+         round(-CAST(sum(dbt.k * lp.logp) AS DOUBLE) / sum(dbt.k), 4) AS avg_nll
+  FROM dbt JOIN lp ON lp.t1 = dbt.t1 AND lp.t2 = dbt.t2
+  GROUP BY dbt.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(sc.n_unseen_ctx, 0) AS BIGINT) AS n_unseen_ctx,
+       sc.avg_nll
+FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
     sql["chat_entity_pmi"] = _oracle.entity_pmi_sql()

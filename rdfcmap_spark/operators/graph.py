@@ -331,31 +331,30 @@ def khop_sample(
     return visited
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
-    """Per-node triangle counts over an undirected simple graph
-    ``edges(a, b)`` — the local clustering signal for KG quality audits
-    (no reference counterpart: corpus-scale graph statistics).
-
-    Node-iterator++ with DEGREE ORIENTATION: every undirected edge is
-    directed from its lower-(degree, node) endpoint to the higher one, so
-    each triangle is counted exactly once (at its lowest-rank corner) and
-    — the scale property — the out-degree of every node is O(√m) on ANY
-    graph, bounding the wedge-join mass by m^1.5 instead of Σ deg² (a
-    mega-hub contributes almost no wedges because nearly all its edges
-    point INTO it). The rank is a single zero-padded string (deg, node) —
-    plain column comparisons, engine-portable, no struct ordering.
-
-    Plan: two shuffles to build degrees/orientation, one self-join on the
-    wedge apex (bounded by orientation), one closing-edge equi-join, one
-    count aggregate. AQE handles residual skew on the apex key.
-
-    Output: (node, n_triangles) for nodes in ≥1 triangle.
-    """
-    und = (
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Canonicalize an edge list to the undirected simple form
+    ``(a, b)`` with ``a < b``, self-loops dropped, duplicates collapsed."""
+    return (
         edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+
+
+def _oriented_triangles(und: DataFrame) -> DataFrame:
+    """Enumerate each triangle of the canonical undirected edge list
+    exactly once as ``(wu, wv, ww)`` — the node-iterator++ core shared by
+    :func:`triangle_count` and :func:`ktruss`.
+
+    DEGREE ORIENTATION: every undirected edge is directed from its
+    lower-(degree, node) endpoint to the higher one, so each triangle is
+    found at its lowest-rank corner and — the scale property — the
+    out-degree of every node is O(√m) on ANY graph, bounding the
+    wedge-join mass by m^1.5 instead of Σ deg² (a mega-hub contributes
+    almost no wedges because nearly all its edges point INTO it). The
+    rank is a single zero-padded string (deg, node) — plain column
+    comparisons, engine-portable, no struct ordering.
+    """
     nodes = und.select(F.col("a").alias("node")).unionByName(
         und.select(F.col("b").alias("node"))
     )
@@ -382,7 +381,31 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         y, (F.col("wu") == F.col("yu")) & (F.col("wrk") < F.col("yrk"))
     ).select("wu", "wv", "ww")
     closing = o.select(F.col("u").alias("wv"), F.col("v").alias("ww"))
-    tri = wedges.join(closing, ["wv", "ww"])
+    return wedges.join(closing, ["wv", "ww"])
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph
+    ``edges(a, b)`` — the local clustering signal for KG quality audits
+    (no reference counterpart: corpus-scale graph statistics).
+
+    Node-iterator++ with DEGREE ORIENTATION: every undirected edge is
+    directed from its lower-(degree, node) endpoint to the higher one, so
+    each triangle is counted exactly once (at its lowest-rank corner) and
+    — the scale property — the out-degree of every node is O(√m) on ANY
+    graph, bounding the wedge-join mass by m^1.5 instead of Σ deg² (a
+    mega-hub contributes almost no wedges because nearly all its edges
+    point INTO it). The rank is a single zero-padded string (deg, node) —
+    plain column comparisons, engine-portable, no struct ordering.
+
+    Plan: two shuffles to build degrees/orientation, one self-join on the
+    wedge apex (bounded by orientation), one closing-edge equi-join, one
+    count aggregate. AQE handles residual skew on the apex key.
+
+    Output: (node, n_triangles) for nodes in ≥1 triangle.
+    """
+    und = _canonical_undirected(edges)
+    tri = _oriented_triangles(und)
     corners = (
         tri.select(F.col("wu").alias("node"))
         .unionByName(tri.select(F.col("wv").alias("node")))
@@ -564,3 +587,202 @@ def personalized_pagerank(
     return ranks.select(
         "node", "r_nano", F.round(F.col("r_nano") / F.lit(float(PR_SCALE)), 9).alias("pr")
     )
+
+
+def ktruss(edges: DataFrame, k: int = 4, rounds: int = 6) -> DataFrame:
+    """Edges of the k-truss (maximal subgraph where every edge sits in
+    ≥ k-2 triangles), by synchronous support peeling — the edge-level
+    sharpening of :func:`kcore` (cores keep hub spokes; trusses keep only
+    edges embedded in dense mutual-neighbor structure, the classic
+    community-backbone filter for KG audits).
+
+    Same bounded-round determinism contract as :func:`kcore`: each pass
+    recomputes per-edge triangle support on the CURRENT subgraph via the
+    degree-oriented enumeration of :func:`_oriented_triangles`, removes
+    ALL edges under-support simultaneously, and repeats, converging early
+    when a pass removes nothing (extra rounds after the fixed point are
+    no-ops, so early exit is result-identical to the oracle's fixed
+    unroll). On inputs whose peel depth exceeds ``rounds`` the result is
+    the documented round-capped superset.
+
+    Scale posture: per pass, one triangle enumeration (wedge mass ≤ m^1.5
+    by orientation — see :func:`_oriented_triangles`), one map-side-
+    combinable (edge → support) count, one inner join back to the edge
+    list; the edge frame shrinks monotonically, lineage cut with lazy
+    localCheckpoints, one materializing count per pass (the convergence
+    probe).
+
+    Output: (a, b, support) — surviving canonical edges with their
+    support in the final subgraph (support ≥ k-2 after convergence).
+    """
+    e = _canonical_undirected(edges).localCheckpoint(eager=False)
+    kept = e.withColumn("support", F.lit(0).cast("long"))
+    n_prev = -1
+    min_sup = k - 2
+    for _ in range(rounds):
+        tri = _oriented_triangles(e)
+        sides = (
+            tri.select(F.least("wu", "wv").alias("a"), F.greatest("wu", "wv").alias("b"))
+            .unionByName(
+                tri.select(F.least("wu", "ww").alias("a"), F.greatest("wu", "ww").alias("b"))
+            )
+            .unionByName(
+                tri.select(F.least("wv", "ww").alias("a"), F.greatest("wv", "ww").alias("b"))
+            )
+        )
+        supp = sides.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+        kept = (
+            e.join(supp, ["a", "b"])
+            .filter(F.col("support") >= min_sup)
+            .localCheckpoint(eager=False)
+        )
+        n = kept.count()
+        e = kept.select("a", "b")
+        if n == n_prev:
+            break
+        n_prev = n
+    return kept
+
+
+def adamic_adar(edges: DataFrame, max_center_degree: int = 64) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected graph: for every
+    non-adjacent pair (a, b) with ≥1 common neighbor, score
+    ``Σ_w 1/ln(deg(w))`` over the common neighbors w — the classic
+    missing-link signal for KG completion (which entity pairs the graph
+    implies but never asserts).
+
+    Engine-exact arithmetic: each wedge center contributes
+    ``floor(1e9 / ln(deg(w)))`` integer nanos, summed as BIGINT — the
+    same order-free determinism contract as :func:`pagerank`'s nano-rank
+    (float summation order never touches the result; a DOUBLE projection
+    of the nano sum is emitted for consumers).
+
+    Scale posture: wedges are enumerated from their CENTER, so the join
+    mass is ``Σ_{deg(w) ≤ cap} deg(w)²`` — hub centers above
+    ``max_center_degree`` are EXCLUDED (documented, mirrored by the
+    oracle), the standard cap that keeps candidate volume linear in m at
+    a fixed cap; hubs still participate as pair endpoints. One degree
+    aggregate, one capped self-join on the center key (AQE splits
+    residual skew), one map-side-combinable pair aggregate, one LeftAnti
+    against the edge list (existing edges are not candidates).
+
+    Output: (a, b, n_common, aa_nano, aa_score).
+    """
+    und = _canonical_undirected(edges)
+    nodes = und.select(F.col("a").alias("node")).unionByName(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= max_center_degree)
+    ).select(
+        F.col("node").alias("w"),
+        F.floor(F.lit(1e9) / F.log(F.col("deg").cast("double"))).cast("long").alias("nano"),
+    )
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("w"), F.col("a").alias("x"))
+    )
+    inc = adj.join(centers, "w")
+    pairs = (
+        inc.alias("l")
+        .join(inc.alias("r"), (F.col("l.w") == F.col("r.w")) & (F.col("l.x") < F.col("r.x")))
+        .select(
+            F.col("l.x").alias("a"),
+            F.col("r.x").alias("b"),
+            F.col("l.nano").alias("nano"),
+        )
+    )
+    cand = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_common"), F.sum("nano").alias("aa_nano")
+    )
+    return cand.join(und, ["a", "b"], "left_anti").select(
+        "a",
+        "b",
+        "n_common",
+        "aa_nano",
+        F.round(F.col("aa_nano") / F.lit(1e9), 9).alias("aa_score"),
+    )
+
+
+def random_walks(
+    edges: DataFrame, walk_len: int = 4, n_walks: int = 2, seed: str = "walk"
+) -> DataFrame:
+    """Deterministic uniform random walks over the symmetrized graph —
+    the DeepWalk/node2vec corpus generator (walks are the "sentences" a
+    skip-gram embedding trains on), made reproducible for a distributed
+    setting: the step from node u is the neighbor v minimizing
+    ``md5(seed|walk_id|step|u|v)`` — a per-(walk, step, node) pseudo-
+    random draw that is pure column arithmetic, identical on every
+    engine, and independent of partitioning/visit order (the same
+    md5-rank device as the khop_sample neighbor cap).
+
+    Scale posture: walk state is one row per (start, walk_id); each of
+    the ``walk_len`` steps is one join of the state frame against the
+    symmetrized edge list on the current node (shuffle on the node key,
+    AQE splits hub skew) + one map-side-combinable min aggregate over
+    ``md5 || '|' || v`` (fixed 32-hex prefix, so the winning neighbor is
+    recovered by substring — no struct min, stays hash-aggregatable).
+    Lineage cut per step with lazy checkpoints. Symmetrization means
+    every node has ≥1 neighbor, so walks never dangle.
+
+    Output: (walk_id, start, step, node), steps 0..walk_len.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    starts = (
+        sym.select(F.col("src").alias("start"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                sym.sparkSession.range(n_walks).select(F.col("id").cast("int").alias("wk"))
+            )
+        )
+        .select(
+            F.concat(
+                F.col("start").cast("string"), F.lit("#"), F.col("wk").cast("string")
+            ).alias("walk_id"),
+            F.col("start").cast("string").alias("start"),
+        )
+    )
+    cur = starts.select(
+        "walk_id", "start", F.lit(0).alias("step"), F.col("start").alias("node")
+    )
+    frames = [cur]
+    for step in range(1, walk_len + 1):
+        draw = F.concat(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(seed),
+                    F.col("walk_id"),
+                    F.lit(str(step)),
+                    F.col("node"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+            F.lit("|"),
+            F.col("dst").cast("string"),
+        )
+        nxt = (
+            cur.join(sym, cur["node"] == sym["src"])
+            .groupBy("walk_id", "start")
+            .agg(F.min(draw).alias("pick"))
+            .select(
+                "walk_id",
+                "start",
+                F.lit(step).alias("step"),
+                F.expr("substring(pick, 34)").alias("node"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        frames.append(nxt)
+        cur = nxt
+    res = frames[0]
+    for f in frames[1:]:
+        res = res.unionByName(f)
+    return res

@@ -764,3 +764,51 @@ def entity_ppr(events: DataFrame, iters: int = 10) -> DataFrame:
         .distinct()
     )
     return personalized_pagerank(edges, seeds, iters=iters)
+
+
+def part_ktruss(lineitem: DataFrame, k: int = 12) -> DataFrame:
+    """12-truss of the part co-purchase graph (support 10 bites a 5-round
+    cascade at sf0.01: 115.7k → 1.1k edges) — see
+    :func:`rdfcmap_spark.operators.graph.ktruss`."""
+    from rdfcmap_spark.operators.graph import ktruss
+
+    return ktruss(_part_pair_edges(lineitem), k=k).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("support").cast("long").alias("support"),
+    )
+
+
+def part_link_predict(
+    lineitem: DataFrame, max_center_degree: int = 100, topk: int = 10
+) -> DataFrame:
+    """Adamic–Adar missing-link predictions over the part co-purchase
+    graph, top-k per left endpoint (window over the candidate set;
+    deterministic (score desc, b asc) order) — see
+    :func:`rdfcmap_spark.operators.graph.adamic_adar`."""
+    from pyspark.sql import Window
+
+    from rdfcmap_spark.operators.graph import adamic_adar
+
+    cand = adamic_adar(_part_pair_edges(lineitem), max_center_degree=max_center_degree)
+    w = Window.partitionBy("a").orderBy(F.col("aa_nano").desc(), F.col("b").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("aa_nano").cast("long").alias("aa_nano"),
+            F.col("aa_score").cast("double").alias("aa_score"),
+        )
+    )
+
+
+def entity_walks(events: DataFrame, walk_len: int = 4, n_walks: int = 2) -> DataFrame:
+    """Deterministic DeepWalk corpus over the user-identity graph — see
+    :func:`rdfcmap_spark.operators.graph.random_walks`."""
+    from rdfcmap_spark.operators.graph import random_walks
+
+    return random_walks(user_identity_edges(events), walk_len=walk_len, n_walks=n_walks)

@@ -501,3 +501,92 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "tok", "tf", "df", F.col("score").cast("double").alias("score"))
     )
+
+
+def lm_score_bigram(docs: DataFrame) -> DataFrame:
+    """Corpus-trained BIGRAM language-model score per document — the
+    next step up from :func:`lm_score`'s unigram model (context-aware:
+    "york new" scores far worse than "new york" even though the unigram
+    model cannot tell them apart).
+
+    Model: add-one-smoothed conditional ``P(t2|t1) = (C(t1,t2)+1) /
+    (C(t1,·)+V)`` with ``C(t1,t2)`` the corpus bigram count, ``C(t1,·)``
+    the count of t1 as a bigram LEFT context, and ``V`` the corpus
+    unigram vocabulary size. Score = average negative log-likelihood
+    over the doc's bigrams (docs with <2 tokens emit n_bigrams=0 and a
+    NULL score); also emitted: ``n_unseen_ctx``, bigram occurrences
+    whose pair appears exactly once corpus-wide (the OOV-rate stand-in).
+
+    Scale posture (100 TB): bigrams are formed INSIDE the row by a pure
+    array expression over the split tokens (transform over a sequence —
+    zero shuffle, no window over token position), then pre-aggregated
+    per (doc_id, bigram) map-side before the model join; the model join
+    shuffles on the bigram key (AQE splits stopword-pair skew); V rides
+    a 1-row broadcast. Engine parity: per-bigram log-probs are rounded
+    to 6 decimals and summed as DECIMAL (exact, order-free) — the same
+    contract as :func:`lm_score`.
+    """
+    arr = docs.select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "").alias("a"),
+    )
+    bi = arr.select(
+        "doc_id",
+        # sequence(0, -1) would COUNT DOWN (Spark infers step −1), so short
+        # docs take the explicit empty-array branch instead
+        F.explode(
+            F.expr(
+                "if(size(a) < 2, array(),"
+                " transform(sequence(0, size(a) - 2),"
+                " i -> struct(a[i] AS t1, a[i + 1] AS t2)))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+    doc_bi = bi.groupBy("doc_id", "t1", "t2").agg(F.count(F.lit(1)).alias("k"))
+    cnt = doc_bi.groupBy("t1", "t2").agg(F.sum("k").alias("c"))
+    ctx = cnt.groupBy("t1").agg(F.sum("c").alias("c_ctx"))
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.agg(F.count_distinct("tok").alias("v"))
+    lp = (
+        cnt.join(ctx, "t1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "t1",
+            "t2",
+            "c",
+            F.round(
+                F.log(
+                    (F.col("c") + F.lit(1)).cast("double")
+                    / (F.col("c_ctx") + F.col("v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("logp"),
+        )
+    )
+    scored = (
+        doc_bi.join(lp, ["t1", "t2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.when(F.col("c") == 1, F.col("k")).otherwise(F.lit(0))).alias(
+                "n_unseen_ctx"
+            ),
+            F.round(
+                -F.sum(F.col("k") * F.col("logp")).cast("double") / F.sum("k"), 4
+            ).alias("avg_nll"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("n_unseen_ctx"), F.lit(0)).cast("long").alias("n_unseen_ctx"),
+            F.col("avg_nll"),
+        )
+    )

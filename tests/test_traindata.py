@@ -280,3 +280,125 @@ def test_label_propagation_splits_bridged_triangles(spark):
     df = spark.createDataFrame(edges, "src string, dst string").repartition(3)
     got = {r["node"]: r["label"] for r in label_propagation(df, rounds=6).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "d": "c", "e": "c", "f": "c"}
+
+
+def test_ktruss_cascade_to_k4(spark):
+    from rdfcmap_spark.operators.graph import ktruss
+
+    # K4 {a,b,c,d} + vertex e on a,b: edge ab starts at support 3
+    # ({c,d,e}); round 1 peels ae/be (support 1), which DROPS ab to
+    # support 2 — the recompute-on-current-subgraph cascade
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    df = spark.createDataFrame(k4 + [("a", "e"), ("b", "e")], "a string, b string")
+    got = {(r["a"], r["b"]): r["support"] for r in ktruss(df, k=4).collect()}
+    assert got == {e: 2 for e in k4}
+
+
+def test_ktruss_k3_keeps_all_triangle_edges(spark):
+    from rdfcmap_spark.operators.graph import ktruss
+
+    # two triangles sharing vertex c + a pendant edge (d,x): k=3 keeps
+    # every triangle edge (support >= 1), drops the pendant
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("c", "e"), ("d", "e"), ("d", "x")]
+    got = {(r["a"], r["b"]) for r in ktruss(spark.createDataFrame(edges, "a string, b string"), k=3).collect()}
+    assert got == set(edges) - {("d", "x")}
+
+
+def test_adamic_adar_hand_computed(spark):
+    import math
+
+    from rdfcmap_spark.operators.graph import adamic_adar
+
+    # square a-b-c-d-a: non-edges (a,c) and (b,d), each with two deg-2
+    # common neighbors -> nano = 2*floor(1e9/ln 2)
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], "a string, b string"
+    )
+    got = {(r["a"], r["b"]): r for r in adamic_adar(df).collect()}
+    nano1 = math.floor(1e9 / math.log(2.0))
+    assert set(got) == {("a", "c"), ("b", "d")}
+    for r in got.values():
+        assert r["n_common"] == 2
+        assert r["aa_nano"] == 2 * nano1
+        assert r["aa_score"] == round(2 * nano1 / 1e9, 9)
+
+
+def test_adamic_adar_center_cap_excludes_hub(spark):
+    from rdfcmap_spark.operators.graph import adamic_adar
+
+    # star: hub h connected to x1..x4 (deg 4). cap=3 excludes the only
+    # wedge center -> no candidates at all
+    df = spark.createDataFrame(
+        [("h", f"x{i}") for i in range(4)], "a string, b string"
+    )
+    assert adamic_adar(df, max_center_degree=3).count() == 0
+    # cap >= 4 admits the hub: all 6 leaf pairs become candidates
+    assert adamic_adar(df, max_center_degree=4).count() == 6
+
+
+def _ref_walks(edges, walk_len=4, n_walks=2, seed="walk"):
+    """Driver-side mirror of random_walks' md5-min step rule."""
+    import hashlib
+
+    sym = {}
+    for s, d in edges:
+        if s != d:
+            sym.setdefault(s, set()).add(d)
+            sym.setdefault(d, set()).add(s)
+    rows = []
+    for start in sym:
+        for wk in range(n_walks):
+            walk_id = f"{start}#{wk}"
+            node = start
+            rows.append((walk_id, start, 0, node))
+            for step in range(1, walk_len + 1):
+                key = lambda v: (
+                    hashlib.md5(
+                        f"{seed}|{walk_id}|{step}|{node}|{v}".encode()
+                    ).hexdigest()
+                    + "|"
+                    + v
+                )
+                node = min(sym[node], key=key)
+                rows.append((walk_id, start, step, node))
+    return sorted(rows)
+
+
+def test_random_walks_match_python_mirror(spark):
+    from rdfcmap_spark.operators.graph import random_walks
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "d"), ("e", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(4)
+    got = sorted(
+        (r["walk_id"], r["start"], r["step"], r["node"])
+        for r in random_walks(df, walk_len=4, n_walks=2).collect()
+    )
+    assert got == _ref_walks(edges)
+    # every consecutive pair is a real (symmetrized) edge
+    sym = {(s, d) for s, d in edges} | {(d, s) for s, d in edges}
+    byw = {}
+    for wid, _, step, node in got:
+        byw.setdefault(wid, {})[step] = node
+    for steps in byw.values():
+        for i in range(len(steps) - 1):
+            assert (steps[i], steps[i + 1]) in sym
+
+
+def test_lm_bigram_hand_computed(spark):
+    import math
+
+    from rdfcmap_spark.operators.textstats import lm_score_bigram
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "a")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in lm_score_bigram(docs).collect()}
+    # corpus: C(a,b)=1 C(b,a)=2; ctx a=1 b=2; V=2
+    lp_ab = round(math.log(2 / 3), 6)   # (1+1)/(1+2)
+    lp_ba = round(math.log(3 / 4), 6)   # (2+1)/(2+2)
+    assert got[1]["n_bigrams"] == 2 and got[1]["n_unseen_ctx"] == 1
+    assert got[1]["avg_nll"] == round(-(lp_ab + lp_ba) / 2, 4)
+    assert got[2]["n_bigrams"] == 1 and got[2]["n_unseen_ctx"] == 0
+    assert got[2]["avg_nll"] == round(-lp_ba, 4)
+    # single-token doc: no bigrams, NULL score (not dropped)
+    assert got[3]["n_bigrams"] == 0 and got[3]["avg_nll"] is None
