@@ -69,6 +69,10 @@ SECONDARY = [
     "kg_triangle_count",
     "kg_kcore",
     "kg_label_prop",
+    "kg_ktruss",
+    "kg_link_predict",
+    "kg_random_walks",
+    "text_lm_bigram",
 ]
 
 

@@ -737,10 +737,11 @@ def random_walks(
     starts = (
         sym.select(F.col("src").alias("start"))
         .distinct()
-        .crossJoin(
-            F.broadcast(
-                sym.sparkSession.range(n_walks).select(F.col("id").cast("int").alias("wk"))
-            )
+        # walk ids fan out by exploding an n_walks-element array literal —
+        # pure projection, no join in the plan
+        .select(
+            "start",
+            F.explode(F.array(*[F.lit(i) for i in range(n_walks)])).alias("wk"),
         )
         .select(
             F.concat(

@@ -329,11 +329,16 @@ def test_graph_family_no_cartesian_no_nested_loop(spark):
     )
     edges_sd = edges_ab.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     seeds = spark.createDataFrame([("a",)], "node string")
+    from rdfcmap_spark.operators.graph import adamic_adar, ktruss, random_walks
+
     for df in (
         khop_sample(edges_sd, seeds, (2, 1)),
         triangle_count(edges_ab),
         kcore(edges_ab, k=2, rounds=3),
         label_propagation(edges_sd, rounds=2),
+        ktruss(edges_ab, k=3, rounds=2),
+        adamic_adar(edges_ab),
+        random_walks(edges_sd, walk_len=2, n_walks=1),
     ):
         p = plan_of(df)
         assert "CartesianProduct" not in p
@@ -351,3 +356,21 @@ def test_kg_negatives_index_join_and_anti(spark):
     p = plan_of(kg_negatives(t, k=2))
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_walks_and_linkpred_plan_shape(spark):
+    """random_walks: the per-step md5-min aggregate stays HashAggregate
+    (string min/max is hash-aggregatable in Spark 4 — the reason the pick
+    key is a flat hex-prefixed string, not a struct). adamic_adar: the
+    existing-edge exclusion is a LeftAnti, and no SortAggregate anywhere."""
+    from rdfcmap_spark.operators.graph import adamic_adar, random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "src string, dst string"
+    )
+    p = plan_of(random_walks(edges, walk_len=1, n_walks=1))
+    assert "SortAggregate" not in p and "HashAggregate" in p
+
+    p2 = plan_of(adamic_adar(edges.selectExpr("src as a", "dst as b")))
+    assert "LeftAnti" in p2
+    assert "SortAggregate" not in p2
