@@ -1667,6 +1667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "sim_topk_bruteforce": lambda s, d: similarity.topk_bruteforce(load(s, d, "embeddings")),
         "sim_topk_ivf": lambda s, d: similarity.topk_ivf(load(s, d, "embeddings")),
+        "sim_topk_pq": lambda s, d: similarity.topk_pq(load(s, d, "embeddings")),
+        "sim_topk_pq_refined": lambda s, d: similarity.topk_pq_refined(
+            load(s, d, "embeddings")
+        ),
         "sim_topk_bucketed": lambda s, d: similarity.topk_clustered(load(s, d, "embeddings")),
         "sim_cluster_assign": lambda s, d: similarity.assign_clusters(
             load(s, d, "embeddings"), similarity.centroids(load(s, d, "embeddings"))
@@ -3767,6 +3771,81 @@ r AS (SELECT query_id, neighbor_id, cos_sim,
              row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
       FROM pairs)
 SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM r WHERE rank <= 5
+"""
+    )
+
+    # PQ/ADC: per-label one-sweep codebooks over 4 coordinate slices of the
+    # 64-dim vectors (sub = 16), encode = rounded-6dp argmin per subspace
+    # (tie → smaller code), ADC = DECIMAL(18,6) sum of the 4 table entries
+    # (exact, order-free — the lm_score contract). ed computes every
+    # (vector, subspace, codeword) distance once; the query tables are the
+    # vec_id % 50 slice of the same frame.
+    _pq_body = r"""ppos AS (
+  SELECT label, vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+cb AS (
+  SELECT CAST(pos // 16 AS INTEGER) AS m_idx, label AS code, pos, avg(v) AS mean
+  FROM ppos GROUP BY label, pos
+),
+ed AS (
+  SELECT p.vec_id, cb.m_idx, cb.code,
+         round(sum((p.v - cb.mean) * (p.v - cb.mean)), 6) AS d
+  FROM ppos p JOIN cb ON cb.pos = p.pos
+  GROUP BY p.vec_id, cb.m_idx, cb.code
+),
+codes AS (
+  SELECT vec_id, m_idx, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m_idx ORDER BY d ASC, code ASC) AS rn
+    FROM ed
+  ) WHERE rn = 1
+),
+tq AS (
+  SELECT vec_id AS query_id, m_idx, code, CAST(d AS DECIMAL(18,6)) AS d
+  FROM ed WHERE vec_id % 50 = 0
+),
+adc AS (
+  SELECT tq.query_id, c.vec_id AS neighbor_id, sum(tq.d) AS adc_dist
+  FROM codes c JOIN tq ON tq.m_idx = c.m_idx AND tq.code = c.code
+  WHERE c.vec_id <> tq.query_id
+  GROUP BY tq.query_id, c.vec_id
+),
+adcr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM adc
+)"""
+
+    sql["sim_topk_pq"] = (
+        "WITH "
+        + _pq_body
+        + r"""
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       CAST(adc_dist AS DOUBLE) AS adc_dist
+FROM adcr WHERE rank <= 5
+"""
+    )
+
+    # ADC shortlist (top refine*k = 40 code-only candidates) + exact-cosine
+    # rerank — mirrors similarity.topk_pq_refined
+    sql["sim_topk_pq_refined"] = (
+        "WITH "
+        + _pq_body
+        + r""",
+shortlist AS (SELECT query_id, neighbor_id FROM adcr WHERE rank <= 40),
+rr AS (
+  SELECT s.query_id, s.neighbor_id, """
+        + _COS.format(a="q.embedding", b="c.embedding")
+        + r""" AS cos_sim
+  FROM shortlist s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM rr
+) WHERE rank <= 5
 """
     )
 

@@ -43,6 +43,8 @@ SECONDARY = [
     "dedup_embedding_lsh",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
+    "sim_topk_pq",
+    "sim_topk_pq_refined",
     "text_quality",
     "text_langid",
     "text_repetition",

@@ -361,3 +361,184 @@ def embedding_dup_groups(embeddings: DataFrame, threshold: float = 0.9) -> DataF
 
     pairs = embedding_dup_pairs_lsh(embeddings, threshold).select("a", "b")
     return canonicalize.canonical_ids_for_pairs(embeddings, pairs, "vec_id")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression ANN path. At 10^9+
+# vectors the corpus no longer fits RAM as full float vectors; PQ stores
+# each vector as M small codes (here M=4 bytes instead of 64 floats) and
+# scores queries against a per-query lookup table (ADC — asymmetric
+# distance computation) — the candidate scan does NO vector math at all,
+# just M table lookups + a sum per candidate.
+
+PQ_M = 4  #: number of subspaces
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Σ (a_i-b_i)² as a left fold in double — deterministic order; only
+    ever applied to SUBvectors (dim/M elements) at corpus-linear encode
+    time, never per candidate pair (that's the whole point of PQ)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = PQ_M) -> DataFrame:
+    """(m_idx, code, codeword) — one codebook per subspace, trained by the
+    same one-sweep per-``label`` mean as :func:`centroids` (code = label
+    id), restricted to the subspace's coordinate slice. Tiny output
+    (m × n_labels rows) → always broadcast."""
+    dim = embedding_dim(embeddings)
+    sub = dim // m
+    per_pos = (
+        embeddings.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("mean"))
+    )
+    return (
+        per_pos.withColumn("m_idx", (F.col("pos") / sub).cast("int"))
+        .groupBy("m_idx", F.col("label").alias("code"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
+        .select(
+            "m_idx",
+            "code",
+            F.transform(F.col("pm"), lambda s: s.getField("mean")).alias("codeword"),
+        )
+    )
+
+
+def _subspaced(vecs: DataFrame, id_col: str, vec_col: str, dim: int, m: int) -> DataFrame:
+    """(id, m_idx, subvec): explode each vector into its m coordinate
+    slices — pure projection (slice + inline), zero shuffle."""
+    sub = dim // m
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("m_idx"),
+                F.slice(F.col(vec_col), i * sub + 1, sub).alias("subvec"),
+            )
+            for i in range(m)
+        ]
+    )
+    return vecs.select(F.col(id_col), F.inline(slices))
+
+
+def pq_encode(embeddings: DataFrame, books: DataFrame, m: int = PQ_M) -> DataFrame:
+    """(vec_id, m_idx, code): nearest codeword per subspace — the encode
+    step that turns a float vector into M small integers. Distances are
+    rounded to 6 dp with the code id as tie-break (engine-exact argmin,
+    same contract as the 5-dp cosine ranking). Corpus-linear: one
+    broadcast join against the codebooks, M×K rounded fold evaluations
+    per vector, one window argmin bounded by K."""
+    dim = embedding_dim(embeddings)
+    scored = (
+        _subspaced(embeddings, "vec_id", "embedding", dim, m)
+        .join(F.broadcast(books), "m_idx")
+        .select(
+            "vec_id",
+            "m_idx",
+            "code",
+            F.round(_sq_l2(F.col("subvec"), F.col("codeword")), 6).alias("d"),
+        )
+    )
+    w = Window.partitionBy("vec_id", "m_idx").orderBy(F.col("d").asc(), F.col("code").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m_idx", "code")
+    )
+
+
+def topk_pq(
+    embeddings: DataFrame,
+    k: int = TOPK,
+    query_mod: int = QUERY_MOD,
+    m: int = PQ_M,
+) -> DataFrame:
+    """PQ/ADC top-k: train codebooks → encode the corpus to M codes per
+    vector → per query, build the M×K lookup table of subspace distances →
+    score every candidate as the SUM of its M table entries (a join on
+    (m_idx, code), no per-pair vector arithmetic) → rank ascending.
+
+    Engine parity: table entries are rounded to 6 dp and summed as
+    DECIMAL(18,6) — exact and order-free (the lm_score contract), so the
+    (adc_dist asc, neighbor_id asc) ranking is identical on any engine or
+    partitioning. Scale posture: codebooks and the per-query tables are
+    broadcast (m × K × |queries| rows); the corpus side touches only its
+    code rows — the scan reads M BIGINTs per vector instead of the float
+    vector, which is the 16× memory-bandwidth win PQ exists for.
+
+    Output: (query_id, neighbor_id, rank, adc_dist).
+    """
+    dim = embedding_dim(embeddings)
+    books = pq_codebooks(embeddings, m)
+    codes = pq_encode(embeddings, books, m)
+    q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    table = (
+        _subspaced(q, "query_id", "embedding", dim, m)
+        .join(F.broadcast(books), "m_idx")
+        .select(
+            "query_id",
+            "m_idx",
+            "code",
+            F.round(_sq_l2(F.col("subvec"), F.col("codeword")), 6)
+            .cast("decimal(18,6)")
+            .alias("d"),
+        )
+    )
+    pairs = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(table), ["m_idx", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.col("adc_dist").cast("double").alias("adc_dist"))
+    )
+
+
+def topk_pq_refined(
+    embeddings: DataFrame,
+    k: int = TOPK,
+    query_mod: int = QUERY_MOD,
+    m: int = PQ_M,
+    refine: int = 8,
+) -> DataFrame:
+    """PQ/ADC shortlist + EXACT rerank — the production ANN shape (FAISS
+    IVFADC+refine): the corpus scan stays code-only (ADC), but the top
+    ``refine × k`` ADC candidates per query are reranked with the exact
+    cosine before emitting top-k. Pure ADC cannot discriminate between
+    vectors that share all M codes (they tie, and the tie-break is id
+    order — see :func:`topk_pq`); the refine step restores member-level
+    recall while touching only ``refine × k`` full vectors per query
+    instead of the corpus.
+
+    Output: (query_id, neighbor_id, rank, cos_sim) — same schema as
+    :func:`topk_bruteforce` (ranking is by exact cosine).
+    """
+    shortlist = topk_pq(embeddings, k=refine * k, query_mod=query_mod, m=m).select(
+        "query_id", "neighbor_id"
+    )
+    q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    pairs = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 5).alias("cos_sim"),
+        )
+    )
+    return _ranked(pairs, k)
