@@ -1671,6 +1671,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_pq_refined": lambda s, d: similarity.topk_pq_refined(
             load(s, d, "embeddings")
         ),
+        "sim_topk_ivfpq": lambda s, d: similarity.topk_ivfpq(load(s, d, "embeddings")),
+        "data_mixture_weights": lambda s, d: traindata.mixture_weights(
+            load(s, d, "documents")
+        ),
         "sim_topk_bucketed": lambda s, d: similarity.topk_clustered(load(s, d, "embeddings")),
         "sim_cluster_assign": lambda s, d: similarity.assign_clusters(
             load(s, d, "embeddings"), similarity.centroids(load(s, d, "embeddings"))
@@ -3804,8 +3808,9 @@ codes AS (
 tq AS (
   SELECT vec_id AS query_id, m_idx, code, CAST(d AS DECIMAL(18,6)) AS d
   FROM ed WHERE vec_id % 50 = 0
-),
-adc AS (
+)"""
+
+    _pq_adc_tail = r"""adc AS (
   SELECT tq.query_id, c.vec_id AS neighbor_id, sum(tq.d) AS adc_dist
   FROM codes c JOIN tq ON tq.m_idx = c.m_idx AND tq.code = c.code
   WHERE c.vec_id <> tq.query_id
@@ -3819,6 +3824,8 @@ adcr AS (
     sql["sim_topk_pq"] = (
         "WITH "
         + _pq_body
+        + ",\n"
+        + _pq_adc_tail
         + r"""
 SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
        CAST(adc_dist AS DOUBLE) AS adc_dist
@@ -3831,6 +3838,8 @@ FROM adcr WHERE rank <= 5
     sql["sim_topk_pq_refined"] = (
         "WITH "
         + _pq_body
+        + ",\n"
+        + _pq_adc_tail
         + r""",
 shortlist AS (SELECT query_id, neighbor_id FROM adcr WHERE rank <= 40),
 rr AS (
@@ -3848,6 +3857,81 @@ FROM (
 ) WHERE rank <= 5
 """
     )
+
+    # IVF + PQ composed (IVFADC): coarse quantizer restricts candidates to
+    # the query's nprobe=2 probed clusters; scoring is the same DECIMAL ADC
+    # sum over the restricted candidate set — mirrors similarity.topk_ivfpq
+    sql["sim_topk_ivfpq"] = (
+        "WITH "
+        + _pq_body
+        + r""",
+icent AS (
+  SELECT label AS cluster, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS m FROM ppos GROUP BY label, pos)
+  GROUP BY label
+),
+iscored AS (
+  SELECT e.vec_id, c.cluster, """
+        + _COS.format(a="e.embedding", b="c.centroid")
+        + r""" AS a_sim
+  FROM embeddings e CROSS JOIN icent c
+),
+iassigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY a_sim DESC, cluster ASC) AS rn
+    FROM iscored
+  ) WHERE rn = 1
+),
+iqc AS (
+  SELECT e.vec_id AS query_id, c.cluster, """
+        + _COS.format(a="e.embedding", b="c.centroid")
+        + r""" AS c_sim
+  FROM embeddings e CROSS JOIN icent c WHERE e.vec_id % 50 = 0
+),
+iprobes AS (
+  SELECT query_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_sim DESC, cluster ASC) AS pr
+    FROM iqc
+  ) WHERE pr <= 2
+),
+icand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, c.m_idx, c.code
+  FROM codes c
+  JOIN iassigned a ON a.vec_id = c.vec_id
+  JOIN iprobes p ON p.cluster = a.cluster
+  WHERE c.vec_id <> p.query_id
+),
+iadc AS (
+  SELECT cd.query_id, cd.neighbor_id, sum(tq.d) AS adc_dist
+  FROM icand cd
+  JOIN tq ON tq.query_id = cd.query_id AND tq.m_idx = cd.m_idx AND tq.code = cd.code
+  GROUP BY cd.query_id, cd.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       CAST(adc_dist AS DOUBLE) AS adc_dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM iadc
+) WHERE rank <= 5
+"""
+    )
+
+    # per-source sampling weights toward the uniform target mix —
+    # deterministic ratios of exact BIGINT token counts
+    sql["data_mixture_weights"] = r"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens, count(*) AS n_sources FROM per)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 9) AS obs_share,
+       round(1.0 / n_sources, 9) AS target_share,
+       round((1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6) AS weight
+FROM per CROSS JOIN tot
+"""
 
     sql["text_token_stats"] = r"""
 SELECT doc_id,

@@ -45,6 +45,8 @@ SECONDARY = [
     "sim_topk_ivf",
     "sim_topk_pq",
     "sim_topk_pq_refined",
+    "sim_topk_ivfpq",
+    "data_mixture_weights",
     "text_quality",
     "text_langid",
     "text_repetition",

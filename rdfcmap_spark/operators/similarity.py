@@ -542,3 +542,75 @@ def topk_pq_refined(
         )
     )
     return _ranked(pairs, k)
+
+
+def topk_ivfpq(
+    embeddings: DataFrame,
+    k: int = TOPK,
+    query_mod: int = QUERY_MOD,
+    m: int = PQ_M,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF + PQ composed — the full FAISS-style IVFADC shape that survives
+    10^9+ vectors: the coarse quantizer (:func:`centroids` /
+    :func:`assign_clusters`) prunes the scan to ``nprobe`` inverted lists
+    per query, and WITHIN the probed lists candidates are scored by ADC
+    over PQ codes (:func:`pq_codebooks` / :func:`pq_encode`) — so the
+    per-query cost is (nprobe/n_clusters) of the corpus in CODE reads,
+    never a full-vector scan.
+
+    Plan shape: the candidate join is keyed on ``cluster`` (the IVF
+    restriction) with the per-query ADC tables broadcast; scoring is the
+    same DECIMAL(18,6) table-entry sum as :func:`topk_pq` (exact,
+    order-free). Output: (query_id, neighbor_id, rank, adc_dist).
+    """
+    dim = embedding_dim(embeddings)
+    cents = centroids(embeddings)
+    assigned = assign_clusters(embeddings, cents)
+    books = pq_codebooks(embeddings, m)
+    codes = pq_encode(embeddings, books, m).join(assigned, "vec_id")
+    q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qc = q.join(F.broadcast(cents.select(F.col("label").alias("cluster"), "centroid"))).select(
+        "query_id",
+        "cluster",
+        F.round(cosine(F.col("embedding"), F.col("centroid"), dim), 5).alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("cluster").asc())
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "cluster")
+    )
+    table = (
+        _subspaced(q, "query_id", "embedding", dim, m)
+        .join(F.broadcast(books), "m_idx")
+        .select(
+            "query_id",
+            "m_idx",
+            "code",
+            F.round(_sq_l2(F.col("subvec"), F.col("codeword")), 6)
+            .cast("decimal(18,6)")
+            .alias("d"),
+        )
+    )
+    cand = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(table), ["query_id", "m_idx", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.col("adc_dist").cast("double").alias("adc_dist"),
+        )
+    )

@@ -330,3 +330,51 @@ def kg_negatives(triples: DataFrame, k: int = 3) -> DataFrame:
         & (F.col("neg_obj") == F.col("t_o")),
         "left_anti",
     )
+
+
+def mixture_weights(
+    docs: DataFrame, targets: dict[str, float] | None = None
+) -> DataFrame:
+    """Per-source sampling weights for corpus mixing — the knob a training
+    pipeline turns to hit a TARGET token distribution over sources (web /
+    books / code / …) that differs from the crawl's natural one.
+
+    For each ``source``: observed token share ``p_s`` (source tokens /
+    corpus tokens), target share ``t_s`` (uniform over the observed
+    sources unless ``targets`` overrides), sampling weight
+    ``w_s = t_s / p_s`` (probability multiplier per document draw) and
+    ``epochs = w_s`` (expected passes over that source per corpus epoch —
+    >1 means the source is repeated, the standard under-represented-domain
+    upsampling). Shares/weights are deterministic ratios of exact BIGINT
+    token counts, rounded for display.
+
+    Scale posture: one map-side-combinable (source → docs, tokens)
+    aggregate over the corpus scan + a 1-row broadcast total; output is
+    |sources| rows. Zero Python in the count path.
+    """
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(_n_tokens(F.col("text"))).alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.count(F.lit(1)).alias("n_sources")
+    )
+    t_col = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in targets.items() for x in kv]),
+            F.col("source"),
+        )
+        if targets
+        else F.lit(1.0) / F.col("n_sources")
+    )
+    obs = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(obs, 9).alias("obs_share"),
+            F.round(t_col, 9).alias("target_share"),
+            F.round(t_col / obs, 6).alias("weight"),
+        )
+    )

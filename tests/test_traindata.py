@@ -402,3 +402,30 @@ def test_lm_bigram_hand_computed(spark):
     assert got[2]["avg_nll"] == round(-lp_ba, 4)
     # single-token doc: no bigrams, NULL score (not dropped)
     assert got[3]["n_bigrams"] == 0 and got[3]["avg_nll"] is None
+
+
+def test_mixture_weights_hand_computed(spark):
+    from rdfcmap_spark.operators.traindata import mixture_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "web"),       # 4 tokens
+            (2, "a b c d e f", "web"),   # 6 tokens
+            (3, "x y", "books"),         # 2 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in mixture_weights(docs).collect()}
+    assert got["web"]["n_docs"] == 2 and got["web"]["n_tokens"] == 10
+    assert got["books"]["n_tokens"] == 2
+    # uniform target 0.5 each; obs web 10/12, books 2/12
+    assert got["web"]["obs_share"] == round(10 / 12, 9)
+    assert got["web"]["weight"] == round(0.5 / (10 / 12), 6)
+    assert got["books"]["weight"] == round(0.5 / (2 / 12), 6)  # 3x upsample
+    # explicit target override
+    got2 = {
+        r["source"]: r
+        for r in mixture_weights(docs, {"web": 0.9, "books": 0.1}).collect()
+    }
+    assert got2["web"]["target_share"] == 0.9
+    assert got2["books"]["weight"] == round(0.1 / (2 / 12), 6)

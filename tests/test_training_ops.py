@@ -893,3 +893,31 @@ def test_pq_refined_recall_vs_bruteforce(spark):
     }
     recall = len(bf & pq) / len(bf)
     assert recall >= 0.9, f"recall@5 = {recall:.3f}"
+
+
+def test_ivfpq_restricts_to_probed_clusters(spark):
+    """IVFADC candidates must come from the query's nprobe probed clusters
+    only (the IVF scan contract), scored by code lookups (agreement with
+    pure ADC on the vectors it does scan)."""
+    emb = _clustered_embeddings(spark)
+    cents = similarity.centroids(emb)
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.assign_clusters(emb, cents).collect()
+    }
+    out = similarity.topk_ivfpq(emb, k=5, query_mod=20, m=4, nprobe=1).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(assigned[r["neighbor_id"]])
+    assert all(len(cl) == 1 for cl in by_q.values())
+    # with nprobe = all clusters, IVFADC degenerates to exactly topk_pq
+    full = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["adc_dist"])
+        for r in similarity.topk_ivfpq(emb, k=5, query_mod=20, m=4, nprobe=8).collect()
+    )
+    pq = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["adc_dist"])
+        for r in similarity.topk_pq(emb, k=5, query_mod=20, m=4).collect()
+    )
+    assert full == pq
