@@ -1754,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_sft_pairs": lambda s, d: transcripts.sft_pairs(_synth_transcripts(s, d), k=4),
         "chat_role_check": lambda s, d: transcripts.role_check(_synth_transcripts(s, d)),
         "chat_conv_stats": lambda s, d: transcripts.conv_stats(_synth_transcripts(s, d)),
+        "chat_latency": lambda s, d: transcripts.turn_latency(_synth_transcripts(s, d)),
         "chat_tool_transitions": lambda s, d: transcripts.tool_transitions(
             _synth_transcripts(s, d)
         ),
@@ -3323,6 +3324,24 @@ SELECT conv_id, count(*) AS n_turns,
        CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
        date_diff('second', min(ts), max(ts)) AS duration_secs
 FROM tr GROUP BY conv_id
+"""
+    )
+
+    sql["chat_latency"] = (
+        "WITH " + _TR_CTE + """,
+lat AS (
+  SELECT conv_id, role,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+  FROM tr
+)
+SELECT conv_id,
+       CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(count(CASE WHEN role = 'assistant' THEN gap_us END) AS BIGINT) AS n_assistant_gaps,
+       CAST(coalesce(sum(CASE WHEN role = 'assistant' THEN gap_us END), 0) AS BIGINT) AS sum_assistant_gap_us,
+       round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6, 6) AS mean_gap_secs
+FROM lat GROUP BY conv_id
 """
     )
 

@@ -70,6 +70,7 @@ SECONDARY = [
     "data_kg_negatives",
     "chat_entity_timeline",
     "chat_pronoun_coref",
+    "chat_latency",
     "kg_triangle_count",
     "kg_kcore",
     "kg_label_prop",

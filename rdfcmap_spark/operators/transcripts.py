@@ -476,3 +476,39 @@ def pronoun_antecedents(turns: DataFrame) -> DataFrame:
             F.expr("substr(prev_enc, 9)").alias("antecedent"),
         )
     )
+
+
+def turn_latency(turns: DataFrame) -> DataFrame:
+    """Per-conversation response-latency profile — the agent-analytics
+    signal behind "how long do assistant/tool turns take": the gap between
+    each turn's timestamp and its predecessor's (stable (conv_id,
+    turn_idx) order, the BASELINE per-turn invariant), aggregated per
+    conversation overall and for the assistant's turns specifically.
+
+    All stats are exact integer microseconds (``unix_micros`` — the
+    seconds-truncation trap documented in the verify recipe) except the
+    derived mean, a deterministic ratio of exact BIGINTs rounded to 6 dp.
+
+    Scale posture: one window (partition = conv_id, bounded by
+    conversation length) + one map-side-combinable hash aggregate — the
+    same single-shuffle contract as the rest of the transcripts family.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    g = turns.select(
+        "conv_id",
+        "role",
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)).alias(
+            "gap_us"
+        ),
+    )
+    asst = F.when(F.col("role") == "assistant", F.col("gap_us"))
+    return g.groupBy("conv_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.count(asst).alias("n_assistant_gaps"),
+        F.coalesce(F.sum(asst), F.lit(0)).alias("sum_assistant_gap_us"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1e6), 6
+        ).alias("mean_gap_secs"),
+    )

@@ -245,3 +245,18 @@ def test_pronoun_antecedents_recency(spark):
     assert (out[("A", 2)]["n_pronouns"], out[("A", 2)]["antecedent"]) == (1, "beta")
     assert (out[("A", 3)]["n_pronouns"], out[("A", 3)]["antecedent"]) == (1, "delta")
     assert out[("B", 0)]["antecedent"] is None
+
+
+def test_turn_latency_hand_computed(spark):
+    out = {r["conv_id"]: r for r in transcripts.turn_latency(_turns(spark)).collect()}
+    # conv A (sorted by turn_idx): gaps of 60s between each of 4 turns -> 3 gaps
+    a = out["A"]
+    assert a["n_gaps"] == 3 and a["sum_gap_us"] == 3 * 60_000_000
+    assert a["max_gap_us"] == 60_000_000
+    # assistant turns at idx 1 and 3 -> two assistant gaps of 60s each
+    assert a["n_assistant_gaps"] == 2 and a["sum_assistant_gap_us"] == 2 * 60_000_000
+    assert a["mean_gap_secs"] == 60.0
+    # conv B: 5 turns, 4 gaps of 60s; only the idx-0 assistant turn has NO gap
+    b = out["B"]
+    assert b["n_gaps"] == 4 and b["n_assistant_gaps"] == 0
+    assert b["sum_assistant_gap_us"] == 0
