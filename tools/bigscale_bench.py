@@ -51,7 +51,12 @@ QUERIES = [
     "text_token_stats",
     "text_fingerprint",
     "text_lm_score",
+    "text_lm_bigram",
     "text_tfidf_keywords",
+    "sim_topk_pq",
+    "sim_topk_pq_refined",
+    "sim_topk_ivfpq",
+    "data_mixture_weights",
 ]
 
 
