@@ -374,16 +374,30 @@ def embedding_dup_groups(embeddings: DataFrame, threshold: float = 0.9) -> DataF
 PQ_M = 4  #: number of subspaces
 
 
+def _sq_l2_raw(a, b):
+    """Arrow-batched squared L2 (pandas UDF body): numpy-vectorized across
+    rows, accumulated column-by-column in index order — bit-identical to a
+    left fold (the :func:`_cosine_raw` determinism device). Applied at
+    corpus-linear ENCODE time only (vector × codeword rows), never per
+    candidate pair — that's the whole point of PQ."""
+    import numpy as np
+    import pandas as pd
+
+    A = np.vstack(a.to_numpy()).astype(np.float64)
+    B = np.vstack(b.to_numpy()).astype(np.float64)
+    d = np.zeros(len(A))
+    for i in range(A.shape[1]):
+        t = A[:, i] - B[:, i]
+        d = d + t * t
+    return pd.Series(d)
+
+
 def _sq_l2(a: Column, b: Column) -> Column:
-    """Σ (a_i-b_i)² as a left fold in double — deterministic order; only
-    ever applied to SUBvectors (dim/M elements) at corpus-linear encode
-    time, never per candidate pair (that's the whole point of PQ)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
-                   * (x.cast("double") - y.cast("double"))),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    """Σ (a_i-b_i)² in double. Arrow pandas UDF, not an F.aggregate fold —
+    the interpreted HOF fold was the encode bottleneck at bigscale (200k
+    vectors × 40 codewords stalled a 32-core stage for minutes; the same
+    ~100× HOF penalty measured for :func:`dot`)."""
+    return F.pandas_udf(_sq_l2_raw, "double")(a, b)
 
 
 def pq_codebooks(embeddings: DataFrame, m: int = PQ_M) -> DataFrame:
@@ -466,37 +480,33 @@ def topk_pq(
     Engine parity: table entries are rounded to 6 dp and summed as
     DECIMAL(18,6) — exact and order-free (the lm_score contract), so the
     (adc_dist asc, neighbor_id asc) ranking is identical on any engine or
-    partitioning. Scale posture: codebooks and the per-query tables are
-    broadcast (m × K × |queries| rows); the corpus side touches only its
-    code rows — the scan reads M BIGINTs per vector instead of the float
-    vector, which is the 16× memory-bandwidth win PQ exists for.
+    partitioning. Scale posture: the Q×N candidate stream is produced the
+    same way as :func:`topk_bruteforce` (corpus × broadcast queries), but
+    each candidate costs M dense-array lookups + a DECIMAL add — NO
+    aggregate over the Q×N stream and no per-pair vector math. Measured
+    at 200k corpus × 4k queries (800M candidates, 32 cores): explode-join
+    + wide hash aggregate (v1) → nested-map lookups 1089 s → dense arrays
+    + corpus-side fan-out 439 s, within 7% of the full-vector bruteforce
+    wall while reading only codes — the remaining cost is the top-k
+    window partial itself. Corpus-side prep (code arrays) and query-side
+    prep (table arrays) are both linear and the query side is broadcast;
+    the probed composition (:func:`topk_ivfpq`, 114 s at the same scale)
+    is the scan-scale path.
 
     Output: (query_id, neighbor_id, rank, adc_dist).
     """
-    dim = embedding_dim(embeddings)
     books = pq_codebooks(embeddings, m)
     codes = pq_encode(embeddings, books, m)
-    q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    table = (
-        _subspaced(q, "query_id", "embedding", dim, m)
-        .join(F.broadcast(books), "m_idx")
-        .select(
-            "query_id",
-            "m_idx",
-            "code",
-            F.round(_sq_l2(F.col("subvec"), F.col("codeword")), 6)
-            .cast("decimal(18,6)")
-            .alias("d"),
-        )
-    )
-    pairs = (
-        codes.withColumnRenamed("vec_id", "neighbor_id")
-        .join(F.broadcast(table), ["m_idx", "code"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d").alias("adc_dist"))
+    bidx = _book_index(books)
+    # fan the corpus side out to the full core count BEFORE the Q-fold
+    # candidate expansion: the code-map frame is corpus-linear (tiny), but
+    # the downstream Q×N stream inherits ITS partitioning — measured at
+    # 200k×16k ADC: 10 scan-inherited partitions left 2/3 of a 32-core box
+    # idle through the top-k window partial
+    cm = _fanout(_code_maps(codes, bidx))
+    tq = _query_tables(embeddings, books, bidx, m, query_mod)
+    pairs = _adc_score(
+        cm.join(F.broadcast(tq)).filter(F.col("neighbor_id") != F.col("query_id")), m
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
     return (
@@ -504,6 +514,101 @@ def topk_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.col("adc_dist").cast("double").alias("adc_dist"))
     )
+
+
+def _fanout(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a SMALL frame to 2× the core count so
+    the huge per-row fan-out it feeds (broadcast-join candidate expansion)
+    saturates the cluster — the repartition itself shuffles only the small
+    frame. Partitioning never affects results (every downstream aggregate/
+    window is keyed)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
+
+
+def _book_index(books: DataFrame) -> DataFrame:
+    """(m_idx, code, idx) — dense 0-based codeword index per subspace
+    (codes are arbitrary label values; the ADC structures index ARRAYS, and
+    Tungsten map element_at is an O(K) linear scan per lookup while array
+    element_at is O(1) — measured: the map form paid ~40 comparisons per
+    candidate). Tiny frame (M×K rows), deterministic (ordered by code)."""
+    w = Window.partitionBy("m_idx").orderBy("code")
+    return books.select(
+        "m_idx", "code", (F.row_number().over(w) - 1).cast("int").alias("idx")
+    )
+
+
+def _code_maps(codes: DataFrame, bidx: DataFrame) -> DataFrame:
+    """(neighbor_id, cm: array<int>) — the corpus side of the ADC scan
+    folded to ONE row per vector: cm[m] = dense codeword index in subspace
+    m (corpus-linear aggregate; ordered assembly via array_sort on
+    (m_idx, idx) structs, the :func:`centroids` device)."""
+    return (
+        codes.join(F.broadcast(bidx), ["m_idx", "code"])
+        .groupBy(F.col("vec_id").alias("neighbor_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("m_idx", "idx"))).alias("mi"))
+        .select(
+            "neighbor_id",
+            F.transform(F.col("mi"), lambda s: s.getField("idx")).alias("cm"),
+        )
+    )
+
+
+def _query_tables(
+    embeddings: DataFrame, books: DataFrame, bidx: DataFrame, m: int, query_mod: int
+) -> DataFrame:
+    """(query_id, tt: array<array<decimal>>) — per-query ADC lookup tables
+    as nested dense arrays (query-linear, broadcast-sized: M×K entries per
+    query); tt[m][idx] = subspace squared-L2 to codeword ``idx``, rounded
+    to 6 dp as DECIMAL(18,6)."""
+    dim = embedding_dim(embeddings)
+    q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    table = (
+        _subspaced(q, "query_id", "embedding", dim, m)
+        .join(F.broadcast(books.join(bidx, ["m_idx", "code"])), "m_idx")
+        .select(
+            "query_id",
+            "m_idx",
+            "idx",
+            F.round(_sq_l2(F.col("subvec"), F.col("codeword")), 6)
+            .cast("decimal(18,6)")
+            .alias("d"),
+        )
+    )
+    per_m = (
+        table.groupBy("query_id", "m_idx")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "d"))).alias("id_"))
+        .select(
+            "query_id",
+            "m_idx",
+            F.transform(F.col("id_"), lambda s: s.getField("d")).alias("dm"),
+        )
+    )
+    return (
+        per_m.groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m_idx", "dm"))).alias("md"))
+        .select(
+            "query_id",
+            F.transform(F.col("md"), lambda s: s.getField("dm")).alias("tt"),
+        )
+    )
+
+
+def _adc_score(pairs: DataFrame, m: int) -> DataFrame:
+    """Add ``adc_dist`` = Σ_m tt[m][cm[m]] to a (… cm, tt) pair stream —
+    M O(1) array lookups and a DECIMAL sum, pure column arithmetic."""
+    terms = [
+        F.element_at(
+            F.element_at(F.col("tt"), F.lit(i + 1)),
+            F.element_at(F.col("cm"), F.lit(i + 1)) + F.lit(1),
+        )
+        for i in range(m)
+    ]
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    return pairs.select("query_id", "neighbor_id", adc.alias("adc_dist"))
 
 
 def topk_pq_refined(
@@ -568,7 +673,7 @@ def topk_ivfpq(
     cents = centroids(embeddings)
     assigned = assign_clusters(embeddings, cents)
     books = pq_codebooks(embeddings, m)
-    codes = pq_encode(embeddings, books, m).join(assigned, "vec_id")
+    codes = pq_encode(embeddings, books, m)
     q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -583,25 +688,18 @@ def topk_ivfpq(
         .filter(F.col("_pr") <= nprobe)
         .select("query_id", "cluster")
     )
-    table = (
-        _subspaced(q, "query_id", "embedding", dim, m)
-        .join(F.broadcast(books), "m_idx")
-        .select(
-            "query_id",
-            "m_idx",
-            "code",
-            F.round(_sq_l2(F.col("subvec"), F.col("codeword")), 6)
-            .cast("decimal(18,6)")
-            .alias("d"),
+    bidx = _book_index(books)
+    cm = _fanout(
+        _code_maps(codes, bidx).join(
+            assigned.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
         )
     )
-    cand = (
-        codes.withColumnRenamed("vec_id", "neighbor_id")
-        .join(F.broadcast(probes), "cluster")
-        .join(F.broadcast(table), ["query_id", "m_idx", "code"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d").alias("adc_dist"))
+    tq = _query_tables(embeddings, books, bidx, m, query_mod)
+    cand = _adc_score(
+        cm.join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(tq), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id")),
+        m,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
     return (

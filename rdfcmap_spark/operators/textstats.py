@@ -526,22 +526,21 @@ def lm_score_bigram(docs: DataFrame) -> DataFrame:
     to 6 decimals and summed as DECIMAL (exact, order-free) — the same
     contract as :func:`lm_score`.
     """
-    arr = docs.select(
-        "doc_id",
-        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "").alias("a"),
-    )
+    # no lambda HOFs anywhere: transform()/filter() lambdas are interpreted
+    # per element (25M evals stalled the 500k-doc bigscale run for minutes);
+    # arrays_zip(slice, slice) is a codegen'd builtin. The trimmed \s+ split
+    # yields an empty token ONLY for empty text, which has no bigram — so no
+    # token filter is needed.
+    arr = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("a"))
     bi = arr.select(
         "doc_id",
-        # sequence(0, -1) would COUNT DOWN (Spark infers step −1), so short
-        # docs take the explicit empty-array branch instead
         F.explode(
             F.expr(
-                "if(size(a) < 2, array(),"
-                " transform(sequence(0, size(a) - 2),"
-                " i -> struct(a[i] AS t1, a[i + 1] AS t2)))"
+                "arrays_zip(slice(a, 1, greatest(size(a) - 1, 0)),"
+                " slice(a, 2, greatest(size(a) - 1, 0)))"
             )
         ).alias("bg"),
-    ).select("doc_id", F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+    ).select("doc_id", F.col("bg.0").alias("t1"), F.col("bg.1").alias("t2"))
     doc_bi = bi.groupBy("doc_id", "t1", "t2").agg(F.count(F.lit(1)).alias("k"))
     cnt = doc_bi.groupBy("t1", "t2").agg(F.sum("k").alias("c"))
     ctx = cnt.groupBy("t1").agg(F.sum("c").alias("c_ctx"))
