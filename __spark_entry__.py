@@ -1672,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load(s, d, "embeddings")
         ),
         "sim_topk_ivfpq": lambda s, d: similarity.topk_ivfpq(load(s, d, "embeddings")),
+        "sim_kmeans": lambda s, d: similarity.kmeans_iterate(load(s, d, "embeddings")),
         "data_mixture_weights": lambda s, d: traindata.mixture_weights(
             load(s, d, "documents")
         ),
@@ -3933,6 +3934,63 @@ FROM (
   FROM iadc
 ) WHERE rank <= 5
 """
+    )
+
+    # sim_kmeans: 3 synchronous Lloyd rounds, label-mean seed, unrolled —
+    # assignment by 5-dp cosine (cluster-asc tie-break) each round, means
+    # recomputed as per-(cluster, pos) avg; n_members from the FINAL
+    # round's assignment; output = centroid coords exploded to scalar rows
+    # (pos 0-based to match posexplode), means rounded to 6 dp
+    _km_rounds = 3
+    _km_parts = [
+        r"""kpos AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+kc0 AS (
+  SELECT label AS cluster, list(m ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS m FROM kpos GROUP BY label, pos)
+  GROUP BY label
+)"""
+    ]
+    for _i in range(_km_rounds):
+        _km_parts.append(
+            f"""ks{_i} AS (
+  SELECT e.vec_id, c.cluster, e.embedding, """
+            + _COS.format(a="e.embedding", b="c.centroid")
+            + f""" AS s
+  FROM embeddings e CROSS JOIN kc{_i} c
+),
+ka{_i} AS (
+  SELECT vec_id, cluster, embedding FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster ASC) AS rn
+    FROM ks{_i}
+  ) WHERE rn = 1
+),
+kp{_i} AS (
+  SELECT cluster, generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM ka{_i}
+),
+kc{_i + 1} AS (
+  SELECT cluster, list(m ORDER BY pos) AS centroid
+  FROM (SELECT cluster, pos, avg(v) AS m FROM kp{_i} GROUP BY cluster, pos)
+  GROUP BY cluster
+)"""
+        )
+    sql["sim_kmeans"] = (
+        "WITH "
+        + ",\n".join(_km_parts)
+        + f""",
+kfin AS (
+  SELECT cluster, generate_subscripts(centroid, 1) - 1 AS pos, unnest(centroid) AS v
+  FROM kc{_km_rounds}
+),
+kmem AS (SELECT cluster, count(*) AS n_members FROM ka{_km_rounds - 1} GROUP BY cluster)
+SELECT f.cluster, CAST(f.pos AS INTEGER) AS pos, round(f.v, 6) AS mean6,
+       CAST(kmem.n_members AS BIGINT) AS n_members
+FROM kfin f JOIN kmem USING (cluster)"""
     )
 
     # per-source sampling weights toward the uniform target mix —

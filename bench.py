@@ -46,6 +46,7 @@ SECONDARY = [
     "sim_topk_pq",
     "sim_topk_pq_refined",
     "sim_topk_ivfpq",
+    "sim_kmeans",
     "data_mixture_weights",
     "text_quality",
     "text_langid",

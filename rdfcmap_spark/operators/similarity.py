@@ -712,3 +712,72 @@ def topk_ivfpq(
             F.col("adc_dist").cast("double").alias("adc_dist"),
         )
     )
+
+
+def kmeans_iterate(embeddings: DataFrame, rounds: int = 3) -> DataFrame:
+    """Iterative Lloyd k-means refinement of the coarse quantizer — the
+    real "train" step the one-sweep :func:`centroids` approximates: seed
+    from the per-``label`` means, then ``rounds`` synchronous
+    assign→recompute passes (assignment by 5-dp-rounded cosine with the
+    cluster id tie-break — the :func:`assign_clusters` contract — so the
+    argmax, and therefore every downstream mean, is engine-exact; the
+    means themselves are IEEE doubles, rounded at the OUTPUT only).
+
+    Bounded-round determinism contract (same as :func:`~rdfcmap_spark.
+    operators.graph.pagerank`): exactly ``rounds`` passes, no convergence
+    probe — k-means on a fixed seed is deterministic, so the oracle
+    unrolls the identical count. Clusters that lose every member simply
+    disappear (documented Lloyd behavior on empty cells; no re-seeding).
+
+    Scale posture per round: one broadcast of the K centroids against the
+    corpus (K×N rounded cosines via the Arrow kernel), one per-vector
+    window argmax (bounded by K), one map-side-combinable per-(cluster,
+    pos) mean — corpus-linear, no shuffle wider than (cluster, pos).
+
+    Output: (cluster, pos, mean6, n_members) — the centroid coordinates
+    exploded to scalar rows (engine-hashable), mean rounded to 6 dp.
+    """
+    dim = embedding_dim(embeddings)
+    cents = centroids(embeddings).select(
+        F.col("label").alias("cluster"), "centroid"
+    )
+    for _ in range(rounds):
+        scored = embeddings.select("vec_id", "embedding").join(
+            F.broadcast(cents)
+        ).select(
+            "vec_id",
+            "cluster",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("centroid"), dim), 5).alias("s"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cluster").asc())
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "embedding")
+        )
+        per_pos = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        )
+        cents = (
+            per_pos.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cluster",
+                F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"),
+            )
+        )
+        members = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    cents = cents.join(members, "cluster")
+    return cents.select(
+        "cluster",
+        F.posexplode("centroid").alias("pos", "v"),
+        "n_members",
+    ).select(
+        "cluster",
+        "pos",
+        F.round(F.col("v"), 6).alias("mean6"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )

@@ -921,3 +921,19 @@ def test_ivfpq_restricts_to_probed_clusters(spark):
         for r in similarity.topk_pq(emb, k=5, query_mod=20, m=4).collect()
     )
     assert full == pq
+
+
+def test_kmeans_iterate_stable_on_separated_clusters(spark):
+    """On well-separated clusters seeded from their own label means, Lloyd
+    rounds are a fixed point: every cluster keeps exactly its members and
+    the refined centroid stays near the true center direction."""
+    emb = _clustered_embeddings(spark)
+    out = similarity.kmeans_iterate(emb, rounds=3).collect()
+    assert len(out) == 8 * 16  # 8 clusters x dim 16 scalar rows
+    members = {r["cluster"]: r["n_members"] for r in out}
+    assert members == {c: 40 for c in range(8)}
+    # the basis coordinate of each cluster's centroid dominates
+    for c in range(8):
+        coords = {r["pos"]: r["mean6"] for r in out if r["cluster"] == c}
+        top = max(coords, key=lambda p: coords[p])
+        assert top == c % 16 and coords[top] > 0.9
