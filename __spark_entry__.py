@@ -1756,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_role_check": lambda s, d: transcripts.role_check(_synth_transcripts(s, d)),
         "chat_conv_stats": lambda s, d: transcripts.conv_stats(_synth_transcripts(s, d)),
         "chat_latency": lambda s, d: transcripts.turn_latency(_synth_transcripts(s, d)),
+        "chat_dialog_acts": lambda s, d: transcripts.dialog_acts(_synth_transcripts(s, d)),
         "chat_tool_transitions": lambda s, d: transcripts.tool_transitions(
             _synth_transcripts(s, d)
         ),
@@ -3343,6 +3344,21 @@ SELECT conv_id,
        CAST(coalesce(sum(CASE WHEN role = 'assistant' THEN gap_us END), 0) AS BIGINT) AS sum_assistant_gap_us,
        round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6, 6) AS mean_gap_secs
 FROM lat GROUP BY conv_id
+"""
+    )
+
+    # chat_dialog_acts: same first-match ladder, regexes generated from the
+    # SAME word lists the operator uses (\b is ASCII-safe here)
+    _q_re = "^(" + "|".join(transcripts.DIALOG_INTERROGATIVES) + ")\\b"
+    _c_re = "^(" + "|".join(transcripts.DIALOG_IMPERATIVES) + ")\\b"
+    sql["chat_dialog_acts"] = (
+        "WITH " + _TR_CTE + f"""
+SELECT conv_id, turn_idx, role,
+       CASE WHEN text LIKE '%```%' THEN 'code'
+            WHEN lower(trim(text)) LIKE '%?' OR regexp_matches(lower(trim(text)), '{_q_re}') THEN 'question'
+            WHEN regexp_matches(lower(trim(text)), '{_c_re}') THEN 'command'
+            ELSE 'statement' END AS act
+FROM tr
 """
     )
 

@@ -72,6 +72,7 @@ SECONDARY = [
     "chat_entity_timeline",
     "chat_pronoun_coref",
     "chat_latency",
+    "chat_dialog_acts",
     "kg_triangle_count",
     "kg_kcore",
     "kg_label_prop",

@@ -512,3 +512,41 @@ def turn_latency(turns: DataFrame) -> DataFrame:
             F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1e6), 6
         ).alias("mean_gap_secs"),
     )
+
+
+#: interrogative leads and imperative verbs for the dialog-act ladder —
+#: module constants so the DuckDB oracle is generated from the same lists
+DIALOG_INTERROGATIVES = (
+    "what why how when where who which can could would will is are do does did"
+).split()
+DIALOG_IMPERATIVES = (
+    "run create write fix show give list make add explain generate find "
+    "update delete implement summarize translate"
+).split()
+
+
+def dialog_acts(turns: DataFrame) -> DataFrame:
+    """Heuristic per-turn dialog-act tagging — the conversation-structure
+    signal (question/command/code/statement mix) used for SFT corpus
+    filtering and agent-behavior dashboards. Deterministic first-match
+    ladder, all plain column regexes (no Python):
+
+    1. ``code``      — the turn carries a ``` fence marker
+    2. ``question``  — trimmed text ends with '?' OR opens with an
+       interrogative lead word
+    3. ``command``   — opens with an imperative verb
+    4. ``statement`` — everything else
+
+    Output: (conv_id, turn_idx, role, act). Pure projection — zero
+    shuffles; the regexes run inside whole-stage codegen.
+    """
+    low = F.lower(F.trim(F.col("text")))
+    q_re = r"^(" + "|".join(DIALOG_INTERROGATIVES) + r")\b"
+    c_re = r"^(" + "|".join(DIALOG_IMPERATIVES) + r")\b"
+    act = (
+        F.when(F.col("text").contains("```"), F.lit("code"))
+        .when(low.endswith("?") | low.rlike(q_re), F.lit("question"))
+        .when(low.rlike(c_re), F.lit("command"))
+        .otherwise(F.lit("statement"))
+    )
+    return turns.select("conv_id", "turn_idx", "role", act.alias("act"))

@@ -260,3 +260,23 @@ def test_turn_latency_hand_computed(spark):
     b = out["B"]
     assert b["n_gaps"] == 4 and b["n_assistant_gaps"] == 0
     assert b["sum_assistant_gap_us"] == 0
+
+
+def test_dialog_acts_ladder(spark):
+    rows = [
+        ("C", 0, "user", "What is the boiling point?", "", _TS),
+        ("C", 1, "assistant", "It is 100 C", "", _TS),
+        ("C", 2, "user", "show me the table", "", _TS),
+        ("C", 3, "assistant", "```python\nprint(1)\n```", "", _TS),
+        ("C", 4, "user", "could you elaborate", "", _TS),   # interrogative lead, no '?'
+        ("C", 5, "user", "CREATE the index now", "", _TS),  # case-insensitive imperative
+        ("C", 6, "user", "what``` about this", "", _TS),    # any fence marker -> code
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {r["turn_idx"]: r["act"] for r in transcripts.dialog_acts(df).collect()}
+    assert got == {
+        0: "question", 1: "statement", 2: "command", 3: "code",
+        4: "question", 5: "command", 6: "code",
+    }
