@@ -163,6 +163,16 @@ def _kg_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.triples
 
 
+def _kg_rdfs_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.operators.ontology import rdfs_entail
+    from rdfcmap_spark.plans.pipeline import run_pipeline
+
+    tri = run_pipeline(_synth_transcripts(spark, sf_dir)).triples
+    edges = spark.createDataFrame(vocab.SUBCLASS_EDGES, "child string, parent string")
+    return rdfs_entail(tri, edges)
+
+
 def _kg_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdfcmap_spark.plans.pipeline import triple_support
 
@@ -1628,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_results_xml": lambda s, d: _results_serialized(s, d, "xml"),
         # --- full text->KG pipeline (rows-only; P/R-tested in pytest) ---
         "kg_pipeline_full": _kg_pipeline_full,
+        "kg_rdfs_entail": _kg_rdfs_entail,
         "kg_triple_support": _kg_triple_support,
         "kg_jsonl_roundtrip": _kg_jsonl_roundtrip,
         "kg_canonical_mapping": _kg_canonical_mapping,
@@ -3245,6 +3256,7 @@ SELECT subj, pred, lex, conv_id, turn_idx FROM a4
     from rdfcmap_spark import oracle as _oracle
 
     sql["kg_pipeline_full"] = _oracle.pipeline_full_sql()
+    sql["kg_rdfs_entail"] = _oracle.rdfs_entail_sql()
     sql["kg_triple_support"] = _oracle.triple_support_sql()
     # kg_jsonl_roundtrip: DuckDB reads the very JSONL files the Spark query
     # wrote (same fixture contract as the transcripts parquet oracle);

@@ -67,6 +67,7 @@ SECONDARY = [
     "text_lm_score",
     "kg_pagerank",
     "kg_triple_support",
+    "kg_rdfs_entail",
     "kg_khop_sample",
     "data_kg_negatives",
     "chat_entity_timeline",

@@ -160,3 +160,70 @@ def ontology_from_instances(triples: DataFrame) -> DataFrame:
         ),
     )
     return class_t.unionByName(prop_t).unionByName(restr_t)
+
+
+def rdfs_entail(triples: DataFrame, subclass_edges: DataFrame) -> DataFrame:
+    """RDFS subclass entailment: materialize the ``rdf:type`` triples a
+    reasoner would infer through the class hierarchy — if ``s a C`` and
+    ``C ⊑* D`` then ``s a D`` (rdfs9), the standard type-completion step
+    between KG construction and SPARQL-over-types querying (Jena's RDFS
+    reasoner plays this role around the reference's models; here it is a
+    batch operator over the triples frame).
+
+    Provenance: every inferred triple carries the (conv_id, turn_idx) of
+    the asserted source type it was derived from — the minimum over
+    (conv_id ASC NULLS FIRST, turn_idx ASC NULLS FIRST, source class ASC),
+    a total order because the triples frame is set-deduped (so each
+    (subj, source-class) pair is unique). Already-asserted types are
+    anti-joined away; output is exactly the NEW triples, in the standard
+    6+2-column triples schema.
+
+    Scale posture: the subclass closure is computed by pointer-doubling
+    (:func:`~rdfcmap_spark.operators.graph.transitive_closure` — ontology
+    hierarchies are tiny, SURVEY §2.8 disposition) and broadcast; one
+    broadcast join against the type slice of the corpus, one LeftAnti on
+    the asserted set, one per-(subj, class) window bounded by hierarchy
+    depth.
+    """
+    from pyspark.sql import Window
+
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.operators.graph import transitive_closure
+
+    closure = transitive_closure(
+        subclass_edges.select(F.col("child").alias("src"), F.col("parent").alias("dst"))
+    )
+    typed = triples.filter(
+        (F.col("pred") == vocab.RDF_TYPE) & (F.col("obj_kind") == "iri")
+    ).select("subj", "obj_iri", "conv_id", "turn_idx")
+    inf = typed.join(
+        F.broadcast(closure), typed["obj_iri"] == closure["src"]
+    ).select(
+        "subj",
+        F.col("obj_iri").alias("src_class"),
+        F.col("dst").alias("anc"),
+        "conv_id",
+        "turn_idx",
+    )
+    new = inf.join(
+        typed.select("subj", F.col("obj_iri").alias("anc")), ["subj", "anc"], "left_anti"
+    )
+    w = Window.partitionBy("subj", "anc").orderBy(
+        F.col("conv_id").asc_nulls_first(),
+        F.col("turn_idx").asc_nulls_first(),
+        F.col("src_class").asc(),
+    )
+    return (
+        new.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "subj",
+            F.lit(vocab.RDF_TYPE).alias("pred"),
+            F.lit("iri").alias("obj_kind"),
+            F.col("anc").alias("obj_iri"),
+            F.lit(None).cast("string").alias("obj_lexical"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            "conv_id",
+            "turn_idx",
+        )
+    )

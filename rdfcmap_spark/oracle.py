@@ -475,3 +475,45 @@ FROM rew
 GROUP BY subj, pred, obj_kind, obj_iri, obj_lexical, obj_datatype
 """
     )
+
+
+def rdfs_entail_sql() -> str:
+    """Oracle for kg_rdfs_entail: rdfs9 type completion over the pipeline
+    triples through the built-in subclass hierarchy (recursive closure),
+    min-provenance per inferred (subj, class) with the source class as the
+    final tie-break (total order: the pipeline triples are set-deduped)."""
+    edges = ", ".join(f"('{c}', '{p}')" for c, p in vocab.SUBCLASS_EDGES)
+    return (
+        "WITH RECURSIVE "
+        + _base_ctes()
+        + f""",
+sce(child, parent) AS (VALUES {edges}),
+scl(src, dst) AS (
+  SELECT child, parent FROM sce
+  UNION
+  SELECT s.src, e.parent FROM scl s JOIN sce e ON e.child = s.dst
+),
+etyped AS (
+  SELECT subj, obj_iri, conv_id, turn_idx FROM final
+  WHERE pred = '{vocab.RDF_TYPE}' AND obj_kind = 'iri'
+),
+einf AS (
+  SELECT t.subj, t.obj_iri AS src_class, c.dst AS anc, t.conv_id, t.turn_idx
+  FROM etyped t JOIN scl c ON c.src = t.obj_iri
+),
+enew AS (
+  SELECT i.* FROM einf i
+  WHERE NOT EXISTS (SELECT 1 FROM etyped t WHERE t.subj = i.subj AND t.obj_iri = i.anc)
+),
+er AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY subj, anc
+    ORDER BY conv_id ASC NULLS FIRST, turn_idx ASC NULLS FIRST, src_class ASC
+  ) AS rn
+  FROM enew
+)
+SELECT subj, '{vocab.RDF_TYPE}' AS pred, 'iri' AS obj_kind, anc AS obj_iri,
+       CAST(NULL AS VARCHAR) AS obj_lexical, CAST(NULL AS VARCHAR) AS obj_datatype,
+       conv_id, turn_idx
+FROM er WHERE rn = 1"""
+    )

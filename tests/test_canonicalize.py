@@ -339,3 +339,42 @@ def test_triple_support_counts_cross_conv_evidence(spark):
     # C's widget did NOT merge (no shared identifier); its type triple is
     # conv-local evidence
     assert got[(eids["C"], vocab.RDF_TYPE, "iri", vocab.OWL_NAMED_INDIVIDUAL, None)] == (1, 1)
+
+
+def test_rdfs_entail_hand_computed(spark):
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.operators.ontology import rdfs_entail
+
+    T = vocab.RDF_TYPE
+    triples = spark.createDataFrame(
+        [
+            # s1 asserted Reactor (⊑ Equipment ⊑ MaterialEntity) in conv b/2
+            ("s1", T, "iri", "Reactor", None, None, "b", 2),
+            # s1 ALSO asserted Stirrer (⊑ Equipment) earlier, in conv a/1 —
+            # Equipment's provenance must come from the (a,1) source
+            ("s1", T, "iri", "Stirrer", None, None, "a", 1),
+            # s2 asserted Equipment directly AND MaterialEntity explicitly —
+            # nothing new to infer for s2
+            ("s2", T, "iri", "Equipment", None, None, "c", 0),
+            ("s2", T, "iri", "MaterialEntity", None, None, "c", 1),
+            # non-type triple is ignored
+            ("s1", "other", "iri", "Reactor", None, None, "z", 9),
+        ],
+        "subj string, pred string, obj_kind string, obj_iri string, "
+        "obj_lexical string, obj_datatype string, conv_id string, turn_idx int",
+    )
+    edges = spark.createDataFrame(
+        [("Reactor", "Equipment"), ("Stirrer", "Equipment"), ("Equipment", "MaterialEntity")],
+        "child string, parent string",
+    )
+    got = {
+        (r["subj"], r["obj_iri"]): (r["conv_id"], r["turn_idx"], r["pred"], r["obj_kind"])
+        for r in rdfs_entail(triples, edges).collect()
+    }
+    assert got == {
+        # s1: Equipment (from Stirrer a/1 — the min provenance), and
+        # MaterialEntity (transitive, also min = a/1 via Stirrer)
+        ("s1", "Equipment"): ("a", 1, T, "iri"),
+        ("s1", "MaterialEntity"): ("a", 1, T, "iri"),
+        # s2: only MaterialEntity would be inferable but it is asserted -> excluded
+    }
