@@ -1593,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ktruss": lambda s, d: relational.part_ktruss(load(s, d, "lineitem")),
         "kg_link_predict": lambda s, d: relational.part_link_predict(load(s, d, "lineitem")),
         "kg_random_walks": lambda s, d: relational.entity_walks(load(s, d, "events")),
+        "events_funnel": lambda s, d: relational.event_funnel(load(s, d, "events")),
         "data_kg_negatives": lambda s, d: relational.kg_triple_negatives(load(s, d, "events")),
         "kg_g4_hierarchy_level": lambda s, d: relational.g4_hierarchy_levels(s),
         "kg_x4_long_comments": lambda s, d: relational.x4_long_comments(load(s, d, "part")),
@@ -2462,6 +2463,33 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(rank AS INTEGER) AS 
        CAST(n_common AS BIGINT) AS n_common, aa_nano,
        CAST(round(aa_nano / 1e9, 9) AS DOUBLE) AS aa_score
 FROM lrk WHERE rank <= 10
+"""
+
+    # events_funnel: 3-stage earliest-completion funnel, exact integer
+    # microseconds; stage k = min ts strictly after stage k-1's completion
+    sql["events_funnel"] = r"""
+WITH f1 AS (
+  SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS ts_us_1
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+f2 AS (
+  SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS ts_us_2
+  FROM events e JOIN f1 ON f1.user_id = e.user_id
+  WHERE e.event_type = 'view' AND epoch_us(e.ts) > f1.ts_us_1
+  GROUP BY e.user_id
+),
+f3 AS (
+  SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS ts_us_3
+  FROM events e JOIN f2 ON f2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f2.ts_us_2
+  GROUP BY e.user_id
+)
+SELECT f1.user_id,
+       CAST(CASE WHEN f3.ts_us_3 IS NOT NULL THEN 3
+                 WHEN f2.ts_us_2 IS NOT NULL THEN 2
+                 ELSE 1 END AS INTEGER) AS stage_reached,
+       f1.ts_us_1, f2.ts_us_2, f3.ts_us_3
+FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id)
 """
 
     # kg_random_walks: deterministic DeepWalk corpus over the identity

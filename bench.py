@@ -59,6 +59,7 @@ SECONDARY = [
     "tpch_q1",
     "events_sessionize",
     "events_hourly_rollup",
+    "events_funnel",
     "kg_title_ladder",
     "kg_ontology",
     "kg_sparql_exec_full",

@@ -812,3 +812,58 @@ def entity_walks(events: DataFrame, walk_len: int = 4, n_walks: int = 2) -> Data
     from rdfcmap_spark.operators.graph import random_walks
 
     return random_walks(user_identity_edges(events), walk_len=walk_len, n_walks=n_walks)
+
+
+def event_funnel(
+    events: DataFrame, stages: tuple[str, ...] = ("signup", "view", "purchase")
+) -> DataFrame:
+    """Ordered funnel analysis over the event stream — for each user, how
+    far through the stage sequence they progressed with STRICTLY
+    increasing timestamps (the classic product-analytics conversion
+    query; ties at the same microsecond do not advance the funnel).
+
+    Stage k's completion time is the MIN ts of a stage-k event later than
+    the user's stage-(k-1) completion — the earliest-completion semantics
+    every funnel engine uses (greedy-earliest is optimal: any valid
+    chain can be shifted to the earliest witnesses). Exact integer
+    microseconds throughout (`unix_micros` — the seconds-truncation
+    trap).
+
+    Scale posture: one map-side-combinable (user, min ts) aggregate per
+    stage over the stage's filtered slice (predicate-pushed scan), then a
+    join on user_id per stage (AQE; the frame shrinks monotonically —
+    only users who completed stage k-1 are probed for stage k). Stage
+    count is a constant, so the plan is a fixed ladder, never iterative.
+
+    Output: (user_id, stage_reached, ts_us_1..ts_us_n nullable).
+    """
+    # events.ts reads as TIMESTAMP_NTZ; the UTC session makes the cast a
+    # no-op relabeling, matching DuckDB epoch_us (same device as sessionize)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cur = (
+        events.filter(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min(us).alias("ts_us_1"))
+    )
+    out = cur
+    for i, stage in enumerate(stages[1:], start=2):
+        nxt = (
+            events.filter(F.col("event_type") == stage)
+            .select("user_id", us.alias("_ts"))
+            .join(out.select("user_id", F.col(f"ts_us_{i-1}").alias("_prev")), "user_id")
+            .filter(F.col("_ts") > F.col("_prev"))
+            .groupBy("user_id")
+            .agg(F.min("_ts").alias(f"ts_us_{i}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+    # highest completed stage wins: building the when-ladder in ascending
+    # stage order nests each deeper stage OUTSIDE the previous expression,
+    # so the final ladder tests the deepest stage first
+    reached = F.lit(1)
+    for i in range(2, len(stages) + 1):
+        reached = F.when(F.col(f"ts_us_{i}").isNotNull(), F.lit(i)).otherwise(reached)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        reached.cast("int").alias("stage_reached"),
+        *[F.col(f"ts_us_{i}").cast("long").alias(f"ts_us_{i}") for i in range(1, len(stages) + 1)],
+    )

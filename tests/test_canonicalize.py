@@ -378,3 +378,36 @@ def test_rdfs_entail_hand_computed(spark):
         ("s1", "MaterialEntity"): ("a", 1, T, "iri"),
         # s2: only MaterialEntity would be inferable but it is asserted -> excluded
     }
+
+
+def test_event_funnel_hand_computed(spark):
+    from datetime import datetime
+
+    from rdfcmap_spark.operators.relational import event_funnel
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)
+    rows = [
+        # u1: full funnel in order
+        (1, t(0), 1, "signup", 0.0, ""),
+        (2, t(1), 1, "view", 0.0, ""),
+        (3, t(2), 1, "purchase", 0.0, ""),
+        # u2: purchase BEFORE view -> stage 2 only
+        (4, t(0), 2, "signup", 0.0, ""),
+        (5, t(1), 2, "purchase", 0.0, ""),
+        (6, t(2), 2, "view", 0.0, ""),
+        # u3: view at the SAME ts as signup (strictness) then nothing
+        (7, t(0), 3, "signup", 0.0, ""),
+        (8, t(0), 3, "view", 0.0, ""),
+        # u4: never signed up -> absent from the funnel
+        (9, t(0), 4, "view", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["user_id"]: r for r in event_funnel(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["stage_reached"] == 3 and got[1]["ts_us_3"] is not None
+    assert got[2]["stage_reached"] == 2 and got[2]["ts_us_3"] is None
+    # u2's view at t(2) is AFTER signup -> stage 2 via view, not purchase
+    assert got[2]["ts_us_2"] == got[2]["ts_us_1"] + 2 * 60_000_000
+    assert got[3]["stage_reached"] == 1 and got[3]["ts_us_2"] is None
