@@ -1594,6 +1594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_predict": lambda s, d: relational.part_link_predict(load(s, d, "lineitem")),
         "kg_random_walks": lambda s, d: relational.entity_walks(load(s, d, "events")),
         "events_funnel": lambda s, d: relational.event_funnel(load(s, d, "events")),
+        "events_cohort_retention": lambda s, d: relational.cohort_retention(
+            load(s, d, "events")
+        ),
         "data_kg_negatives": lambda s, d: relational.kg_triple_negatives(load(s, d, "events")),
         "kg_g4_hierarchy_level": lambda s, d: relational.g4_hierarchy_levels(s),
         "kg_x4_long_comments": lambda s, d: relational.x4_long_comments(load(s, d, "part")),
@@ -2490,6 +2493,31 @@ SELECT f1.user_id,
                  ELSE 1 END AS INTEGER) AS stage_reached,
        f1.ts_us_1, f2.ts_us_2, f3.ts_us_3
 FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id)
+"""
+
+    # events_cohort_retention: epoch-week ordinals (floor(epoch_days/7) —
+    # calendar-free, engine-exact), per-cohort distinct-active counts
+    sql["events_cohort_retention"] = r"""
+WITH wk AS (
+  SELECT user_id, event_type,
+         CAST(floor(floor(epoch_us(ts) / 86400000000) / 7) AS BIGINT) AS week
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM wk WHERE event_type = 'signup' GROUP BY user_id
+),
+sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY cohort_week),
+active AS (SELECT DISTINCT user_id, week FROM wk),
+cells AS (
+  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset, count(*) AS n_active
+  FROM active a JOIN cohorts c USING (user_id)
+  WHERE a.week >= c.cohort_week
+  GROUP BY c.cohort_week, a.week - c.cohort_week
+)
+SELECT cells.cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(n_active AS BIGINT) AS n_active, CAST(cohort_size AS BIGINT) AS cohort_size,
+       round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6) AS retention
+FROM cells JOIN sizes USING (cohort_week)
 """
 
     # kg_random_walks: deterministic DeepWalk corpus over the identity

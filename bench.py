@@ -60,6 +60,7 @@ SECONDARY = [
     "events_sessionize",
     "events_hourly_rollup",
     "events_funnel",
+    "events_cohort_retention",
     "kg_title_ladder",
     "kg_ontology",
     "kg_sparql_exec_full",

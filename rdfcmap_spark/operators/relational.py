@@ -867,3 +867,47 @@ def event_funnel(
         reached.cast("int").alias("stage_reached"),
         *[F.col(f"ts_us_{i}").cast("long").alias(f"ts_us_{i}") for i in range(1, len(stages) + 1)],
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort-retention matrix over the event stream — the second
+    classic product-analytics product next to :func:`event_funnel`: users
+    are grouped into signup-week cohorts (week of their FIRST ``signup``
+    event), and each cell counts the cohort's users active in week
+    ``cohort_week + week_offset``.
+
+    Weeks are exact integer epoch-week ordinals (``floor(epoch_days /
+    7)`` — no calendar/locale WEEK() semantics to disagree across
+    engines). Retention is a deterministic ratio of exact counts.
+
+    Scale posture: one (user → min signup day) aggregate, one distinct
+    (user, week) activity projection, one join on user (AQE), one
+    (cohort_week, offset) count — all map-side-combinable; no windows,
+    no skew-prone keys (weeks are near-uniform).
+
+    Output: (cohort_week, week_offset, n_active, cohort_size, retention).
+    """
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000))
+    week = F.floor(day / 7)
+    cohorts = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    active = events.select("user_id", week.alias("week")).distinct()
+    cells = (
+        active.join(cohorts, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return cells.join(sizes, "cohort_week").select(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        F.col("week_offset").cast("long").alias("week_offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.round(F.col("n_active").cast("double") / F.col("cohort_size").cast("double"), 6).alias(
+            "retention"
+        ),
+    )

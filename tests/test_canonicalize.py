@@ -411,3 +411,31 @@ def test_event_funnel_hand_computed(spark):
     # u2's view at t(2) is AFTER signup -> stage 2 via view, not purchase
     assert got[2]["ts_us_2"] == got[2]["ts_us_1"] + 2 * 60_000_000
     assert got[3]["stage_reached"] == 1 and got[3]["ts_us_2"] is None
+
+
+def test_cohort_retention_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from rdfcmap_spark.operators.relational import cohort_retention
+
+    base = datetime(2026, 1, 1)  # epoch day 20454 -> week 2922
+    rows = [
+        # u1, u2 sign up in week W; u1 active W and W+1, u2 only W
+        (1, base, 1, "signup", 0.0, ""),
+        (2, base + timedelta(days=7), 1, "click", 0.0, ""),
+        (3, base + timedelta(days=1), 2, "signup", 0.0, ""),
+        # u3 signs up the next week
+        (4, base + timedelta(days=7), 3, "signup", 0.0, ""),
+        # u4 never signs up -> not in any cohort
+        (5, base, 4, "click", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {(r["cohort_week"], r["week_offset"]): r for r in cohort_retention(df).collect()}
+    w = (base - datetime(1970, 1, 1)).days // 7
+    assert set(got) == {(w, 0), (w, 1), (w + 1, 0)}
+    assert got[(w, 0)]["n_active"] == 2 and got[(w, 0)]["cohort_size"] == 2
+    assert got[(w, 0)]["retention"] == 1.0
+    assert got[(w, 1)]["n_active"] == 1 and got[(w, 1)]["retention"] == 0.5
+    assert got[(w + 1, 0)]["cohort_size"] == 1
