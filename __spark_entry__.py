@@ -1545,6 +1545,104 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
+# Driver-window rotation (round 4): the driver's CORRECTNESS gate samples the
+# FIRST 50 registry keys each round.  Rounds 1-3 covered the SURVEY §2 family
+# (74 distinct queries hold driver-green rows in CORRECTNESS_r01-r03); the
+# names below have never had a driver row, so they are promoted to the front
+# of the dict — new round-4 queries first, then the never-checked tier.  The
+# full 145+-query gate is still `tools/check_oracle.py` (run locally every
+# session); this ordering only decides which slice the driver artifact
+# re-verifies this round.
+_DRIVER_WINDOW_PRIORITY = [
+    # never driver-checked (no row in CORRECTNESS_r01/r02/r03)
+    "kg_sparql_exec",
+    "kg_sparql_exec_full",
+    "kg_sparql_path",
+    "kg_sparql_path_star",
+    "kg_sparql_nps",
+    "kg_sparql_subquery",
+    "kg_sparql_values",
+    "kg_sparql_ask",
+    "kg_sparql_graph",
+    "kg_sparql_update",
+    "kg_sparql_agg",
+    "kg_sparql_having",
+    "kg_sparql_construct",
+    "kg_sparql_not_exists",
+    "kg_sparql_describe",
+    "kg_sparql_bind",
+    "kg_sparql_builtins",
+    "kg_sparql_graph_mgmt",
+    "kg_sparql_results_csv",
+    "kg_sparql_results_tsv",
+    "kg_sparql_results_json",
+    "kg_sparql_results_xml",
+    "kg_rdfs_entail",
+    "kg_triple_support",
+    "kg_jsonl_roundtrip",
+    "kg_incremental_canon",
+    "kg_ttl_noprefix_roundtrip",
+    "kg_anonymize",
+    "kg_nquads_roundtrip",
+    "dedup_simhash_groups",
+    "dedup_dup_groups",
+    "dedup_incremental_groups",
+    "dedup_span",
+    "sim_topk_pq",
+    "sim_topk_pq_refined",
+    "sim_topk_ivfpq",
+    "sim_kmeans",
+    "data_mixture_weights",
+    "sim_hyperplane_sig",
+    "dedup_embedding_lsh",
+    "dedup_embedding_groups",
+    "text_repetition",
+    "text_quality_filter",
+    "text_pii_redact",
+    "text_lm_score",
+    "text_lm_bigram",
+    "text_tfidf_keywords",
+    "text_decontaminate",
+    "text_pii_scan",
+    "data_split",
+]
+# still-unchecked tail for the round-5 window (kept adjacent so next round's
+# rotation is a one-line move): data_shuffle_order, pack_concat_chunk,
+# pack_greedy, data_cap_per_source, data_sample_stratified, multimodal_resize,
+# multimodal_frame_sample, chat_* (14), and anything new this round.
+_DRIVER_WINDOW_NEXT = [
+    "data_shuffle_order",
+    "pack_concat_chunk",
+    "pack_greedy",
+    "data_cap_per_source",
+    "data_sample_stratified",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "chat_render",
+    "chat_sft_pairs",
+    "chat_role_check",
+    "chat_conv_stats",
+    "chat_latency",
+    "chat_dialog_acts",
+    "chat_tool_transitions",
+    "chat_truncate_budget",
+    "chat_dup_groups",
+    "chat_quality",
+    "chat_stream_conv_stats",
+    "chat_entity_pmi",
+    "chat_entity_timeline",
+    "chat_pronoun_coref",
+]
+
+
+def _rotate_for_driver_window(
+    q: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    front = [k for k in _DRIVER_WINDOW_PRIORITY + _DRIVER_WINDOW_NEXT if k in q]
+    ordered = {k: q[k] for k in front}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    return ordered
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1793,7 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": lambda s, d: relational.sessionize(load(s, d, "events")),
         "events_hourly_rollup": lambda s, d: relational.hourly_event_rollup(load(s, d, "events")),
     }
-    return q
+    return _rotate_for_driver_window(q)
 
 
 # ---------------------------------------------------------------------------
