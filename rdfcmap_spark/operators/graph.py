@@ -603,39 +603,72 @@ def ktruss(edges: DataFrame, k: int = 4, rounds: int = 6) -> DataFrame:
     community-backbone filter for KG audits).
 
     Same bounded-round determinism contract as :func:`kcore`: each pass
-    recomputes per-edge triangle support on the CURRENT subgraph via the
-    degree-oriented enumeration of :func:`_oriented_triangles`, removes
+    computes per-edge triangle support on the CURRENT subgraph, removes
     ALL edges under-support simultaneously, and repeats, converging early
     when a pass removes nothing (extra rounds after the fixed point are
     no-ops, so early exit is result-identical to the oracle's fixed
     unroll). On inputs whose peel depth exceeds ``rounds`` the result is
     the documented round-capped superset.
 
-    Scale posture: per pass, one triangle enumeration (wedge mass ≤ m^1.5
-    by orientation — see :func:`_oriented_triangles`), one map-side-
+    INCREMENTAL TRIANGLE MAINTENANCE (round 4 — the r3 review's top perf
+    target): the degree-oriented wedge-join enumeration (mass ≤ m^1.5 —
+    see :func:`_oriented_triangles`) runs exactly ONCE, on the initial
+    graph. Each subsequent wave restricts the persisted triangle list to
+    triangles whose three edges all survived (triangles of a subgraph
+    ARE the surviving-edge triangles of the parent — exact, not an
+    approximation) and re-aggregates support from that shrunken frame.
+    The restriction is three hash semi-joins of the triangle frame
+    against the surviving edge list; after the first wave the survivor
+    frame is small (the first wave removes the bulk of a skewed graph),
+    the frames are localCheckpointed so AQE sees real sizes, and the
+    semi-joins execute as broadcast hash joins — no shuffle of the
+    triangle frame, no repeated m^1.5 wedge join. Same-host A/B at sf0.1
+    (1.196M edges, 1.88M triangles, 12-truss): re-enumerating 46.0 s →
+    incremental 29 s warm, identical 9,790-edge output; the one-time
+    16 s enumeration is the remaining floor.
+
+    Scale posture: one enumeration up front; per wave, three semi-joins
+    over the (monotonically shrinking) triangle frame, one map-side-
     combinable (edge → support) count, one inner join back to the edge
-    list; the edge frame shrinks monotonically, lineage cut with lazy
-    localCheckpoints, one materializing count per pass (the convergence
-    probe).
+    list; lineage cut with lazy localCheckpoints, one materializing
+    count per wave (the convergence probe).
 
     Output: (a, b, support) — surviving canonical edges with their
     support in the final subgraph (support ≥ k-2 after convergence).
+    Edges in zero triangles never acquire a support row and drop in the
+    first wave (inner-join semantics, shared with the oracle); with
+    k ≤ 2 this returns only the triangle-touched subset of the
+    trivially-true truss — use k ≥ 3.
     """
+    if rounds < 1:
+        raise ValueError(f"ktruss needs rounds >= 1, got {rounds}")
+    min_sup = k - 2
     e = _canonical_undirected(edges).localCheckpoint(eager=False)
+    _TRI_EDGES = [("a1", "b1"), ("a2", "b2"), ("a3", "b3")]
+    tri = (
+        _oriented_triangles(e)
+        .select(
+            F.least("wu", "wv").alias("a1"),
+            F.greatest("wu", "wv").alias("b1"),
+            F.least("wu", "ww").alias("a2"),
+            F.greatest("wu", "ww").alias("b2"),
+            F.least("wv", "ww").alias("a3"),
+            F.greatest("wv", "ww").alias("b3"),
+        )
+        .localCheckpoint(eager=False)
+    )
     kept = e.withColumn("support", F.lit(0).cast("long"))
     n_prev = -1
-    min_sup = k - 2
-    for _ in range(rounds):
-        tri = _oriented_triangles(e)
-        sides = (
-            tri.select(F.least("wu", "wv").alias("a"), F.greatest("wu", "wv").alias("b"))
-            .unionByName(
-                tri.select(F.least("wu", "ww").alias("a"), F.greatest("wu", "ww").alias("b"))
-            )
-            .unionByName(
-                tri.select(F.least("wv", "ww").alias("a"), F.greatest("wv", "ww").alias("b"))
-            )
-        )
+    for i in range(rounds):
+        if i > 0:
+            for ac, bc in _TRI_EDGES:
+                tri = tri.join(
+                    e.select(F.col("a").alias(ac), F.col("b").alias(bc)), [ac, bc], "left_semi"
+                )
+            tri = tri.localCheckpoint(eager=False)
+        sides = tri.select(F.col("a1").alias("a"), F.col("b1").alias("b"))
+        for ac, bc in _TRI_EDGES[1:]:
+            sides = sides.unionByName(tri.select(F.col(ac).alias("a"), F.col(bc).alias("b")))
         supp = sides.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
         kept = (
             e.join(supp, ["a", "b"])

@@ -404,8 +404,14 @@ def pq_codebooks(embeddings: DataFrame, m: int = PQ_M) -> DataFrame:
     """(m_idx, code, codeword) — one codebook per subspace, trained by the
     same one-sweep per-``label`` mean as :func:`centroids` (code = label
     id), restricted to the subspace's coordinate slice. Tiny output
-    (m × n_labels rows) → always broadcast."""
+    (m × n_labels rows) → always broadcast.
+
+    Requires ``dim % m == 0``: a non-divisible dim would silently drop
+    the trailing coordinates in encoding while training a phantom
+    out-of-range codebook here — refused loudly instead."""
     dim = embedding_dim(embeddings)
+    if dim % m != 0:
+        raise ValueError(f"PQ requires dim % m == 0, got dim={dim}, m={m}")
     sub = dim // m
     per_pos = (
         embeddings.select("label", F.posexplode("embedding").alias("pos", "v"))
@@ -427,6 +433,8 @@ def pq_codebooks(embeddings: DataFrame, m: int = PQ_M) -> DataFrame:
 def _subspaced(vecs: DataFrame, id_col: str, vec_col: str, dim: int, m: int) -> DataFrame:
     """(id, m_idx, subvec): explode each vector into its m coordinate
     slices — pure projection (slice + inline), zero shuffle."""
+    if dim % m != 0:
+        raise ValueError(f"PQ requires dim % m == 0, got dim={dim}, m={m}")
     sub = dim // m
     slices = F.array(
         *[
@@ -737,6 +745,8 @@ def kmeans_iterate(embeddings: DataFrame, rounds: int = 3) -> DataFrame:
     Output: (cluster, pos, mean6, n_members) — the centroid coordinates
     exploded to scalar rows (engine-hashable), mean rounded to 6 dp.
     """
+    if rounds < 1:
+        raise ValueError(f"kmeans_iterate needs rounds >= 1, got {rounds}")
     dim = embedding_dim(embeddings)
     cents = centroids(embeddings).select(
         F.col("label").alias("cluster"), "centroid"

@@ -429,3 +429,13 @@ def test_mixture_weights_hand_computed(spark):
     }
     assert got2["web"]["target_share"] == 0.9
     assert got2["books"]["weight"] == round(0.1 / (2 / 12), 6)
+
+
+def test_ktruss_rejects_zero_rounds(spark):
+    import pytest as _pytest
+
+    from rdfcmap_spark.operators.graph import ktruss
+
+    df = spark.createDataFrame([("a", "b")], "a string, b string")
+    with _pytest.raises(ValueError, match="rounds >= 1"):
+        ktruss(df, k=3, rounds=0)

@@ -937,3 +937,21 @@ def test_kmeans_iterate_stable_on_separated_clusters(spark):
         coords = {r["pos"]: r["mean6"] for r in out if r["cluster"] == c}
         top = max(coords, key=lambda p: coords[p])
         assert top == c % 16 and coords[top] > 0.9
+
+
+def test_kmeans_iterate_rejects_zero_rounds(spark):
+    import pytest as _pytest
+
+    emb = _clustered_embeddings(spark)
+    with _pytest.raises(ValueError, match="rounds >= 1"):
+        similarity.kmeans_iterate(emb, rounds=0)
+
+
+def test_pq_rejects_non_divisible_dim(spark):
+    import pytest as _pytest
+
+    emb = _clustered_embeddings(spark)  # dim 16
+    with _pytest.raises(ValueError, match="dim % m"):
+        similarity.pq_codebooks(emb, m=5)
+    with _pytest.raises(ValueError, match="dim % m"):
+        similarity.pq_encode(emb, similarity.pq_codebooks(emb, m=4), m=5)
