@@ -1554,6 +1554,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # session); this ordering only decides which slice the driver artifact
 # re-verifies this round.
 _DRIVER_WINDOW_PRIORITY = [
+    # new in round 4 (driver-check immediately)
+    "kg_shacl_graph",
     # never driver-checked (no row in CORRECTNESS_r01/r02/r03)
     "kg_sparql_exec",
     "kg_sparql_exec_full",
@@ -1705,6 +1707,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ontology": _kg_ontology,
         "kg_shacl_shapes": lambda s, d: relational.shacl_shape_summary(
             load(s, d, "customer"), load(s, d, "orders"), load(s, d, "nation")
+        ),
+        # round 4: the full SHACL shapes GRAPH (sh:NodeShape/sh:property
+        # triples with RDF-list sh:path cons cells, ShapesCreator2.java)
+        "kg_shacl_graph": lambda s, d: relational.shacl_graph_product(
+            load(s, d, "customer"), load(s, d, "orders"), load(s, d, "nation"),
+            load(s, d, "region")
         ),
         # --- round-3 reference-parity additions ---
         "kg_m1_node_sizing": _kg_m1_node_sizing,
@@ -3008,6 +3016,145 @@ SELECT p.rdf_type, p.pred,
 FROM per_subj p JOIN totals t2 USING (rdf_type)
 GROUP BY p.rdf_type, p.pred, t2.n_subjects
 """
+
+    # kg_shacl_graph: the full SHACL shapes GRAPH as triples — mirrors
+    # operators/shapes.py template-for-template (node shapes with collision-
+    # suffixed labels, rdf-type cons-list sh:path, per-(type,pred) property
+    # shapes with observed min/max + literal/object branches). Generated
+    # here so the 25 triple templates stay mechanically in sync.
+    from rdfcmap_spark.ids import uuid_sql as _usql
+
+    _XS = "http://www.w3.org/2001/XMLSchema#"
+    _SHN = "http://www.w3.org/ns/shacl#"
+    _RDFN = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    _AFSN = "http://purl.allotrope.org/shapes/core#"
+
+    def _mint(name_expr: str) -> str:
+        return "'urn:uuid:' || " + _usql(name_expr)
+
+    _ps_t = _mint("'shacl-ts|' || rdf_type")
+    _l0 = _mint("'shacl-tp0|' || rdf_type")
+    _l1 = _mint("'shacl-tp1|' || rdf_type")
+    _zc = _mint("'shacl-tpz|' || rdf_type")
+    _ps = _mint("'shacl-ps|' || rdf_type || '|' || pred")
+
+    def _trow(subj, pred, kind, iri="CAST(NULL AS VARCHAR)", lex="CAST(NULL AS VARCHAR)",
+              dt="CAST(NULL AS VARCHAR)", src="shp", where=""):
+        return (
+            f"SELECT {subj} AS subj, '{pred}' AS pred, '{kind}' AS obj_kind, {iri} AS obj_iri, "
+            f"{lex} AS obj_lexical, {dt} AS obj_datatype FROM {src}{where}"
+        )
+
+    _xint = f"'{_XS}integer'"
+    _node_rows = [
+        _trow("shape", _RDFN + "type", "iri", f"'{_SHN}NodeShape'"),
+        _trow("shape", _SHN + "targetClass", "iri", "rdf_type"),
+        _trow("shape", _SHN + "property", "bnode", _ps_t),
+        _trow(_ps_t, _RDFN + "type", "iri", f"'{_SHN}PropertyShape'"),
+        _trow(_ps_t, _SHN + "minCount", "literal", lex="'1'", dt=_xint),
+        _trow(_ps_t, _SHN + "hasValue", "iri", "rdf_type"),
+        _trow(_ps_t, _SHN + "path", "bnode", _l0),
+        _trow(_l0, _RDFN + "first", "iri", f"'{_RDFN}type'"),
+        _trow(_l0, _RDFN + "rest", "bnode", _l1),
+        _trow(_l1, _RDFN + "first", "bnode", _zc),
+        _trow(_zc, _SHN + "zeroOrMorePath", "iri",
+              "'http://www.w3.org/2000/01/rdf-schema#subClassOf'"),
+        _trow(_l1, _RDFN + "rest", "iri", f"'{_RDFN}nil'"),
+    ]
+    _minlex = "CAST(min_count AS VARCHAR)"
+    _maxlex = "CAST(max_count AS VARCHAR)"
+    _pp_common = [
+        _trow("shape", _SHN + "property", "bnode", _ps, src="pp"),
+        _trow(_ps, _RDFN + "type", "iri", f"'{_SHN}PropertyShape'", src="pp"),
+        _trow(_ps, _SHN + "path", "iri", "pred", src="pp"),
+        _trow(_ps, _SHN + "minCount", "literal", lex=_minlex, dt=_xint, src="pp"),
+        _trow(_ps, _SHN + "maxCount", "literal", lex=_maxlex, dt=_xint, src="pp"),
+    ]
+    _pp_lit = [
+        _trow(_ps, _SHN + "nodeKind", "iri", f"'{_SHN}Literal'", src="pp",
+              where=" WHERE is_literal"),
+        _trow(_ps, _SHN + "datatype", "iri", "dt", src="pp", where=" WHERE is_literal"),
+    ]
+    _pp_obj = [
+        _trow(_ps, _SHN + "qualifiedMinCount", "literal", lex=_minlex, dt=_xint, src="pp",
+              where=" WHERE NOT is_literal"),
+        _trow(_ps, _SHN + "qualifiedMaxCount", "literal", lex=_maxlex, dt=_xint, src="pp",
+              where=" WHERE NOT is_literal"),
+    ]
+    sql["kg_shacl_graph"] = (
+        r"""
+WITH t AS (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS subj, 'ex:Customer' AS rdf_type,
+         'ex:locatedIn' AS pred, 'iri' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_datatype
+  FROM customer
+  UNION ALL
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR), 'ex:Customer', 'ex:hasName', 'literal', '"""
+        + _XS
+        + r"""string' FROM customer
+  UNION ALL
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR), 'ex:Customer', 'ex:acctBal', 'literal', '"""
+        + _XS
+        + r"""double' FROM customer
+  UNION ALL
+  SELECT 'c:' || CAST(o_custkey AS VARCHAR), 'ex:Customer', 'ex:hasOrder', 'iri', NULL FROM orders
+  UNION ALL
+  SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'ex:Nation', 'ex:inRegion', 'iri', NULL FROM nation
+  UNION ALL
+  SELECT 'r:' || CAST(r_regionkey AS VARCHAR), 'ex2:Customer', 'ex:code', 'literal',
+         CASE WHEN r_regionkey % 2 = 0 THEN '"""
+        + _XS
+        + r"""double' ELSE '"""
+        + _XS
+        + r"""integer' END
+  FROM region
+),
+per_subj AS (
+  SELECT rdf_type, pred, subj, count(*) AS n,
+         max(CASE WHEN obj_kind <> 'literal' THEN 1 ELSE 0 END) AS any_nonlit
+  FROM t GROUP BY rdf_type, pred, subj
+),
+subj_totals AS (
+  SELECT rdf_type, count(*) AS n_subjects
+  FROM (SELECT DISTINCT rdf_type, subj FROM t) GROUP BY rdf_type
+),
+dts AS (
+  SELECT rdf_type, pred, count(DISTINCT obj_datatype) AS n_dt, min(obj_datatype) AS dt_min
+  FROM t WHERE obj_kind = 'literal' GROUP BY rdf_type, pred
+),
+agg AS (
+  SELECT rdf_type, pred, count(*) AS n_with, min(n) AS observed_min, max(n) AS max_count,
+         max(any_nonlit) AS any_nonlit
+  FROM per_subj GROUP BY rdf_type, pred
+),
+summary AS (
+  SELECT a.rdf_type, a.pred,
+         CASE WHEN a.n_with < s.n_subjects THEN 0 ELSE a.observed_min END AS min_count,
+         a.max_count, (a.any_nonlit = 0) AS is_literal,
+         CASE WHEN d.n_dt = 1 THEN d.dt_min ELSE '"""
+        + _XS
+        + r"""string' END AS dt
+  FROM agg a JOIN subj_totals s USING (rdf_type) LEFT JOIN dts d USING (rdf_type, pred)
+),
+labs AS (
+  SELECT rdf_type,
+         array_to_string(list_transform(
+           string_split_regex(
+             regexp_replace(regexp_extract(rdf_type, '([^#/:]+)$', 1), '\[|\]', '', 'g'),
+             '[-\s\(\)]+'),
+           x -> upper(x[1:1]) || lower(x[2:])), '') || 'Shape' AS label
+  FROM (SELECT DISTINCT rdf_type FROM t)
+),
+shp AS (
+  SELECT rdf_type, '"""
+        + _AFSN
+        + r"""' || CASE WHEN rn > 1 THEN label || '_' || CAST(rn - 1 AS VARCHAR) ELSE label END AS shape
+  FROM (SELECT rdf_type, label,
+               row_number() OVER (PARTITION BY label ORDER BY rdf_type) AS rn FROM labs)
+),
+pp AS (SELECT su.*, sh.shape FROM summary su JOIN shp sh USING (rdf_type))
+"""
+        + "\nUNION ALL\n".join(_node_rows + _pp_common + _pp_lit + _pp_obj)
+    )
 
     sql["kg_owl_read"] = r"""
 WITH src AS (

@@ -580,6 +580,58 @@ def shacl_shape_summary(customer: DataFrame, orders: DataFrame, nation: DataFram
     return shacl_shapes(t1.unionByName(t2).unionByName(t3).unionByName(t4))
 
 
+def shacl_graph_product(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """§7.9 full shapes-GRAPH emission (`ShapesCreator2.java:65-245`): the
+    typed-observation fixture below exercises every branch — literal
+    property shapes (single datatype -> sh:datatype, mixed datatypes ->
+    xsd:string fallback), object property shapes (qualified counts),
+    partial coverage (customers without orders -> sh:minCount 0), and the
+    CustomerShape label collision between ex:Customer and ex2:Customer
+    (A4-style ``_1`` suffix) — see
+    :func:`rdfcmap_spark.operators.shapes.shacl_shapes_graph`."""
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.operators.shapes import shacl_shapes_graph
+
+    c = _s("c_custkey", "c:")
+    null_dt = F.lit(None).cast("string")
+
+    def obs(df, subj, typ, pred, kind, dt):
+        return df.select(
+            subj.alias("subj"),
+            F.lit(typ).alias("rdf_type"),
+            F.lit(pred).alias("pred"),
+            F.lit(kind).alias("obj_kind"),
+            (F.lit(dt) if isinstance(dt, str) else dt).alias("obj_datatype"),
+        )
+
+    t = (
+        obs(customer, c, "ex:Customer", "ex:locatedIn", "iri", null_dt)
+        .unionByName(obs(customer, c, "ex:Customer", "ex:hasName", "literal", vocab.XSD_STRING))
+        .unionByName(obs(customer, c, "ex:Customer", "ex:acctBal", "literal", vocab.XSD_DOUBLE))
+        .unionByName(
+            obs(orders, _s("o_custkey", "c:"), "ex:Customer", "ex:hasOrder", "iri", null_dt)
+        )
+        .unionByName(
+            obs(nation, _s("n_nationkey", "n:"), "ex:Nation", "ex:inRegion", "iri", null_dt)
+        )
+        .unionByName(
+            obs(
+                region,
+                _s("r_regionkey", "r:"),
+                "ex2:Customer",
+                "ex:code",
+                "literal",
+                F.when(F.col("r_regionkey") % 2 == 0, F.lit(vocab.XSD_DOUBLE)).otherwise(
+                    F.lit(vocab.XSD_INTEGER)
+                ),
+            )
+        )
+    )
+    return shacl_shapes_graph(t)
+
+
 # --- analytics / windows (A-ops, sessionize) ---------------------------------
 
 

@@ -46,6 +46,31 @@ DCT_TITLE = DCT + "title"
 DCT_IS_REPLACED_BY = DCT + "isReplacedBy"
 QUDT_UNIT = QUDT + "unit"
 
+# RDF collection cells (`AFOUtil.java:177-179`) — the sh:path cons-list
+RDF_FIRST = RDF + "first"
+RDF_REST = RDF + "rest"
+RDF_NIL = RDF + "nil"
+
+# SHACL terms used by the shapes-graph product (`AFOUtil.java:214-244`)
+SHACL = "http://www.w3.org/ns/shacl#"
+SH_NODE_SHAPE = SHACL + "NodeShape"
+SH_PROPERTY_SHAPE = SHACL + "PropertyShape"
+SH_LITERAL = SHACL + "Literal"
+SH_HAS_VALUE = SHACL + "hasValue"
+SH_NODEKIND = SHACL + "nodeKind"
+SH_MIN_COUNT = SHACL + "minCount"
+SH_MAX_COUNT = SHACL + "maxCount"
+SH_QUALIFIED_MIN_COUNT = SHACL + "qualifiedMinCount"
+SH_QUALIFIED_MAX_COUNT = SHACL + "qualifiedMaxCount"
+SH_DATATYPE = SHACL + "datatype"
+SH_PROPERTY = SHACL + "property"
+SH_PATH = SHACL + "path"
+SH_TARGET_CLASS = SHACL + "targetClass"
+SH_ZERO_OR_MORE_PATH = SHACL + "zeroOrMorePath"
+
+#: shape-IRI namespace (`AFOUtil.AFS_PREFIX`, ShapesCreator2.java:105)
+AFS_PREFIX = "http://purl.allotrope.org/shapes/core#"
+
 XSD_STRING = XSD + "string"
 XSD_DOUBLE = XSD + "double"
 XSD_INTEGER = XSD + "integer"
