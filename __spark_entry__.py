@@ -1519,6 +1519,29 @@ def _kg_g9_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return force_layout(edges, iters=30)
 
 
+def _kg_viz_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visualization-twin minting (`VisualizationInfoBuilder.java:40-350`):
+    per urn:uuid instance, the afv: twin with hasObject/type/identifier/
+    title/hasMap/comments/position-walk/width/height — the --update parity
+    product. Fixture: one titled instance per customer."""
+    from rdfcmap_spark import vocab as V
+    from rdfcmap_spark.operators.reverse import viz_twins
+
+    customer = load(spark, sf_dir, "customer")
+    subj = F.concat(
+        F.lit("urn:uuid:"), F.md5(F.concat(F.lit("c:"), F.col("c_custkey").cast("string")))
+    )
+    triples = customer.select(
+        subj.alias("subj"),
+        F.lit(V.DCT_TITLE).alias("pred"),
+        F.lit("literal").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_iri"),
+        F.col("c_name").cast("string").alias("obj_lexical"),
+        F.lit(V.XSD_STRING).alias("obj_datatype"),
+    )
+    return viz_twins(triples)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction (extract -> link -> assemble ->
     canonicalize) over deterministic synthetic transcripts at sf0.001 scale,
@@ -1556,6 +1579,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 4 (driver-check immediately)
     "kg_shacl_graph",
+    "kg_viz_twins",
     # never driver-checked (no row in CORRECTNESS_r01/r02/r03)
     "kg_sparql_exec",
     "kg_sparql_exec_full",
@@ -1714,6 +1738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load(s, d, "customer"), load(s, d, "orders"), load(s, d, "nation"),
             load(s, d, "region")
         ),
+        # round 4: afv: visualization twins (position walk + defaults)
+        "kg_viz_twins": _kg_viz_twins,
         # --- round-3 reference-parity additions ---
         "kg_m1_node_sizing": _kg_m1_node_sizing,
         "kg_o3_link_overlap": _kg_o3_link_overlap,
@@ -3154,6 +3180,61 @@ shp AS (
 pp AS (SELECT su.*, sh.shape FROM summary su JOIN shp sh USING (rdf_type))
 """
         + "\nUNION ALL\n".join(_node_rows + _pp_common + _pp_lit + _pp_obj)
+    )
+
+    # kg_viz_twins: afv: twin triples per urn:uuid instance — 11 templates
+    # per entity + 2 map rows, positions from the deterministic diagonal
+    # walk (10 + 25*ordinal by subject order). The map IRI is minted
+    # driver-side with the same uuid3 the operator uses.
+    from rdfcmap_spark.ids import VIZ_PREFIX as _VIZP
+    from rdfcmap_spark.ids import name_uuid as _name_uuid
+
+    _map_iri = _VIZP + _name_uuid("vizmap|map")
+    _xsd_str = f"'{_XS}string'"
+
+    def _vrow(pred, kind, iri="CAST(NULL AS VARCHAR)", lex="CAST(NULL AS VARCHAR)",
+              dt="CAST(NULL AS VARCHAR)"):
+        return (
+            f"SELECT viz AS subj, '{pred}' AS pred, '{kind}' AS obj_kind, {iri} AS obj_iri, "
+            f"{lex} AS obj_lexical, {dt} AS obj_datatype FROM r"
+        )
+
+    _AFVN = "http://purl.allotrope.org/ontologies/visualization#"
+    _walk = "CAST(10 + ord * 25 AS VARCHAR)"
+    _viz_rows = [
+        _vrow("http://purl.allotrope.org/ontologies/property#AFX_0000396", "iri", "inst"),
+        _vrow(_RDFN + "type", "iri", f"'{_AFVN}Concept'"),
+        _vrow("http://purl.org/dc/terms/identifier", "literal", lex="viz", dt=_xsd_str),
+        _vrow("http://purl.org/dc/terms/title", "literal", lex="title", dt=_xsd_str),
+        _vrow(_AFVN + "hasMap", "iri", f"'{_map_iri}'"),
+        _vrow(_AFVN + "shortComment", "literal", lex="''", dt=_xsd_str),
+        _vrow(_AFVN + "longComment", "literal", lex="''", dt=_xsd_str),
+        _vrow(_AFVN + "xPosition", "literal", lex=_walk, dt=_xsd_str),
+        _vrow(_AFVN + "yPosition", "literal", lex=_walk, dt=_xsd_str),
+        _vrow(_AFVN + "width", "literal", lex="'100'", dt=_xsd_str),
+        _vrow(_AFVN + "height", "literal", lex="'25'", dt=_xsd_str),
+    ]
+    sql["kg_viz_twins"] = (
+        r"""
+WITH e AS (
+  SELECT 'urn:uuid:' || md5('c:' || CAST(c_custkey AS VARCHAR)) AS inst, c_name AS title
+  FROM customer
+),
+r AS (
+  SELECT inst, title, '"""
+        + _AFVN
+        + r"""' || substr(inst, 10) AS viz,
+         row_number() OVER (ORDER BY inst) - 1 AS ord
+  FROM e
+)
+"""
+        + "\nUNION ALL\n".join(_viz_rows)
+        + f"""
+UNION ALL
+SELECT '{_map_iri}', '{_RDFN}type', 'iri', '{_AFVN}Map', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+UNION ALL
+SELECT '{_map_iri}', 'http://purl.org/dc/terms/title', 'literal', CAST(NULL AS VARCHAR), 'map', '{_XS}string'
+"""
     )
 
     sql["kg_owl_read"] = r"""

@@ -313,3 +313,74 @@ def reassemble_triples(concepts: DataFrame, links: DataFrame, connections: DataF
         links.select(F.col("link_id").alias("lid")), connections.from_id == F.col("lid")
     ).select(F.col("lid"), F.col("to_id").alias("obj"))
     return c2l.join(l2c, c2l.link_id == l2c.lid).select("subj", F.col("label").alias("link_label"), "obj")
+
+
+def viz_twins(triples: DataFrame, map_name: str = "map") -> DataFrame:
+    """Mint the ``afv:`` visualization twin per instance entity — the
+    reference's `VisualizationInfoBuilder.createOrUpdateVisualizationInfo`
+    (`VisualizationInfoBuilder.java:40-350`): instance ``urn:uuid:<id>``
+    pairs with UI twin ``afv:<id>`` (prefix swap — the J4 machinery),
+    carrying ``afx:hasObject`` back to the instance, ``rdf:type
+    afv:Concept``, ``dct:identifier`` (its own IRI, `:112`), ``dct:title``
+    from the reverse title ladder (`:124`), ``afv:hasMap`` to the single
+    map node (`:126-130`), empty short/long comments (`:132-150`), the
+    default-walk coordinates (x,y starting at 10,10 and advancing +25/+25
+    per new concept, `:50-51`, `:534-535`) and the "100"/"25" default
+    width/height (`:337`, `:346`).
+
+    Positions need a total order over the map's concepts, so this is a
+    per-map window — concept maps are human-sized by the same contract as
+    the layout family (a map that renders to CXL); the 10^12-turn graph
+    never takes this path. Everything else is one ladder aggregation plus
+    a constant-factor template explode; twin IRIs are prefix swaps of the
+    already-deterministic skolems, so output is cluster-size-invariant.
+
+    Output: the 6 triple columns (callers add conv_id/turn_idx lineage).
+    """
+    from pyspark.sql import Window
+
+    from rdfcmap_spark.ids import VIZ_PREFIX, name_uuid, uuid_of_iri
+    from rdfcmap_spark.operators.shapes import _explode, _t
+
+    ents = (
+        triples.filter(F.col("subj").startswith("urn:uuid:"))
+        .select("subj")
+        .distinct()
+        .join(title_ladder(triples), "subj", "left")
+    )
+    w = Window.partitionBy(F.lit(map_name)).orderBy("subj")
+    ents = ents.select(
+        "subj",
+        F.coalesce(F.col("title"), F.lit("instance")).alias("title"),
+        (F.row_number().over(w) - 1).alias("ordinal"),
+    )
+
+    map_iri = VIZ_PREFIX + name_uuid("vizmap|" + map_name)
+    viz = F.concat(F.lit(VIZ_PREFIX), uuid_of_iri(F.col("subj")))
+    xs = (F.lit(10) + F.col("ordinal") * 25).cast("string")
+    ys = (F.lit(10) + F.col("ordinal") * 25).cast("string")
+    twin_rows = _explode(
+        ents,
+        F.array(
+            _t(viz, vocab.AFX_HAS_OBJECT, "iri", F.col("subj")),
+            _t(viz, vocab.RDF_TYPE, "iri", F.lit(vocab.AFV_CONCEPT)),
+            _t(viz, vocab.DCT_IDENTIFIER, "literal", lex=viz, dt=vocab.XSD_STRING),
+            _t(viz, vocab.DCT_TITLE, "literal", lex=F.col("title"), dt=vocab.XSD_STRING),
+            _t(viz, vocab.AFV_HAS_MAP, "iri", F.lit(map_iri)),
+            _t(viz, vocab.AFV_SHORT_COMMENT, "literal", lex=F.lit(""), dt=vocab.XSD_STRING),
+            _t(viz, vocab.AFV_LONG_COMMENT, "literal", lex=F.lit(""), dt=vocab.XSD_STRING),
+            _t(viz, vocab.AFV_X_POSITION, "literal", lex=xs, dt=vocab.XSD_STRING),
+            _t(viz, vocab.AFV_Y_POSITION, "literal", lex=ys, dt=vocab.XSD_STRING),
+            _t(viz, vocab.AFV_WIDTH, "literal", lex=F.lit("100"), dt=vocab.XSD_STRING),
+            _t(viz, vocab.AFV_HEIGHT, "literal", lex=F.lit("25"), dt=vocab.XSD_STRING),
+        ),
+    )
+    map_rows = _explode(
+        triples.sparkSession.range(1),
+        F.array(
+            _t(F.lit(map_iri), vocab.RDF_TYPE, "iri", F.lit(vocab.AFV_MAP)),
+            _t(F.lit(map_iri), vocab.DCT_TITLE, "literal", lex=F.lit(map_name),
+               dt=vocab.XSD_STRING),
+        ),
+    )
+    return twin_rows.unionByName(map_rows)

@@ -132,6 +132,7 @@ def run_pipeline(
     alias: DataFrame | None = None,
     with_canonicalization: bool = True,
     checkpoint: bool = True,
+    with_visualization: bool = False,
 ) -> PipelineResult:
     spark = transcripts.sparkSession
     alias = alias if alias is not None else linking.resolved_alias_df(spark)
@@ -200,6 +201,22 @@ def run_pipeline(
     else:
         key = ["subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"]
         triples = triples.dropDuplicates(key)
+
+    if with_visualization:
+        # --update parity: mint the afv: twin + position triples per
+        # instance entity (`VisualizationInfoBuilder.java:40-350`). The
+        # twin stage re-scans the triple stream (subjects + title ladder),
+        # so cut the lineage once first; the twin volume itself is
+        # human-map-sized by the viz contract.
+        from rdfcmap_spark.operators.reverse import viz_twins
+
+        triples = triples.localCheckpoint(eager=False)
+        twins = viz_twins(triples).select(
+            "*",
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit(None).cast("int").alias("turn_idx"),
+        )
+        triples = triples.unionByName(twins)
 
     return PipelineResult(triples=triples, metrics=metrics)
 

@@ -46,6 +46,21 @@ DCT_TITLE = DCT + "title"
 DCT_IS_REPLACED_BY = DCT + "isReplacedBy"
 QUDT_UNIT = QUDT + "unit"
 
+DCT_IDENTIFIER = DCT + "identifier"
+
+# visualization-twin terms (`VizUtil.java:13-82`) — the afv: model the
+# reference mints alongside every instance (`VisualizationInfoBuilder.java`)
+AFV_CONCEPT = AFV + "Concept"
+AFV_MAP = AFV + "Map"
+AFV_HAS_MAP = AFV + "hasMap"
+AFV_IDENTIFIER = AFV + "identifier"
+AFV_SHORT_COMMENT = AFV + "shortComment"
+AFV_LONG_COMMENT = AFV + "longComment"
+AFV_X_POSITION = AFV + "xPosition"
+AFV_Y_POSITION = AFV + "yPosition"
+AFV_WIDTH = AFV + "width"
+AFV_HEIGHT = AFV + "height"
+
 # RDF collection cells (`AFOUtil.java:177-179`) — the sh:path cons-list
 RDF_FIRST = RDF + "first"
 RDF_REST = RDF + "rest"

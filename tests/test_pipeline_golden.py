@@ -81,3 +81,50 @@ def test_per_turn_text_equality(spark, fixture_df):
     a = fixture_df.orderBy("conv_id", "turn_idx").select("text").collect()
     b = fixture_df.repartition(13).orderBy("conv_id", "turn_idx").select("text").collect()
     assert [r["text"] for r in a] == [r["text"] for r in b]
+
+
+def test_pipeline_with_visualization_twins(fixture_df):
+    """with_visualization=True appends the afv: twin model: instance set
+    unchanged, every urn:uuid subject gains exactly one twin carrying the
+    11-statement template, twin ids are the uuid prefix swap, and the
+    walk coordinates advance 25/25 in subject order."""
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.ids import VIZ_PREFIX
+
+    base = _collect_triples(run_pipeline(fixture_df).triples)
+    got = _collect_triples(run_pipeline(fixture_df, with_visualization=True).triples)
+    twins = got - base
+    assert base <= got
+    # golden instance rows unchanged
+    golden = synth.expected_triples(N_CONVS, TURNS)
+    assert golden.triples <= got
+
+    inst_subjects = {t[0] for t in base if t[0].startswith("urn:uuid:")}
+    twin_subjects = {t[0] for t in twins if t[0].startswith(VIZ_PREFIX)}
+    map_iri = next(
+        t[0] for t in twins if t[1] == vocab.RDF_TYPE and t[3] == vocab.AFV_MAP
+    )
+    # one afx:hasObject per instance, pointing back via prefix swap
+    has_obj = {t[0]: t[3] for t in twins if t[1] == vocab.AFX_HAS_OBJECT}
+    assert set(has_obj.values()) == inst_subjects
+    for viz, inst in has_obj.items():
+        assert viz == VIZ_PREFIX + inst[len("urn:uuid:"):]
+    # full 11-statement template per twin (+2 map rows)
+    assert len(twins) == 11 * len(inst_subjects) + 2
+    for viz in has_obj:
+        preds = {t[1] for t in twins if t[0] == viz}
+        assert preds == {
+            vocab.AFX_HAS_OBJECT, vocab.RDF_TYPE, vocab.DCT_IDENTIFIER,
+            vocab.DCT_TITLE, vocab.AFV_HAS_MAP, vocab.AFV_SHORT_COMMENT,
+            vocab.AFV_LONG_COMMENT, vocab.AFV_X_POSITION, vocab.AFV_Y_POSITION,
+            vocab.AFV_WIDTH, vocab.AFV_HEIGHT,
+        }
+        assert (viz, vocab.AFV_HAS_MAP, "iri", map_iri, None, None) in twins
+    # diagonal walk in instance-subject order
+    xs = {t[0]: int(t[4]) for t in twins if t[1] == vocab.AFV_X_POSITION}
+    ys = {t[0]: int(t[4]) for t in twins if t[1] == vocab.AFV_Y_POSITION}
+    order = sorted(inst_subjects)
+    for i, inst in enumerate(order):
+        viz = VIZ_PREFIX + inst[len("urn:uuid:"):]
+        assert xs[viz] == 10 + 25 * i and ys[viz] == 10 + 25 * i
+    assert twin_subjects == set(has_obj) | {map_iri}
