@@ -1519,6 +1519,42 @@ def _kg_g9_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return force_layout(edges, iters=30)
 
 
+def _suggestion_fragments() -> list[str]:
+    """Planted miss norms for the partial-hit report: the distinct first
+    words (len >= 4) of the resolved dictionary labels — every fragment is
+    contained in at least one label, so the contains join has real bite —
+    plus one guaranteed no-hit probe. Shared verbatim by the Spark query
+    and the DuckDB oracle."""
+    from rdfcmap_spark.operators.linking import resolved_alias_rows
+
+    words = {r[0].split()[0] for r in resolved_alias_rows() if len(r[0].split()[0]) >= 4}
+    # 4-char prefixes collide across labels ("prec"/"pres"/"proc"/"prod"…),
+    # so several misses get multiple candidates and the top-k ordering has
+    # real bite, not just rank=1 rows
+    frags = sorted(words | {w[:4] for w in words})
+    return frags + ["zzz-unmatchable"]
+
+
+def _kg_unresolved_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unresolved-label partial-hit report (`RdfUtil.java:531-537`):
+    broadcast contains join of missed norms against the alias dictionary,
+    top-5 per miss by closest length."""
+    from rdfcmap_spark.operators.linking import (
+        resolved_alias_df,
+        unresolved_suggestions,
+    )
+
+    frags = _suggestion_fragments()
+    part = load(spark, sf_dir, "part")
+    misses = part.select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in frags]),
+            (F.col("p_partkey") % len(frags) + 1).cast("int"),
+        ).alias("norm")
+    )
+    return unresolved_suggestions(misses, resolved_alias_df(spark), k=5)
+
+
 def _kg_viz_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visualization-twin minting (`VisualizationInfoBuilder.java:40-350`):
     per urn:uuid instance, the afv: twin with hasObject/type/identifier/
@@ -1580,6 +1616,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in round 4 (driver-check immediately)
     "kg_shacl_graph",
     "kg_viz_twins",
+    "kg_unresolved_suggestions",
     # never driver-checked (no row in CORRECTNESS_r01/r02/r03)
     "kg_sparql_exec",
     "kg_sparql_exec_full",
@@ -1740,6 +1777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # round 4: afv: visualization twins (position walk + defaults)
         "kg_viz_twins": _kg_viz_twins,
+        # round 4: unresolved-label partial-hit suggestions
+        "kg_unresolved_suggestions": _kg_unresolved_suggestions,
         # --- round-3 reference-parity additions ---
         "kg_m1_node_sizing": _kg_m1_node_sizing,
         "kg_o3_link_overlap": _kg_o3_link_overlap,
@@ -3236,6 +3275,33 @@ UNION ALL
 SELECT '{_map_iri}', 'http://purl.org/dc/terms/title', 'literal', CAST(NULL AS VARCHAR), 'map', '{_XS}string'
 """
     )
+
+    # kg_unresolved_suggestions: broadcast contains join of planted miss
+    # norms against the inlined dictionary, top-5 per miss by closest
+    # length (fragments + dictionary VALUES shared with the Spark side).
+    from rdfcmap_spark.oracle import _dict_values as _adict
+
+    _frags = _suggestion_fragments()
+    _frag_values = ", ".join(f"('{x}', {i})" for i, x in enumerate(_frags))
+    sql["kg_unresolved_suggestions"] = f"""
+WITH frags(norm, i) AS (VALUES {_frag_values}),
+misses AS (
+  SELECT DISTINCT f.norm FROM part p JOIN frags f ON f.i = p.p_partkey % {len(_frags)}
+),
+cand AS (
+  SELECT m.norm, adict.label_norm, adict.resolved_iri, adict.term_kind
+  FROM misses m JOIN {_adict()} ON contains(adict.label_norm, m.norm) OR contains(m.norm, adict.label_norm)
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY norm
+    ORDER BY abs(length(label_norm) - length(norm)), label_norm, resolved_iri
+  ) AS rank FROM cand
+)
+SELECT norm, CAST(rank AS INTEGER) AS rank, label_norm AS candidate_label,
+       resolved_iri AS candidate_iri, term_kind
+FROM rk WHERE rank <= 5
+"""
 
     sql["kg_owl_read"] = r"""
 WITH src AS (

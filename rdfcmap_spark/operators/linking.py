@@ -101,3 +101,51 @@ def build_entities(mentions_linked: DataFrame) -> DataFrame:
             F.first("is_resolved").alias("is_resolved"),
         )
     )
+
+
+def unresolved_suggestions(misses: DataFrame, alias: DataFrame, k: int = 5) -> DataFrame:
+    """Partial-hit suggestion report for unresolved labels — the
+    reference's "found possibly matching term" log (`RdfUtil.java:531-537`:
+    when the exact lookup misses, terms whose label matches outside the
+    preferred namespace are collected and reported). Generalized here to
+    the substring family: a dictionary label is a candidate for a missed
+    norm when either contains the other.
+
+    ``misses(norm)`` joins the **broadcast** dictionary with the contains
+    predicate (a broadcast nested-loop probe — the dictionary is
+    driver-resolved and broadcast-sized by the J2 contract, so no shuffle
+    and no quadratic blow-up; cost = |misses| x |dict| label scans,
+    embarrassingly parallel over the misses). Candidates rank by
+    (|len(label) - len(norm)| asc, label asc, iri asc) — closest-length
+    first, fully deterministic — truncated to ``k`` per miss by a window
+    bounded at the dictionary size.
+
+    Output: (norm, rank, candidate_label, candidate_iri, term_kind).
+    """
+    from pyspark.sql import Window
+
+    cand = (
+        misses.select("norm")
+        .distinct()
+        .join(
+            F.broadcast(alias),
+            F.col("label_norm").contains(F.col("norm"))
+            | F.col("norm").contains(F.col("label_norm")),
+        )
+    )
+    w = Window.partitionBy("norm").orderBy(
+        F.abs(F.length("label_norm") - F.length("norm")).asc(),
+        F.col("label_norm").asc(),
+        F.col("resolved_iri").asc(),
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "norm",
+            "rank",
+            F.col("label_norm").alias("candidate_label"),
+            F.col("resolved_iri").alias("candidate_iri"),
+            "term_kind",
+        )
+    )

@@ -281,3 +281,34 @@ def test_break_string_reference_quirks():
         break_string_py("abcdefgh", 3)
     # short labels untouched
     assert break_string_py("reactor", 15) == "reactor"
+
+
+def test_unresolved_suggestions_partial_hits(spark):
+    """RdfUtil.java:531-537 partial-hit report: substring candidates ranked
+    by closest length, top-k, deterministic tie-break, no row for misses
+    with no candidate."""
+    from rdfcmap_spark.operators.linking import unresolved_suggestions
+
+    alias = spark.createDataFrame(
+        [
+            ("measurement", "ex:measurement", "class"),
+            ("measurement device", "ex:measurement-device", "class"),
+            ("measures", "ex:measures", "objectProperty"),
+            ("pump", "ex:pump", "class"),
+        ],
+        "label_norm string, resolved_iri string, term_kind string",
+    )
+    misses = spark.createDataFrame(
+        [("meas",), ("measurement device x",), ("nothing-here",), ("pump",)], "norm string"
+    )
+    rows = unresolved_suggestions(misses, alias, k=2).collect()
+    got = {(r["norm"], r["rank"]): (r["candidate_label"], r["candidate_iri"]) for r in rows}
+    # 'meas' is contained in three labels; closest lengths win, k=2 truncates
+    assert got[("meas", 1)] == ("measures", "ex:measures")
+    assert got[("meas", 2)] == ("measurement", "ex:measurement")
+    assert ("meas", 3) not in got
+    # reverse containment: the miss contains the label
+    assert got[("measurement device x", 1)] == ("measurement device", "ex:measurement-device")
+    # exact-length match ranks first even among candidates
+    assert got[("pump", 1)] == ("pump", "ex:pump")
+    assert not any(n == "nothing-here" for n, _ in got)
