@@ -60,6 +60,19 @@ AFV_X_POSITION = AFV + "xPosition"
 AFV_Y_POSITION = AFV + "yPosition"
 AFV_WIDTH = AFV + "width"
 AFV_HEIGHT = AFV + "height"
+# appearance satellites (`VizUtil.java:20-83`): font/border/image nodes
+AFV_FONT = AFV + "Font"
+AFV_BORDER = AFV + "Border"
+AFV_IMAGE = AFV + "Image"
+AFV_HAS_FONT = AFV + "hasFont"
+AFV_HAS_BORDER = AFV + "hasBorder"
+AFV_HAS_IMAGE = AFV + "hasImage"
+AFV_STYLE = AFV + "style"
+AFV_SIZE = AFV + "size"
+AFV_SHAPE = AFV + "shape"
+AFV_COLOR = AFV + "color"
+AFV_BACKGROUND_COLOR = AFV + "backgroundColor"
+AFV_EXPANDED = AFV + "expanded"
 
 # RDF collection cells (`AFOUtil.java:177-179`) — the sh:path cons-list
 RDF_FIRST = RDF + "first"

@@ -202,3 +202,101 @@ def test_literal_nodes_semantics(spark):
     assert c1.count() == c0.count() + 3 and l1.count() == l0.count() + 3
     assert x1.count() == x0.count() + 6  # two connections per literal group
     assert c1.where(F.col("label") == '"a desc"^^xsd:string').count() == 1
+
+
+_APPEARANCE_FIXTURE = """<?xml version="1.0" encoding="UTF-8"?>
+<cmap xmlns:dcterms="http://purl.org/dc/terms/" xmlns="http://cmap.ihmc.us/xml/cmap/" xmlns:dc="http://purl.org/dc/elements/1.1/">
+    <res-meta><dc:title>appearance fixture</dc:title></res-meta>
+    <map width="6000" height="6000">
+    <concept-list>
+        <concept id="c1" label="reactor" short-comment="sc &amp; more" long-comment="lc"/>
+        <concept id="c2" label="reactor"/>
+        <concept id="c3" label="pump"/>
+    </concept-list>
+    <concept-appearance-list>
+        <concept-appearance id="c1" x="120" y="240" width="150" height="40" font-style="bold" font-size="14" border-shape="oval" border-color="10,20,30,255" background-color="237,244,246,255" background-image="img-7" background-image-style="full"/>
+        <concept-appearance id="c2" x="300" y="60" width="100" height="25" font-style="plain" expanded="true"/>
+        <concept-appearance id="c3" x="10" y="10" width="100" height="25" font-style="plain"/>
+    </concept-appearance-list>
+    <linking-phrase-list>
+        <linking-phrase id="l1" label="feeds"/>
+    </linking-phrase-list>
+    <linking-phrase-appearance-list>
+        <linking-phrase-appearance id="l1" x="77" y="88" width="90" height="11" min-width="2" min-height="11" font-size="9"/>
+    </linking-phrase-appearance-list>
+    <connection-list>
+        <connection id="x1" from-id="c1" to-id="l1"/>
+        <connection id="x2" from-id="l1" to-id="c2"/>
+    </connection-list>
+    </map>
+</cmap>
+"""
+
+
+def _appearance_map(df):
+    return {
+        (r["elem_id"], r["attr"]): r["value"]
+        for r in df.select("elem_id", "attr", "value").collect()
+    }
+
+
+def test_cxl_appearance_roundtrip(spark, tmp_path):
+    """cxl -> afv: triples -> ttl -> afv: triples -> cxl keeps per-element
+    appearance (font/border/background/image satellites, positions, sizes,
+    comments) intact — the CxlWriter stored-appearance path
+    (`CxlWriter.generateCxlFromRdfModel:140-430`). Labels collide
+    (c1/c2 'reactor') so the id-keyed plumbing can't lean on titles."""
+    from rdfcmap_spark.sources.cxl import (
+        appearance_from_triples,
+        appearance_triples,
+        read_cxl,
+        read_cxl_appearance,
+        render_cxl,
+    )
+    from rdfcmap_spark.sources.ttl import read_ttl, write_ttl
+
+    src = tmp_path / "fixture.cxl"
+    src.write_text(_APPEARANCE_FIXTURE, encoding="utf-8")
+
+    concepts, links, conns = read_cxl(spark, str(src))
+    app0 = read_cxl_appearance(spark, str(src))
+    a0 = _appearance_map(app0)
+    assert a0[("c1", "font-size")] == "14"
+    assert a0[("c1", "border-shape")] == "oval"
+    assert a0[("c1", "short-comment")] == "sc & more"
+    assert a0[("l1", "font-size")] == "9"
+
+    # appearance -> triples -> TTL -> triples -> appearance
+    trips = appearance_triples(app0).select(
+        "*",
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+    )
+    ttl_path = str(tmp_path / "appearance.ttl")
+    write_ttl(trips, ttl_path)
+    back = appearance_from_triples(read_ttl(spark, ttl_path))
+    a1 = _appearance_map(back)
+    # everything the afv: model persists survives (min-* are style-sheet
+    # constants in the reference, not per-element statements)
+    persisted = {k: v for k, v in a0.items() if k[1] not in ("min-width", "min-height")}
+    assert a1 == persisted
+
+    # re-render with the recovered appearance: attribute-for-attribute intact
+    out = tmp_path / "out.cxl"
+    out.write_text(
+        render_cxl(concepts, links, conns, appearance=back), encoding="utf-8"
+    )
+    a2 = _appearance_map(read_cxl_appearance(spark, str(out)))
+    for k, v in persisted.items():
+        assert a2[k] == v, k
+    # and the rendered document is itself a fixed point of the loop
+    c2, l2, x2 = read_cxl(spark, str(out))
+    out2 = tmp_path / "out2.cxl"
+    out2.write_text(
+        render_cxl(
+            c2, l2, x2,
+            appearance=appearance_from_triples(appearance_triples(read_cxl_appearance(spark, str(out)))),
+        ),
+        encoding="utf-8",
+    )
+    assert out2.read_text(encoding="utf-8") == out.read_text(encoding="utf-8")
