@@ -1617,6 +1617,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_shacl_graph",
     "kg_viz_twins",
     "kg_unresolved_suggestions",
+    "data_chunking",
+    "sim_ann_recall",
     # never driver-checked (no row in CORRECTNESS_r01/r02/r03)
     "kg_sparql_exec",
     "kg_sparql_exec_full",
@@ -1859,6 +1861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sim_topk_ivfpq": lambda s, d: similarity.topk_ivfpq(load(s, d, "embeddings")),
         "sim_kmeans": lambda s, d: similarity.kmeans_iterate(load(s, d, "embeddings")),
+        # recall@5 of IVF vs exact brute force (the ANN quality gate)
+        "sim_ann_recall": lambda s, d: similarity.ann_recall(load(s, d, "embeddings")),
         "data_mixture_weights": lambda s, d: traindata.mixture_weights(
             load(s, d, "documents")
         ),
@@ -1904,6 +1908,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scan": lambda s, d: textstats.pii_scan(load(s, d, "documents")),
         # --- training-corpus assembly (operators/traindata.py) ---
         "data_split": lambda s, d: traindata.split_assign(load(s, d, "documents")),
+        # RAG/pretraining chunking: 64-token windows, 16-token overlap
+        "data_chunking": lambda s, d: traindata.chunk_documents(
+            load(s, d, "documents"), window=64, overlap=16
+        ),
         # deterministic global corpus shuffle: distributed ordinal via range
         # exchange + per-partition rank + in-plan prefix-sum offsets (no
         # single-partition window over the data)
@@ -4817,6 +4825,26 @@ SELECT doc_id, bucket,
 FROM b
 """
 
+    # data_chunking: 64-token windows, stride 48 (16 overlap); last chunk =
+    # remainder; empty docs chunkless. list_slice is inclusive [begin,end],
+    # mirroring Spark's slice(start+1, window).
+    sql["data_chunking"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS t
+  FROM documents
+),
+st AS (
+  SELECT doc_id, t, unnest(range(0, len(t), 48)) AS start FROM toks
+)
+SELECT doc_id,
+       CAST(start // 48 AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(t, start + 1, start + 64)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(t, start + 1, start + 64), ' ') AS chunk_text
+FROM st
+"""
+
     # salted hash (':sample') so mixing is independent of the split bucket
     sql["data_sample_stratified"] = r"""
 WITH b AS (
@@ -5105,5 +5133,20 @@ SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
   CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
+
+    # sim_ann_recall: recall@5 of IVF vs exact brute force — composed
+    # verbatim from the two oracles above so the ground truth and the
+    # index share one definition.
+    sql["sim_ann_recall"] = (
+        "WITH bf AS (" + sql["sim_topk_bruteforce"] + "),\niv AS ("
+        + sql["sim_topk_ivf"]
+        + r""")
+SELECT bf.query_id,
+       CAST(count(iv.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(iv.neighbor_id) AS DOUBLE) / 5 AS recall_at_k
+FROM bf LEFT JOIN iv ON iv.query_id = bf.query_id AND iv.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+"""
+    )
 
     return sql

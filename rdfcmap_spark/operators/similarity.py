@@ -791,3 +791,34 @@ def kmeans_iterate(embeddings: DataFrame, rounds: int = 3) -> DataFrame:
         F.round(F.col("v"), 6).alias("mean6"),
         F.col("n_members").cast("long").alias("n_members"),
     )
+
+
+def ann_recall(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
+    """recall@k of the IVF index against exact brute force — the standard
+    ANN quality gate ("measure, don't guess": an index whose recall you
+    have not measured is not an index you can ship). Per query:
+    ``n_hits`` = |ivf top-k ∩ exact top-k|, ``recall_at_k`` = n_hits / k.
+
+    Composition of :func:`topk_bruteforce` (ground truth; the query set is
+    tiny by QUERY_MOD, so exact is affordable as an eval) and
+    :func:`topk_ivf` — one additional hash join on (query_id, neighbor_id)
+    and a per-query count; both inputs are already bounded at k rows per
+    query, so the eval is query-set-sized regardless of corpus scale.
+
+    Output: (query_id, n_hits, recall_at_k).
+    """
+    exact = topk_bruteforce(embeddings, k=k)
+    approx = topk_ivf(embeddings, k=k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall_at_k"),
+        )
+    )

@@ -378,3 +378,44 @@ def mixture_weights(
             F.round(t_col / obs, 6).alias("weight"),
         )
     )
+
+
+def chunk_documents(docs: DataFrame, window: int = 64, overlap: int = 16) -> DataFrame:
+    """RAG/pretraining chunking: slide a ``window``-token frame over each
+    document with ``overlap`` tokens of context carry-over (stride =
+    window - overlap); the final chunk is the remainder (>= 1 token, no
+    padding). Chunk text is the re-joined token slice — whitespace
+    tokenization, the repo's token model (no reference counterpart; a
+    training-data pipeline product).
+
+    Pure per-row column work: split once, one ``sequence`` explode over
+    chunk starts, slice+join per chunk — zero shuffle, zero UDF; output
+    volume is corpus-linear (~n_tokens/stride rows per doc). Embarrassingly
+    parallel at any scale.
+
+    Output: (doc_id, chunk_idx, n_chunk_tokens, chunk_text) — chunk_idx
+    0-based in document order.
+    """
+    if not 0 <= overlap < window:
+        raise ValueError(f"need 0 <= overlap < window, got window={window}, overlap={overlap}")
+    stride = window - overlap
+    t = F.trim(F.col("text"))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    n = F.size(F.col("_toks"))
+    # starts: 0, stride, 2*stride, ... < n (empty docs produce no chunk)
+    starts = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1, F.lit(stride))
+    )
+    sliced = F.slice(F.col("_toks"), F.col("start") + 1, window)
+    return (
+        docs.select("doc_id", toks.alias("_toks"))
+        .select("doc_id", "_toks", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(sliced).cast("long").alias("n_chunk_tokens"),
+            F.array_join(sliced, " ").alias("chunk_text"),
+        )
+    )

@@ -439,3 +439,38 @@ def test_ktruss_rejects_zero_rounds(spark):
     df = spark.createDataFrame([("a", "b")], "a string, b string")
     with _pytest.raises(ValueError, match="rounds >= 1"):
         ktruss(df, k=3, rounds=0)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from rdfcmap_spark.operators.traindata import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, ""), (4, "solo")], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, window=4, overlap=2).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"]) for r in rows}
+    # doc 1: 10 tokens, stride 2 -> starts 0,2,4,6,8
+    assert got[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert got[(1, 1)] == (4, "w2 w3 w4 w5")
+    assert got[(1, 3)] == (4, "w6 w7 w8 w9")
+    assert got[(1, 4)] == (2, "w8 w9")  # remainder, no padding
+    assert (1, 5) not in got
+    # doc 2: 3 tokens -> one full-ish chunk + remainder at start 2
+    assert got[(2, 0)] == (3, "a b c")
+    assert got[(2, 1)] == (1, "c")
+    # empty doc -> no chunks; single token -> one chunk
+    assert not any(d == 3 for d, _ in got)
+    assert got[(4, 0)] == (1, "solo")
+    # overlap consistency: consecutive chunks share `overlap` tokens
+    assert got[(1, 1)][1].split()[:2] == got[(1, 0)][1].split()[2:]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from rdfcmap_spark.operators.traindata import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, window=4, overlap=4)
