@@ -179,6 +179,16 @@ def _kg_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triple_support(_synth_transcripts(spark, sf_dir))
 
 
+def _kg_triple_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG: per canonical triple, exact-microsecond first/last
+    assertion timestamp + distinct-provenance turn count (the validity-
+    interval signal for staleness pruning; no reference counterpart — one
+    CXL map has no time axis)."""
+    from rdfcmap_spark.plans.pipeline import triple_timeline
+
+    return triple_timeline(_synth_transcripts(spark, sf_dir))
+
+
 def _synth_identity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sameAs ∪ shared-identifier star edges from the synthetic transcripts
     (the pipeline's exact identity-edge derivation, shared by the
@@ -1619,6 +1629,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_unresolved_suggestions",
     "data_chunking",
     "sim_ann_recall",
+    "kg_triple_timeline",
     # never driver-checked (no row in CORRECTNESS_r01/r02/r03)
     "kg_sparql_exec",
     "kg_sparql_exec_full",
@@ -1817,6 +1828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_rdfs_entail": _kg_rdfs_entail,
         "kg_triple_support": _kg_triple_support,
+        # temporal KG: first/last assertion ts per canonical triple
+        "kg_triple_timeline": _kg_triple_timeline,
         "kg_jsonl_roundtrip": _kg_jsonl_roundtrip,
         "kg_canonical_mapping": _kg_canonical_mapping,
         "kg_incremental_canon": _kg_incremental_canon,
@@ -3714,6 +3727,7 @@ SELECT subj, pred, lex, conv_id, turn_idx FROM a4
     sql["kg_pipeline_full"] = _oracle.pipeline_full_sql()
     sql["kg_rdfs_entail"] = _oracle.rdfs_entail_sql()
     sql["kg_triple_support"] = _oracle.triple_support_sql()
+    sql["kg_triple_timeline"] = _oracle.triple_timeline_sql()
     # kg_jsonl_roundtrip: DuckDB reads the very JSONL files the Spark query
     # wrote (same fixture contract as the transcripts parquet oracle);
     # zone-free microsecond timestampFormat is shared so the lexical forms

@@ -477,6 +477,30 @@ GROUP BY subj, pred, obj_kind, obj_iri, obj_lexical, obj_datatype
     )
 
 
+def triple_timeline_sql() -> str:
+    """Oracle for kg_triple_timeline: per canonical triple, min/max
+    assertion timestamp (exact integer microseconds via epoch_us over the
+    transcripts CTE) + distinct-provenance turn count, over the pre-dedup
+    canonical-rewrite stream (the ``rew`` CTE) — provenance deduped BEFORE
+    the turn join, mirroring the Spark plan."""
+    return (
+        "WITH RECURSIVE "
+        + _base_ctes()
+        + """,
+prov AS (
+  SELECT DISTINCT subj, pred, obj_kind, obj_iri, obj_lexical, obj_datatype, conv_id, turn_idx
+  FROM rew
+)
+SELECT p.subj, p.pred, p.obj_kind, p.obj_iri, p.obj_lexical, p.obj_datatype,
+       CAST(min(epoch_us(t.ts)) AS BIGINT) AS first_asserted_us,
+       CAST(max(epoch_us(t.ts)) AS BIGINT) AS last_asserted_us,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM prov p LEFT JOIN tr t ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+    )
+
+
 def rdfs_entail_sql() -> str:
     """Oracle for kg_rdfs_entail: rdfs9 type completion over the pipeline
     triples through the built-in subclass hierarchy (recursive closure),

@@ -301,3 +301,70 @@ def triple_support(
         "n_turns",
         "n_convs",
     )
+
+
+def triple_timeline(
+    transcripts: DataFrame,
+    alias: DataFrame | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Temporal KG: assertion-time bounds per canonical triple — when the
+    corpus FIRST and LAST asserted each fact (exact integer microseconds,
+    the sessionize/event-funnel timestamp device), plus the distinct-
+    provenance turn count of :func:`triple_support`. The validity-interval
+    signal a transcript-built KG needs for staleness pruning and
+    conflict-by-recency resolution (no reference counterpart: one CXL map
+    has no time axis).
+
+    Scale posture: identical head to :func:`triple_support` up to the
+    rewrite; then (a) one distinct over (triple key, conv_id, turn_idx) —
+    map-side combinable, collapses the per-mention multiplicity BEFORE any
+    join, (b) one hash join of that provenance frame against the
+    (conv_id, turn_idx) -> ts projection of the input (left join: a
+    provenance without a turn row keeps null bounds rather than dropping
+    the triple), (c) one final hash aggregate. The candidate stream is
+    touched exactly once.
+
+    Output: TRIPLES key + first_asserted_us, last_asserted_us, n_turns.
+    """
+    spark = transcripts.sparkSession
+    alias = alias if alias is not None else linking.resolved_alias_df(spark)
+    sent = linked_sentences(transcripts, alias).drop("phrase", "phrase_norm", "obj_bnode")
+    if checkpoint:
+        from pyspark import StorageLevel
+
+        sent = sent.persist(StorageLevel.MEMORY_AND_DISK)
+        sent.count()
+    triples = assembly.sentence_triples(sent)
+    sameas, idents = identity_inputs(sent, checkpoint=checkpoint)
+    edges = canonicalize.identity_edges(sameas, idents)
+    mapping, n_mapping = canonicalize.connected_components_with_count(edges)
+    out, key, (d_iri, d_kind, d_dt) = canonicalize.rewritten_candidates(
+        triples, mapping, n_mapping=n_mapping
+    )
+    prov = out.select(*key, "conv_id", "turn_idx").distinct()
+    ts_us = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_ts_us"),
+    )
+    agg = (
+        prov.join(ts_us, ["conv_id", "turn_idx"], "left")
+        .groupBy(*key)
+        .agg(
+            F.min("_ts_us").alias("first_asserted_us"),
+            F.max("_ts_us").alias("last_asserted_us"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+        )
+    )
+    return agg.select(
+        d_iri(F.col("subj_b")).alias("subj"),
+        F.col("pred"),
+        d_kind(F.col("kind_t")).alias("obj_kind"),
+        d_iri(F.col("obj_b")).alias("obj_iri"),
+        F.col("obj_lexical"),
+        d_dt(F.col("dt_b")).alias("obj_datatype"),
+        "first_asserted_us",
+        "last_asserted_us",
+        "n_turns",
+    )

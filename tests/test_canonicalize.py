@@ -439,3 +439,51 @@ def test_cohort_retention_hand_computed(spark):
     assert got[(w, 0)]["retention"] == 1.0
     assert got[(w, 1)]["n_active"] == 1 and got[(w, 1)]["retention"] == 0.5
     assert got[(w + 1, 0)]["cohort_size"] == 1
+
+
+def test_triple_timeline_bounds_hand_computed(spark):
+    """The same canonical fact asserted at three known timestamps across
+    two identifier-merged conversations: first/last bounds and turn count
+    by hand; entity-declaration rows (NULL turn provenance) keep null
+    bounds instead of dropping."""
+    from datetime import datetime
+
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.ids import name_uuid
+    from rdfcmap_spark.plans.pipeline import triple_timeline
+
+    t0 = datetime(2026, 1, 1, 10, 0, 0)
+    t1 = datetime(2026, 1, 2, 11, 30, 0)
+    t2 = datetime(2026, 1, 5, 9, 0, 0)
+    rows = [
+        ("A", 0, "user", '«widget» has identifier "X-1"^^xsd:string.', "", t0),
+        ("A", 1, "user", '«widget» has value "42"^^xsd:integer.', "", t1),
+        ("B", 0, "user", '«widget» has identifier "X-1"^^xsd:string.', "", t2),
+        ("B", 1, "user", '«widget» has value "42"^^xsd:integer.', "", t2),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).repartition(3)
+    got = {
+        (r["subj"], r["pred"], r["obj_lexical"]): (
+            r["first_asserted_us"],
+            r["last_asserted_us"],
+            r["n_turns"],
+        )
+        for r in triple_timeline(turns, checkpoint=False).collect()
+    }
+
+    def us(dt):
+        return int(dt.timestamp() * 1_000_000)
+
+    eids = {c: "urn:uuid:" + name_uuid(f"ent|{c}|widget") for c in "AB"}
+    canon = min(eids.values())
+    # value fact: asserted at t1 (A) and t2 (B)
+    vals = [v for k, v in got.items() if k[0] == canon and k[2] == "42"]
+    assert vals == [(us(t1), us(t2), 2)]
+    # identifier fact: t0 and t2
+    ident = got[(canon, vocab.DCT + "identifier", "X-1")]
+    assert ident == (us(t0), us(t2), 2)
+    # entity declarations carry NULL turn provenance -> null bounds, n_turns 2
+    typ = got[(canon, vocab.RDF_TYPE, None)]
+    assert typ == (None, None, 2)
