@@ -1630,6 +1630,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "data_chunking",
     "sim_ann_recall",
     "kg_triple_timeline",
+    "text_top_ngrams",
     # never driver-checked (no row in CORRECTNESS_r01/r02/r03)
     "kg_sparql_exec",
     "kg_sparql_exec_full",
@@ -1911,6 +1912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": lambda s, d: textstats.lm_score(load(s, d, "documents")),
         "text_lm_bigram": lambda s, d: textstats.lm_score_bigram(load(s, d, "documents")),
         "text_tfidf_keywords": lambda s, d: textstats.tfidf_keywords(load(s, d, "documents")),
+        # corpus 3-gram heavy hitters (boilerplate detector), top-20 by df
+        "text_top_ngrams": lambda s, d: textstats.top_ngrams(load(s, d, "documents")),
         # benchmark = deterministic 5% sample (doc_id % 20): in production the
         # benchmark frame is the eval suite; here it must be derivable from
         # the shared parquet views so the DuckDB oracle sees the same set
@@ -5146,6 +5149,29 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
   CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+    # text_top_ngrams: corpus 3-gram heavy hitters, top-20 by document
+    # frequency with (n_docs desc, ngram asc) determinism
+    sql["text_top_ngrams"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 3), ' ') AS ngram
+  FROM toks, UNNEST(range(0, greatest(len(t) - 2, 0))) AS r(i)
+  WHERE len(t) >= 3
+),
+per_doc AS (SELECT doc_id, ngram, count(*) AS n_in_doc FROM grams GROUP BY doc_id, ngram),
+stats AS (
+  SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_in_doc) AS BIGINT) AS n_occurrences
+  FROM per_doc GROUP BY ngram
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY n_docs DESC, ngram ASC) AS rank FROM stats
+)
+SELECT CAST(rank AS INTEGER) AS rank, ngram, n_docs, n_occurrences
+FROM rk WHERE rank <= 20
 """
 
     # sim_ann_recall: recall@5 of IVF vs exact brute force — composed

@@ -589,3 +589,47 @@ def lm_score_bigram(docs: DataFrame) -> DataFrame:
             F.col("avg_nll"),
         )
     )
+
+
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Corpus n-gram heavy hitters: the ``k`` word ``n``-grams appearing in
+    the most distinct documents — the standard boilerplate/template
+    detector for web-scale corpora (a phrase carried by thousands of
+    documents is markup, licence text, or a scraper artifact, not
+    language).
+
+    Scale shape: per-doc n-grams by pure array math (split once, one
+    sequence transform — no shuffle), ONE (doc_id, ngram) hash aggregate
+    collapsing within-doc repeats map-side, one (ngram) aggregate for
+    document frequency + total occurrences, then a global
+    ``orderBy().limit(k)`` — Spark executes that as TakeOrdered (per-
+    partition top-k + tiny driver merge), NOT a single-partition sort, so
+    the full n-gram distribution is never materialized anywhere. The final
+    rank window runs over k rows.
+
+    Output: (rank, ngram, n_docs, n_occurrences), rank 1-based by
+    (n_docs desc, ngram asc) — fully deterministic.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    per_doc = (
+        docs.select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).alias("n_in_doc"))
+    )
+    stats = per_doc.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_in_doc").cast("long").alias("n_occurrences"),
+    )
+    top = stats.orderBy(F.col("n_docs").desc(), F.col("ngram").asc()).limit(k)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("n_docs").desc(), F.col("ngram").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"), "ngram", "n_docs", "n_occurrences"
+    )

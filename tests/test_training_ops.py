@@ -955,3 +955,23 @@ def test_pq_rejects_non_divisible_dim(spark):
         similarity.pq_codebooks(emb, m=5)
     with _pytest.raises(ValueError, match="dim % m"):
         similarity.pq_encode(emb, similarity.pq_codebooks(emb, m=4), m=5)
+
+
+def test_top_ngrams_hand_computed(spark):
+    from rdfcmap_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),     # "a b c" x2, "b c a" x1, "c a b" x1
+            (2, "a b c d"),
+            (3, "x y"),             # too short for trigrams
+            (4, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = textstats.top_ngrams(docs, n=3, k=3).collect()
+    got = [(r["rank"], r["ngram"], r["n_docs"], r["n_occurrences"]) for r in rows]
+    assert got[0] == (1, "a b c", 3, 4)
+    # df-1 ties break lexicographically
+    assert got[1] == (2, "b c a", 1, 1)
+    assert got[2] == (3, "b c d", 1, 1)
