@@ -374,3 +374,40 @@ def test_walks_and_linkpred_plan_shape(spark):
     p2 = plan_of(adamic_adar(edges.selectExpr("src as a", "dst as b")))
     assert "LeftAnti" in p2
     assert "SortAggregate" not in p2
+
+
+def test_chunk_documents_plan_no_exchange(spark):
+    """Chunking is pure per-row array math: the plan must contain no
+    shuffle exchange at all (split + sequence explode + slice)."""
+    import re as _re
+
+    from rdfcmap_spark.operators.traindata import chunk_documents
+
+    p = plan_of(chunk_documents(load(spark, SF, "documents")))
+    assert not [
+        ln for ln in p.splitlines()
+        if _re.search(r"\)\s+Exchange\b", ln)
+    ], p
+
+
+def test_unresolved_suggestions_plan_broadcast(spark):
+    """The contains probe against the dictionary must be a broadcast
+    nested-loop join (dictionary side broadcast), never a cartesian."""
+    from rdfcmap_spark.operators.linking import (
+        resolved_alias_df,
+        unresolved_suggestions,
+    )
+
+    misses = load(spark, SF, "part").select(F.col("p_name").alias("norm"))
+    p = plan_of(unresolved_suggestions(misses, resolved_alias_df(spark)))
+    assert "BroadcastNestedLoopJoin" in p and "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_top_ngrams_plan_take_ordered(spark):
+    """The global top-k must plan as TakeOrderedAndProject (distributed
+    per-partition top-k), not a single-partition global sort."""
+    from rdfcmap_spark.operators.textstats import top_ngrams
+
+    p = plan_of(top_ngrams(load(spark, SF, "documents")), "simple")
+    assert "TakeOrderedAndProject" in p
