@@ -1631,6 +1631,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "sim_ann_recall",
     "kg_triple_timeline",
     "text_top_ngrams",
+    "kg_conflicts",
     # never driver-checked (no row in CORRECTNESS_r01/r02/r03)
     "kg_sparql_exec",
     "kg_sparql_exec_full",
@@ -1831,6 +1832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_support": _kg_triple_support,
         # temporal KG: first/last assertion ts per canonical triple
         "kg_triple_timeline": _kg_triple_timeline,
+        # KG quality: multi-valued-fact conflict report over the pipeline
+        "kg_conflicts": lambda s, d: relational.fact_conflicts(_kg_pipeline_full(s, d)),
         "kg_jsonl_roundtrip": _kg_jsonl_roundtrip,
         "kg_canonical_mapping": _kg_canonical_mapping,
         "kg_incremental_canon": _kg_incremental_canon,
@@ -3731,6 +3734,26 @@ SELECT subj, pred, lex, conv_id, turn_idx FROM a4
     sql["kg_rdfs_entail"] = _oracle.rdfs_entail_sql()
     sql["kg_triple_support"] = _oracle.triple_support_sql()
     sql["kg_triple_timeline"] = _oracle.triple_timeline_sql()
+    # kg_conflicts: multi-valued facts over the full pipeline triple set
+    # (rdf:type / dct:title excluded — legitimately multi-valued)
+    sql["kg_conflicts"] = (
+        "WITH pt AS ("
+        + _oracle.pipeline_full_sql()
+        + f"""),
+cfacts AS (
+  SELECT DISTINCT subj, pred, obj_kind, coalesce(obj_iri, obj_lexical) AS obj_token
+  FROM pt
+  WHERE pred NOT IN ('{_RDFN}type', 'http://purl.org/dc/terms/title')
+),
+ccounts AS (
+  SELECT subj, pred, CAST(count(*) AS BIGINT) AS n_values
+  FROM cfacts GROUP BY subj, pred
+)
+SELECT f.subj, f.pred, c.n_values, f.obj_kind, f.obj_token
+FROM cfacts f JOIN ccounts c USING (subj, pred)
+WHERE c.n_values > 1
+"""
+    )
     # kg_jsonl_roundtrip: DuckDB reads the very JSONL files the Spark query
     # wrote (same fixture contract as the transcripts parquet oracle);
     # zone-free microsecond timestampFormat is shared so the lexical forms

@@ -963,3 +963,40 @@ def cohort_retention(events: DataFrame) -> DataFrame:
             "retention"
         ),
     )
+
+
+def fact_conflicts(triples: DataFrame) -> DataFrame:
+    """Multi-valued-fact report — the conflict signal a corpus-built KG
+    needs for resolution (no reference counterpart: one CXL map asserts
+    each fact once; at 10^12 turns independent conversations assert
+    DIFFERENT objects for the same (subject, predicate), and surfacing
+    them is the first step of any merge policy). rdf:type and dct:title
+    are excluded (legitimately multi-valued by the model: entities carry
+    every observed surface as a title and may have several types).
+
+    One hash aggregate on (subj, pred) counting distinct value tokens
+    (coalesce(obj_iri, obj_lexical) — kind disambiguates collisions), one
+    semi-join back to keep the conflicting rows, exploded one row per
+    conflicting value. Both shuffles share the (subj, pred) key, so AQE
+    reuses the exchange.
+
+    Output: (subj, pred, n_values, obj_kind, obj_token) — every value of
+    every (subj, pred) holding more than one distinct value.
+    """
+    from rdfcmap_spark import vocab
+
+    tok = F.concat_ws(
+        "|", F.col("obj_kind"), F.coalesce(F.col("obj_iri"), F.col("obj_lexical"))
+    )
+    facts = (
+        triples.filter(~F.col("pred").isin(vocab.RDF_TYPE, vocab.DCT_TITLE))
+        .select("subj", "pred", "obj_kind", F.coalesce(F.col("obj_iri"), F.col("obj_lexical")).alias("obj_token"), tok.alias("_tok"))
+        .distinct()
+    )
+    counts = facts.groupBy("subj", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values")
+    )
+    return (
+        facts.join(counts.filter(F.col("n_values") > 1), ["subj", "pred"])
+        .select("subj", "pred", "n_values", "obj_kind", "obj_token")
+    )

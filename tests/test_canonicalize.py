@@ -487,3 +487,38 @@ def test_triple_timeline_bounds_hand_computed(spark):
     # entity declarations carry NULL turn provenance -> null bounds, n_turns 2
     typ = got[(canon, vocab.RDF_TYPE, None)]
     assert typ == (None, None, 2)
+
+
+def test_fact_conflicts_hand_computed(spark):
+    """Conflicting unit objects across merged conversations surface; types,
+    titles and single-valued facts do not."""
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.operators.relational import fact_conflicts
+
+    rows = [
+        ("s1", vocab.QUDT_UNIT, "iri", "u:celsius", None, None),
+        ("s1", vocab.QUDT_UNIT, "iri", "u:kelvin", None, None),
+        ("s1", vocab.RDF_TYPE, "iri", "t:a", None, None),
+        ("s1", vocab.RDF_TYPE, "iri", "t:b", None, None),       # excluded pred
+        ("s1", vocab.DCT_TITLE, "literal", None, "x", vocab.XSD_STRING),
+        ("s1", vocab.DCT_TITLE, "literal", None, "y", vocab.XSD_STRING),  # excluded
+        ("s2", vocab.QUDT_UNIT, "iri", "u:celsius", None, None),  # single-valued
+        ("s2", "p:v", "literal", None, "1", vocab.XSD_INTEGER),
+        ("s2", "p:v", "literal", None, "2", vocab.XSD_INTEGER),
+        ("s2", "p:v", "literal", None, "2", vocab.XSD_INTEGER),  # dup row, 1 value
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind string, obj_iri string, "
+        "obj_lexical string, obj_datatype string",
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj_token"]): r["n_values"]
+        for r in fact_conflicts(t).collect()
+    }
+    assert got == {
+        ("s1", vocab.QUDT_UNIT, "u:celsius"): 2,
+        ("s1", vocab.QUDT_UNIT, "u:kelvin"): 2,
+        ("s2", "p:v", "1"): 2,
+        ("s2", "p:v", "2"): 2,
+    }
