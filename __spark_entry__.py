@@ -189,6 +189,15 @@ def _kg_triple_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triple_timeline(_synth_transcripts(spark, sf_dir))
 
 
+def _kg_conflicts_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-asserted-wins merge over the multi-valued facts of the
+    triple timeline (conflict-by-recency, the stream-of-conversations
+    merge policy)."""
+    from rdfcmap_spark.plans.pipeline import resolve_by_recency, triple_timeline
+
+    return resolve_by_recency(triple_timeline(_synth_transcripts(spark, sf_dir)))
+
+
 def _synth_identity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sameAs ∪ shared-identifier star edges from the synthetic transcripts
     (the pipeline's exact identity-edge derivation, shared by the
@@ -1632,6 +1641,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_triple_timeline",
     "text_top_ngrams",
     "kg_conflicts",
+    "kg_conflicts_resolved",
     # never driver-checked (no row in CORRECTNESS_r01/r02/r03)
     "kg_sparql_exec",
     "kg_sparql_exec_full",
@@ -1834,6 +1844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_timeline": _kg_triple_timeline,
         # KG quality: multi-valued-fact conflict report over the pipeline
         "kg_conflicts": lambda s, d: relational.fact_conflicts(_kg_pipeline_full(s, d)),
+        # temporal merge policy: latest-asserted value wins per conflict
+        "kg_conflicts_resolved": _kg_conflicts_resolved,
         "kg_jsonl_roundtrip": _kg_jsonl_roundtrip,
         "kg_canonical_mapping": _kg_canonical_mapping,
         "kg_incremental_canon": _kg_incremental_canon,
@@ -3752,6 +3764,32 @@ ccounts AS (
 SELECT f.subj, f.pred, c.n_values, f.obj_kind, f.obj_token
 FROM cfacts f JOIN ccounts c USING (subj, pred)
 WHERE c.n_values > 1
+"""
+    )
+
+    # kg_conflicts_resolved: latest-asserted value wins per multi-valued
+    # (subj, pred) of the triple timeline; total-order tie-break
+    sql["kg_conflicts_resolved"] = (
+        "WITH tl AS ("
+        + _oracle.triple_timeline_sql()
+        + f"""),
+tf AS (
+  SELECT * FROM tl
+  WHERE pred NOT IN ('{_RDFN}type', 'http://purl.org/dc/terms/title')
+),
+trk AS (
+  SELECT *,
+    row_number() OVER (
+      PARTITION BY subj, pred
+      ORDER BY last_asserted_us DESC NULLS LAST, obj_kind ASC,
+               coalesce(obj_iri, obj_lexical) ASC, obj_datatype ASC NULLS FIRST
+    ) AS _rn,
+    CAST(count(*) OVER (PARTITION BY subj, pred) AS BIGINT) AS n_values
+  FROM tf
+)
+SELECT subj, pred, obj_kind, obj_iri, obj_lexical, obj_datatype,
+       last_asserted_us, n_values
+FROM trk WHERE _rn = 1 AND n_values > 1
 """
     )
     # kg_jsonl_roundtrip: DuckDB reads the very JSONL files the Spark query

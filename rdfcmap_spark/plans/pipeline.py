@@ -368,3 +368,42 @@ def triple_timeline(
         "last_asserted_us",
         "n_turns",
     )
+
+
+def resolve_by_recency(timeline: DataFrame) -> DataFrame:
+    """Conflict resolution by recency: for every multi-valued
+    (subject, predicate) in a :func:`triple_timeline` frame, keep the most
+    recently asserted value — the standard merge policy for a KG built
+    from a stream of conversations (later statements supersede earlier
+    ones; rdf:type and dct:title are excluded as legitimately
+    multi-valued, the :func:`~rdfcmap_spark.operators.relational.
+    fact_conflicts` contract).
+
+    One window over (subj, pred) — rank by (last_asserted_us DESC nulls
+    last, obj_kind, value token, datatype: a total order, so the winner is
+    deterministic even on timestamp ties — plus the per-pair value count;
+    only pairs that actually conflicted (n_values > 1) are returned.
+
+    Output: TRIPLES key + last_asserted_us + n_values (how many values
+    the winner displaced, itself included).
+    """
+    from pyspark.sql import Window
+
+    t = timeline.filter(~F.col("pred").isin(vocab.RDF_TYPE, vocab.DCT_TITLE))
+    tok = F.coalesce(F.col("obj_iri"), F.col("obj_lexical"))
+    w = Window.partitionBy("subj", "pred")
+    wo = w.orderBy(
+        F.col("last_asserted_us").desc_nulls_last(),
+        F.col("obj_kind").asc(),
+        tok.asc(),
+        F.col("obj_datatype").asc_nulls_first(),
+    )
+    return (
+        t.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("n_values", F.count(F.lit(1)).over(w).cast("long"))
+        .filter((F.col("_rn") == 1) & (F.col("n_values") > 1))
+        .select(
+            "subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype",
+            "last_asserted_us", "n_values",
+        )
+    )

@@ -522,3 +522,37 @@ def test_fact_conflicts_hand_computed(spark):
         ("s2", "p:v", "1"): 2,
         ("s2", "p:v", "2"): 2,
     }
+
+
+def test_resolve_by_recency_hand_computed(spark):
+    """Later assertion wins; timestamp ties break on the total order;
+    single-valued pairs and excluded predicates never surface."""
+    from rdfcmap_spark import vocab
+    from rdfcmap_spark.plans.pipeline import resolve_by_recency
+
+    rows = [
+        # conflicting unit: kelvin asserted later -> wins, n_values 2
+        ("s1", vocab.QUDT_UNIT, "iri", "u:celsius", None, None, 100, 200, 2),
+        ("s1", vocab.QUDT_UNIT, "iri", "u:kelvin", None, None, 150, 300, 1),
+        # timestamp tie -> obj_kind/token order decides ("a:x" < "b:y")
+        ("s2", "p:q", "iri", "b:y", None, None, 10, 50, 1),
+        ("s2", "p:q", "iri", "a:x", None, None, 20, 50, 1),
+        # single-valued -> absent
+        ("s3", "p:q", "iri", "c:z", None, None, 5, 5, 1),
+        # excluded predicate -> absent even though multi-valued
+        ("s4", vocab.RDF_TYPE, "iri", "t:a", None, None, 1, 1, 1),
+        ("s4", vocab.RDF_TYPE, "iri", "t:b", None, None, 2, 2, 1),
+    ]
+    tl = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind string, obj_iri string, obj_lexical string, "
+        "obj_datatype string, first_asserted_us long, last_asserted_us long, n_turns long",
+    )
+    got = {
+        (r["subj"], r["pred"]): (r["obj_iri"], r["last_asserted_us"], r["n_values"])
+        for r in resolve_by_recency(tl).collect()
+    }
+    assert got == {
+        ("s1", vocab.QUDT_UNIT): ("u:kelvin", 300, 2),
+        ("s2", "p:q"): ("a:x", 50, 2),
+    }
