@@ -216,3 +216,24 @@ def test_streaming_conv_stats_matches_batch(spark, transcripts_dir):
     assert got.groupBy("conv_id").count().filter(F.col("count") > 1).count() == 0
     one = got.limit(1).collect()[0]
     assert one["session_end"] > one["session_start"]
+
+
+def test_streaming_chunking_equals_batch(spark, tmp_path):
+    """chunk_documents is a pure stateless projection, so it composes onto
+    a document stream unchanged and the streamed chunk set equals the
+    batch one (continuous-ingest RAG chunking)."""
+    from rdfcmap_spark.operators.traindata import chunk_documents
+
+    d = str(tmp_path / "docs_in")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20 + i))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    got = _run_stream(spark, chunk_documents(stream, window=8, overlap=2), "t_stream_chunks")
+    want = chunk_documents(spark.read.parquet(d), window=8, overlap=2)
+    key = ["doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text"]
+    assert {tuple(r) for r in got.select(*key).collect()} == {
+        tuple(r) for r in want.select(*key).collect()
+    }
