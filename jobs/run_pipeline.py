@@ -58,6 +58,20 @@ def main() -> None:
         metavar="DIR",
         help="also write one TTL file per instance (writeSeparateTurtleFiles)",
     )
+    ap.add_argument(
+        "--table-output",
+        default=None,
+        metavar="TABLE",
+        help="commit the triples to a versioned snapshot table "
+        "(sources/table_log.py: append with content-idempotent replay, "
+        "partitioned by obj_kind; the Iceberg-shaped sink)",
+    )
+    ap.add_argument(
+        "--table-mode",
+        default="append",
+        choices=["append", "overwrite"],
+        help="table_log commit mode for --table-output",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -108,6 +122,18 @@ def main() -> None:
 
         names = write_instance_files(triples, args.separate)
         result["separate_files"] = len(names)
+    if args.table_output:
+        from rdfcmap_spark.sources.table_log import commit
+
+        snap = commit(
+            triples,
+            args.table_output,
+            mode=args.table_mode,
+            partition_by=["obj_kind"],
+            key_cols=["subj", "pred", "obj_kind", "obj_iri", "obj_lexical", "obj_datatype"],
+        )
+        result["table_version"] = snap["version"]
+        result["table_snapshot_id"] = snap["snapshot_id"]
     print(json.dumps(result))
     spark.stop()
 
