@@ -83,6 +83,15 @@ SECONDARY = [
     "kg_link_predict",
     "kg_random_walks",
     "text_lm_bigram",
+    # round-4 additions (cheap representatives; sim_ann_recall excluded —
+    # it embeds the full brute-force ground truth, bigscale-timed instead)
+    "kg_shacl_graph",
+    "kg_viz_twins",
+    "kg_unresolved_suggestions",
+    "kg_triple_timeline",
+    "kg_conflicts",
+    "data_chunking",
+    "text_top_ngrams",
 ]
 
 
