@@ -1695,9 +1695,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "data_split",
 ]
 # still-unchecked tail for the round-5 window (kept adjacent so next round's
-# rotation is a one-line move): data_shuffle_order, pack_concat_chunk,
-# pack_greedy, data_cap_per_source, data_sample_stratified, multimodal_resize,
-# multimodal_frame_sample, chat_* (14), and anything new this round.
+# rotation is a one-line move). With the 9 round-4 queries front-loaded, the
+# r4 driver window = those 9 + the first 41 PRIORITY names; the displaced
+# tier riding to r5 is text_repetition .. data_split (PRIORITY positions
+# 42-50) followed by this list.
 _DRIVER_WINDOW_NEXT = [
     "data_shuffle_order",
     "pack_concat_chunk",
