@@ -1642,6 +1642,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_top_ngrams",
     "kg_conflicts",
     "kg_conflicts_resolved",
+    "dedup_lsh_recall",
     # never driver-checked (no row in CORRECTNESS_r01/r02/r03)
     "kg_sparql_exec",
     "kg_sparql_exec_full",
@@ -1862,6 +1863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda s, d: dedup.lsh_candidate_pairs(load(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(load(s, d, "documents")),
         "dedup_lsh_verified": lambda s, d: _lsh_verified(load(s, d, "documents")),
+        # recall of the banded index vs exact within-block truth at 0.5
+        "dedup_lsh_recall": lambda s, d: dedup.lsh_recall(load(s, d, "documents")),
         "dedup_simhash": lambda s, d: dedup.simhash_signatures(load(s, d, "documents")),
         "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(load(s, d, "documents")),
         "dedup_simhash_groups": lambda s, d: dedup.simhash_groups(load(s, d, "documents")),
@@ -5235,6 +5238,54 @@ rk AS (
 SELECT CAST(rank AS INTEGER) AS rank, ngram, n_docs, n_occurrences
 FROM rk WHERE rank <= 20
 """
+
+    # dedup_lsh_recall: recall of the banded MinHash index vs the exact
+    # within-block Jaccard truth at threshold 0.5; cross-block finds
+    # reported separately (the index's upside over the blocked eval)
+    sql["dedup_lsh_recall"] = (
+        "WITH "
+        + _MINHASH_CTE
+        + r""",
+shb AS (SELECT sh.doc_id, d.lang, d.source, sh.shingle FROM sh JOIN documents d USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+t_inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_inter
+  FROM shb l JOIN shb r ON l.lang = r.lang AND l.source = r.source AND l.shingle = r.shingle
+  WHERE l.doc_id < r.doc_id GROUP BY l.doc_id, r.doc_id
+),
+truth AS (
+  SELECT a, b FROM t_inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 5) >= 0.5
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+f_inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c JOIN sh sa2 ON sa2.doc_id = c.a
+  JOIN sh sb2 ON sb2.doc_id = c.b AND sb2.shingle = sa2.shingle
+  GROUP BY c.a, c.b
+),
+found AS (
+  SELECT f.a, f.b FROM f_inter f JOIN sizes sa ON sa.doc_id = f.a JOIN sizes sb ON sb.doc_id = f.b
+  WHERE round(CAST(f.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - f.n_inter), 5) >= 0.5
+),
+fb AS (
+  SELECT f.a, f.b, (da.lang = db.lang AND da.source = db.source) AS same_block
+  FROM found f JOIN documents da ON da.doc_id = f.a JOIN documents db ON db.doc_id = f.b
+)
+SELECT CAST(0.5 AS DOUBLE) AS threshold5,
+  (SELECT count(*) FROM truth) AS n_truth,
+  (SELECT count(*) FROM fb WHERE same_block) AS n_found_in_block,
+  (SELECT count(*) FROM fb JOIN truth USING (a, b) WHERE same_block) AS n_hits,
+  CASE WHEN (SELECT count(*) FROM truth) > 0
+       THEN round(CAST((SELECT count(*) FROM fb JOIN truth USING (a, b) WHERE same_block) AS DOUBLE)
+                  / (SELECT count(*) FROM truth), 5) END AS recall5,
+  (SELECT count(*) FROM fb WHERE NOT same_block) AS n_cross_block
+"""
+    )
 
     # sim_ann_recall: recall@5 of IVF vs exact brute force — composed
     # verbatim from the two oracles above so the ground truth and the

@@ -566,3 +566,65 @@ def incremental_dup_groups(
             ),
         )
     )
+
+
+def lsh_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Recall gate for the MinHash/LSH index — the dedup twin of
+    :func:`rdfcmap_spark.operators.similarity.ann_recall` ("measure, don't
+    guess"): how many true near-duplicate pairs does the banded index
+    actually surface?
+
+    Ground truth = the exact within-block all-pairs Jaccard
+    (:func:`ngram_jaccard_pairs`, the documented quadratic eval fallback)
+    at ``jaccard >= threshold``; found = the LSH candidates verified by
+    the SAME exact-Jaccard kernel (:func:`ngram_jaccard_verify` over
+    :func:`lsh_candidate_pairs`) at the same threshold, restricted to the
+    truth's blocking universe for an apples-to-apples recall. Pairs the
+    index finds OUTSIDE the blocking (cross-block near-dups the blocked
+    eval cannot see) are reported separately — LSH's upside, not an
+    error.
+
+    Output: ONE row (threshold5, n_truth, n_found_in_block, n_hits,
+    recall5, n_cross_block). Eval-only: the ground truth is quadratic per
+    block by definition; at corpus scale run it on a sampled block set.
+    """
+    truth = ngram_jaccard_pairs(docs).filter(F.col("jaccard") >= threshold).select("a", "b")
+    found = ngram_jaccard_verify(docs, lsh_candidate_pairs(docs)).filter(
+        F.col("jaccard") >= threshold
+    )
+    blocks = docs.select("doc_id", "lang", "source")
+    fb = (
+        found.join(
+            blocks.select(
+                F.col("doc_id").alias("a"), F.col("lang").alias("_la"), F.col("source").alias("_sa")
+            ),
+            "a",
+        )
+        .join(
+            blocks.select(
+                F.col("doc_id").alias("b"), F.col("lang").alias("_lb"), F.col("source").alias("_sb")
+            ),
+            "b",
+        )
+        .withColumn("_same", (F.col("_la") == F.col("_lb")) & (F.col("_sa") == F.col("_sb")))
+    )
+    in_block = fb.filter(F.col("_same")).select("a", "b")
+    n_truth = truth.count()
+    n_in_block = in_block.count()
+    n_hits = in_block.join(truth, ["a", "b"], "left_semi").count()
+    n_cross = fb.filter(~F.col("_same")).count()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                round(threshold, 5),
+                n_truth,
+                n_in_block,
+                n_hits,
+                round(n_hits / n_truth, 5) if n_truth else None,
+                n_cross,
+            )
+        ],
+        "threshold5 double, n_truth long, n_found_in_block long, n_hits long, "
+        "recall5 double, n_cross_block long",
+    )

@@ -975,3 +975,26 @@ def test_top_ngrams_hand_computed(spark):
     # df-1 ties break lexicographically
     assert got[1] == (2, "b c a", 1, 1)
     assert got[2] == (3, "b c d", 1, 1)
+
+
+def test_lsh_recall_planted(spark):
+    """Planted truth: one same-block near-dup pair (counted in truth and,
+    when banding catches it, in hits), one cross-block near-dup (invisible
+    to the blocked truth, reported as the index's bonus), one unrelated
+    doc. All md5-deterministic, so the outcome is fixed."""
+    from rdfcmap_spark.operators import dedup
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(29)) + " tokX"
+    rows = [
+        (1, base, "en", "s1"),
+        (2, near, "en", "s1"),            # same block, jaccard ~0.87
+        (3, base, "en", "s2"),            # cross-block twin of doc 1
+        (4, " ".join(f"other{i}" for i in range(30)), "en", "s1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    r = dedup.lsh_recall(docs, threshold=0.5).collect()[0]
+    assert r["n_truth"] == 1
+    assert r["n_hits"] == 1 and r["recall5"] == 1.0
+    # doc1~doc3 identical but different source -> cross-block find
+    assert r["n_cross_block"] >= 1
