@@ -1643,6 +1643,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_conflicts",
     "kg_conflicts_resolved",
     "dedup_lsh_recall",
+    "sim_filtered_topk",
     # never driver-checked (no row in CORRECTNESS_r01/r02/r03)
     "kg_sparql_exec",
     "kg_sparql_exec_full",
@@ -1896,6 +1897,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans": lambda s, d: similarity.kmeans_iterate(load(s, d, "embeddings")),
         # recall@5 of IVF vs exact brute force (the ANN quality gate)
         "sim_ann_recall": lambda s, d: similarity.ann_recall(load(s, d, "embeddings")),
+        # quality-gated retrieval: corpus pruned by the C4/Gopher keep bit
+        "sim_filtered_topk": lambda s, d: similarity.filtered_topk(
+            load(s, d, "embeddings"), load(s, d, "documents")
+        ),
         "data_mixture_weights": lambda s, d: traindata.mixture_weights(
             load(s, d, "documents")
         ),
@@ -5284,6 +5289,31 @@ SELECT CAST(0.5 AS DOUBLE) AS threshold5,
        THEN round(CAST((SELECT count(*) FROM fb JOIN truth USING (a, b) WHERE same_block) AS DOUBLE)
                   / (SELECT count(*) FROM truth), 5) END AS recall5,
   (SELECT count(*) FROM fb WHERE NOT same_block) AS n_cross_block
+"""
+    )
+
+    # sim_filtered_topk: label-bucketed top-k over the quality-kept corpus
+    # (keep set composed verbatim from the text_quality_filter oracle)
+    sql["sim_filtered_topk"] = (
+        "WITH qf AS ("
+        + sql["text_quality_filter"]
+        + r"""),
+keepset AS (SELECT doc_id FROM qf WHERE keep),
+q AS (SELECT vec_id AS query_id, label, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+c AS (
+  SELECT vec_id AS neighbor_id, label, embedding AS ce
+  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM keepset)
+),
+pairs AS (
+  SELECT query_id, neighbor_id, """
+        + _COS.format(a="qe", b="ce")
+        + r""" AS cos_sim
+  FROM c JOIN q USING (label) WHERE neighbor_id <> query_id
+),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM r WHERE rank <= 5
 """
     )
 

@@ -822,3 +822,50 @@ def ann_recall(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
             (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall_at_k"),
         )
     )
+
+
+def filtered_topk(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    k: int = TOPK,
+    query_mod: int = QUERY_MOD,
+) -> DataFrame:
+    """Quality-gated retrieval — the realistic RAG composition: the corpus
+    side is restricted to documents that PASS the composite C4/Gopher
+    quality filter (:func:`rdfcmap_spark.operators.textstats.
+    quality_filter`'s integer-exact ``keep`` bit; vec_id == doc_id by the
+    corpus contract) before the label-bucketed top-k runs. Retrieval over
+    cleaned data is the production shape — indexing junk and filtering at
+    query time wastes both the index and the scan.
+
+    Plan: the keep-set semi-join prunes the corpus FIRST (predicate
+    reaches the scan side before any pair work), queries broadcast, then
+    the :func:`topk_clustered` bucket join — per-query scan cost is
+    keep_ratio/n_clusters of the corpus.
+
+    Output: (query_id, neighbor_id, rank, cos_sim) — same contract as the
+    other top-k variants.
+    """
+    from rdfcmap_spark.operators.textstats import quality_filter
+
+    dim = embedding_dim(embeddings)
+    keep = quality_filter(documents).filter(F.col("keep")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = embeddings.join(keep, "vec_id", "left_semi")
+    q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("label"), F.col("embedding").alias("qe")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("embedding").alias("ce")
+    )
+    pairs = (
+        c.join(F.broadcast(q), "label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce"), dim), 5).alias("cos_sim"),
+        )
+    )
+    return _ranked(pairs, k)

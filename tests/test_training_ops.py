@@ -998,3 +998,33 @@ def test_lsh_recall_planted(spark):
     assert r["n_hits"] == 1 and r["recall5"] == 1.0
     # doc1~doc3 identical but different source -> cross-block find
     assert r["n_cross_block"] >= 1
+
+
+def test_filtered_topk_excludes_dropped_docs(spark):
+    """Neighbors whose document fails the quality gate never appear, even
+    when their cosine would rank first; queries remain probes regardless
+    of their own keep bit."""
+    from rdfcmap_spark.operators import similarity
+
+    def vec(x):
+        return [float(x), 1.0, 0.0, 0.0]
+
+    emb = spark.createDataFrame(
+        [(0, vec(1.0), 0), (1, vec(1.0), 0), (2, vec(0.9), 0), (3, vec(0.1), 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    good = (
+        "the quick brown fox jumps over a lazy dog while many other animals "
+        "watch from the tall green hill and wonder about dinner plans today"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, good), (2, good), (3, good),
+            (1, "x"),  # fails flag_len -> dropped from the corpus
+        ],
+        "doc_id long, text string",
+    )
+    rows = similarity.filtered_topk(emb, docs, k=2, query_mod=4).collect()
+    got = [(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows]
+    # query 0: doc 1 is its nearest twin but filtered out -> 2 then 3
+    assert got == [(0, 2, 1), (0, 3, 2)]
