@@ -1632,58 +1632,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # session); this ordering only decides which slice the driver artifact
 # re-verifies this round.
 _DRIVER_WINDOW_PRIORITY = [
-    # new in round 4 (driver-check immediately)
-    "kg_shacl_graph",
-    "kg_viz_twins",
-    "kg_unresolved_suggestions",
-    "data_chunking",
-    "sim_ann_recall",
-    "kg_triple_timeline",
-    "text_top_ngrams",
-    "kg_conflicts",
-    "kg_conflicts_resolved",
-    "dedup_lsh_recall",
-    "sim_filtered_topk",
-    # never driver-checked (no row in CORRECTNESS_r01/r02/r03)
-    "kg_sparql_exec",
-    "kg_sparql_exec_full",
-    "kg_sparql_path",
-    "kg_sparql_path_star",
-    "kg_sparql_nps",
-    "kg_sparql_subquery",
-    "kg_sparql_values",
-    "kg_sparql_ask",
-    "kg_sparql_graph",
-    "kg_sparql_update",
-    "kg_sparql_agg",
-    "kg_sparql_having",
-    "kg_sparql_construct",
-    "kg_sparql_not_exists",
-    "kg_sparql_describe",
-    "kg_sparql_bind",
-    "kg_sparql_builtins",
-    "kg_sparql_graph_mgmt",
-    "kg_sparql_results_csv",
-    "kg_sparql_results_tsv",
-    "kg_sparql_results_json",
-    "kg_sparql_results_xml",
-    "kg_rdfs_entail",
-    "kg_triple_support",
-    "kg_jsonl_roundtrip",
-    "kg_incremental_canon",
-    "kg_ttl_noprefix_roundtrip",
-    "kg_anonymize",
-    "kg_nquads_roundtrip",
-    "dedup_simhash_groups",
-    "dedup_dup_groups",
-    "dedup_incremental_groups",
-    "dedup_span",
-    "sim_topk_pq",
-    "sim_topk_pq_refined",
-    "sim_topk_ivfpq",
-    "sim_kmeans",
-    "data_mixture_weights",
-    "sim_hyperplane_sig",
+    # new in round 5 (driver-check immediately)
+    # (round-5 additions are prepended here as they land)
+    # the final 32 never-driver-checked queries (no row in CORRECTNESS_r01-r04;
+    # the r1-r4 union covers 124/156 — this window finishes the job)
     "dedup_embedding_lsh",
     "dedup_embedding_groups",
     "text_repetition",
@@ -1695,13 +1647,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_decontaminate",
     "text_pii_scan",
     "data_split",
-]
-# still-unchecked tail for the round-5 window (kept adjacent so next round's
-# rotation is a one-line move). With the 9 round-4 queries front-loaded, the
-# r4 driver window = those 9 + the first 41 PRIORITY names; the displaced
-# tier riding to r5 is text_repetition .. data_split (PRIORITY positions
-# 42-50) followed by this list.
-_DRIVER_WINDOW_NEXT = [
     "data_shuffle_order",
     "pack_concat_chunk",
     "pack_greedy",
@@ -1723,7 +1668,14 @@ _DRIVER_WINDOW_NEXT = [
     "chat_entity_pmi",
     "chat_entity_timeline",
     "chat_pronoun_coref",
+    # multimodal_features rides here too: round 5 replaces its stubbed
+    # payload stats with a real PNG/BMP decode, so re-verify it in-window.
+    "multimodal_features",
 ]
+# Everything else already holds a driver-green row in CORRECTNESS_r01-r04;
+# no tail list is needed this round (the window above is 34 names + round-5
+# additions, comfortably inside the 50-slot driver sample).
+_DRIVER_WINDOW_NEXT: list[str] = []
 
 
 def _rotate_for_driver_window(
@@ -3188,7 +3140,14 @@ GROUP BY p.rdf_type, p.pred, t2.n_subjects
               where=" WHERE is_literal"),
         _trow(_ps, _SHN + "datatype", "iri", "dt", src="pp", where=" WHERE is_literal"),
     ]
+    # qualified counts paired with [ sh:nodeKind sh:BlankNodeOrIRI ] value
+    # shapes (r4 ADVICE) — mirrors shapes.py's obj_triples branch
+    _qvs = _mint("'shacl-qvs|' || rdf_type || '|' || pred")
     _pp_obj = [
+        _trow(_ps, _SHN + "qualifiedValueShape", "bnode", _qvs, src="pp",
+              where=" WHERE NOT is_literal"),
+        _trow(_qvs, _SHN + "nodeKind", "iri", f"'{_SHN}BlankNodeOrIRI'", src="pp",
+              where=" WHERE NOT is_literal"),
         _trow(_ps, _SHN + "qualifiedMinCount", "literal", lex=_minlex, dt=_xint, src="pp",
               where=" WHERE NOT is_literal"),
         _trow(_ps, _SHN + "qualifiedMaxCount", "literal", lex=_maxlex, dt=_xint, src="pp",
@@ -4912,9 +4871,12 @@ SELECT doc_id, bucket,
 FROM b
 """
 
-    # data_chunking: 64-token windows, stride 48 (16 overlap); last chunk =
-    # remainder; empty docs chunkless. list_slice is inclusive [begin,end],
-    # mirroring Spark's slice(start+1, window).
+    # data_chunking: 64-token windows, stride 48 (16 overlap); starts stop
+    # once a window covers the document end (start <= n - overlap - 1, r4
+    # ADVICE — no trailing fully-contained chunks); empty docs chunkless.
+    # Spark sequence() is bound-INCLUSIVE, DuckDB range() stop-EXCLUSIVE:
+    # stop = n - 16 (floored at 1 for 1..17-token docs, 0 for empty).
+    # list_slice is inclusive [begin,end], mirroring slice(start+1, window).
     sql["data_chunking"] = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -4923,7 +4885,10 @@ WITH toks AS (
   FROM documents
 ),
 st AS (
-  SELECT doc_id, t, unnest(range(0, len(t), 48)) AS start FROM toks
+  SELECT doc_id, t,
+         unnest(range(0, CASE WHEN len(t) = 0 THEN 0
+                              ELSE greatest(1, len(t) - 16) END, 48)) AS start
+  FROM toks
 )
 SELECT doc_id,
        CAST(start // 48 AS BIGINT) AS chunk_idx,

@@ -166,7 +166,7 @@ def bench_pipeline(spark, sf: float) -> dict:
     # cover full-size JIT/codegen/shuffle-infra warm-up: measured same-
     # window sequences go 13.3 -> 10.7 s at sf0.1 as the JVM reaches
     # steady state, and host tenancy adds ±15% between identical runs
-    # (BENCH.md). Best-of-2 reports warm steady-state throughput — the
+    # (BENCH.md). Best-of-3 reports warm steady-state throughput — the
     # quantity comparable across driver rounds; all raw runs stay in the
     # artifact so the scatter is visible.
     runs: list[float] = []
@@ -207,8 +207,11 @@ def drift_probe(spark, sf_dir, queries) -> float:
     secondaries). Host tenancy inflates all queries roughly uniformly
     (BENCH.md documents 3x wall variance between simultaneous identical
     processes), so median(probe)/DRIFT_REFERENCE_TPCH_Q1 estimates the
-    window's slowdown factor and `pipeline_normalized` reports the
-    headline corrected for it — the r3 review's in-artifact control."""
+    window's tenancy factor relative to the r02 record window.  The factor
+    is DIAGNOSTIC ONLY (r4 ADVICE): the headline `value` is always the raw
+    best-of-N, and `pipeline_drift_diagnostic` carries the two-sided
+    factor so a reader can judge the window — it is never clamped and
+    never replaces the headline."""
     t0 = time.perf_counter()
     force(queries["tpch_q1"](spark, sf_dir))
     return round(time.perf_counter() - t0, 3)
@@ -221,19 +224,27 @@ def main() -> None:
     spark = build_session(cpus=cpus, app_name="rdfcmap_spark_bench")
 
     queries = entrymod.queries()
+    # two probe samples before the pipeline + one after guarantee >=3
+    # samples on every code path (the PIPELINE_ONLY path previously had 2,
+    # whose "median" was the max — r4 ADVICE)
     drift_samples = [drift_probe(spark, sf_dir, queries)]
     t_all = time.perf_counter()
     pipe = bench_pipeline(spark, sf)
     drift_samples.append(drift_probe(spark, sf_dir, queries))
+    drift_samples.append(drift_probe(spark, sf_dir, queries))
 
     def drift_fields() -> dict:
-        med = sorted(drift_samples)[len(drift_samples) // 2]
-        # one-sided: the control exists to rescue a tenancy-degraded
-        # window (factor > 1 -> scale the headline up); a fast window
-        # never inflates the record (factor clamped to 1). tpch_q1 is a
-        # fixed-plan scan+agg — it tracks background load, not JIT state,
-        # so it corrects tenancy, while best-of-2 above handles warm-up.
-        factor = max(1.0, round(med / DRIFT_REFERENCE_TPCH_Q1, 3))
+        # true median: average the middle two on even sample counts
+        s = sorted(drift_samples)
+        n = len(s)
+        med = round(s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3)
+        # TWO-SIDED and diagnostic-only (r4 ADVICE): factor < 1 means this
+        # window ran faster than the r02 record window, factor > 1 slower.
+        # The headline `value` stays the raw best-of-N; this block only
+        # tells the reader how to discount/credit it for tenancy. tpch_q1
+        # is a fixed-plan scan+agg — it tracks background load, not JIT
+        # state, while best-of-3 above handles warm-up.
+        factor = round(med / DRIFT_REFERENCE_TPCH_Q1, 3)
         return {
             "drift_control": {
                 "query": "tpch_q1",
@@ -241,10 +252,11 @@ def main() -> None:
                 "median": med,
                 "reference_seconds": DRIFT_REFERENCE_TPCH_Q1,
                 "factor_vs_r02": factor,
+                "note": "diagnostic only; headline value is raw best-of-N",
             },
-            "pipeline_normalized": {
-                "seconds": round(pipe["seconds"] / factor, 3),
-                "triples_per_sec": round(pipe["triples_per_sec"] * factor, 1),
+            "pipeline_drift_diagnostic": {
+                "seconds_if_r02_window": round(pipe["seconds"] / factor, 3),
+                "triples_per_sec_if_r02_window": round(pipe["triples_per_sec"] * factor, 1),
             },
         }
 

@@ -608,11 +608,23 @@ def lsh_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .withColumn("_same", (F.col("_la") == F.col("_lb")) & (F.col("_sa") == F.col("_sb")))
     )
-    in_block = fb.filter(F.col("_same")).select("a", "b")
-    n_truth = truth.count()
-    n_in_block = in_block.count()
-    n_hits = in_block.join(truth, ["a", "b"], "left_semi").count()
-    n_cross = fb.filter(~F.col("_same")).count()
+    # persist the two expensive lineages before counting (r4 ADVICE): the
+    # quadratic ground truth and the full LSH+verify chain each feed
+    # multiple count actions below — without the persist each action
+    # recomputes them from the scan (~3x the work of this already-costly
+    # eval). Counts are plain Python ints by the time we return, so both
+    # caches are released before the result frame is built.
+    truth = truth.persist()
+    fb = fb.persist()
+    try:
+        in_block = fb.filter(F.col("_same")).select("a", "b")
+        n_truth = truth.count()
+        n_in_block = in_block.count()
+        n_hits = in_block.join(truth, ["a", "b"], "left_semi").count()
+        n_cross = fb.filter(~F.col("_same")).count()
+    finally:
+        truth.unpersist()
+        fb.unpersist()
     spark = docs.sparkSession
     return spark.createDataFrame(
         [

@@ -220,10 +220,21 @@ def shacl_shapes_graph(typed_triples: DataFrame) -> DataFrame:
             _t(ps, vocab.SH_DATATYPE, "iri", F.col("dt")),
         ),
     )
+    # qualified counts MUST be paired with a sh:qualifiedValueShape to be
+    # well-formed SHACL (r4 ADVICE; the reference pairs them with value/
+    # node shapes, ShapesCreator2.java:620-674). The observed object TYPE
+    # is not part of this operator's input contract, so the value shape
+    # constrains the node kind instead: [ sh:nodeKind sh:BlankNodeOrIRI ]
+    # — true of every object-valued observation by construction.
+    qvs = ids.instance_iri_col(
+        F.concat(F.lit("shacl-qvs|"), typ, F.lit("|"), F.col("pred"))
+    )
     obj_triples = _explode(
         enriched.filter(~F.col("is_literal")),
         F.array(
             *common,
+            _t(ps, vocab.SH_QUALIFIED_VALUE_SHAPE, "bnode", qvs),
+            _t(qvs, vocab.SH_NODEKIND, "iri", F.lit(vocab.SH_BLANK_NODE_OR_IRI)),
             _t(ps, vocab.SH_QUALIFIED_MIN_COUNT, "literal", lex=min_lex, dt=xsd_int),
             _t(ps, vocab.SH_QUALIFIED_MAX_COUNT, "literal", lex=max_lex, dt=xsd_int),
         ),

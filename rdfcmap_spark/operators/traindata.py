@@ -383,10 +383,15 @@ def mixture_weights(
 def chunk_documents(docs: DataFrame, window: int = 64, overlap: int = 16) -> DataFrame:
     """RAG/pretraining chunking: slide a ``window``-token frame over each
     document with ``overlap`` tokens of context carry-over (stride =
-    window - overlap); the final chunk is the remainder (>= 1 token, no
-    padding). Chunk text is the re-joined token slice — whitespace
-    tokenization, the repo's token model (no reference counterpart; a
-    training-data pipeline product).
+    window - overlap). Starts are generated only while the chunk
+    contributes at least one unseen token: once a window reaches the
+    document end, no further starts are emitted (r4 ADVICE — the old
+    ``start < n`` rule emitted trailing chunks fully contained in the
+    previous one, pure duplicate training/RAG content). The final chunk
+    may be shorter than ``window`` (>= 1 unseen token, no padding). Chunk
+    text is the re-joined token slice — whitespace tokenization, the
+    repo's token model (no reference counterpart; a training-data
+    pipeline product).
 
     Pure per-row column work: split once, one ``sequence`` explode over
     chunk starts, slice+join per chunk — zero shuffle, zero UDF; output
@@ -404,9 +409,11 @@ def chunk_documents(docs: DataFrame, window: int = 64, overlap: int = 16) -> Dat
         F.split(t, r"\s+")
     )
     n = F.size(F.col("_toks"))
-    # starts: 0, stride, 2*stride, ... < n (empty docs produce no chunk)
+    # starts: 0, stride, 2*stride, ..., stopping once a window covers the
+    # document end: keep s <= n - overlap - 1, i.e. the first s with
+    # s + window >= n is the last start (empty docs produce no chunk)
     starts = F.when(n == 0, F.array().cast("array<int>")).otherwise(
-        F.sequence(F.lit(0), n - 1, F.lit(stride))
+        F.sequence(F.lit(0), F.greatest(F.lit(0), n - F.lit(overlap) - 1), F.lit(stride))
     )
     sliced = F.slice(F.col("_toks"), F.col("start") + 1, window)
     return (

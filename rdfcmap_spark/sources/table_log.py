@@ -40,6 +40,11 @@ from rdfcmap_spark.sources.sink import content_fingerprint
 
 CURRENT = "_current"
 
+#: optimistic-commit retry bound: a writer that loses this many version
+#: races (or waits out a crashed rival that created a snapshot file but
+#: never swapped the pointer) raises instead of spinning forever.
+_COMMIT_RETRIES = 16
+
 
 def _read_dirs(spark: SparkSession, dirs: list[str]) -> DataFrame:
     """Union the member data dirs. Each dir is its own partitioned parquet
@@ -104,18 +109,25 @@ def commit(
     adds one; ``'overwrite'`` starts a fresh file set (old dirs stay on
     disk for time travel — Iceberg's expire-snapshots is out of scope).
     Returns the committed (or, for an idempotent replay, existing)
-    snapshot dict."""
+    snapshot dict.
+
+    Concurrency (r4 ADVICE): the snapshot file is created with
+    ``open(..., 'x')`` (O_EXCL), so two writers racing to the same version
+    cannot both succeed — the loser re-reads the winner's snapshot as the
+    new base, re-checks idempotency, and retries with the next version
+    (Iceberg's optimistic-commit protocol). A loser whose rival created
+    ``v<N>.json`` but has not yet swapped ``_current`` waits for the swap
+    (bounded), then rebases; ``commit`` raises after ``_COMMIT_RETRIES``
+    lost races rather than ever overwriting another writer's snapshot."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     partition_by = partition_by or []
     os.makedirs(_meta_dir(table), exist_ok=True)
     spark = df.sparkSession
 
-    prev_v = current_version(table)
-    prev = snapshot(table, prev_v) if prev_v else None
-
     # write the batch into an immutable data dir, then fingerprint what
-    # was actually written (read-back, not the plan)
+    # was actually written (read-back, not the plan). The data dir is
+    # race-free (uuid name); only the metadata commit below can conflict.
     data_dir = os.path.join(table, "data", uuid.uuid4().hex)
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -124,41 +136,59 @@ def commit(
     written = spark.read.parquet(data_dir)
     batch_fp = content_fingerprint(written, key_cols)
 
-    if mode == "append" and prev and batch_fp in prev.get("appended_fingerprints", []):
-        # idempotent replay: this exact batch is already in the table
-        import shutil
+    for _attempt in range(_COMMIT_RETRIES):
+        prev_v = current_version(table)
+        prev = snapshot(table, prev_v) if prev_v else None
 
-        shutil.rmtree(data_dir, ignore_errors=True)
-        return prev
+        if mode == "append" and prev and batch_fp in prev.get("appended_fingerprints", []):
+            # idempotent replay: this exact batch is already in the table
+            import shutil
 
-    if mode == "append" and prev:
-        dirs = prev["data_dirs"] + [data_dir]
-        appended = prev.get("appended_fingerprints", []) + [batch_fp]
-    else:
-        dirs = [data_dir]
-        appended = [batch_fp]
+            shutil.rmtree(data_dir, ignore_errors=True)
+            return prev
 
-    full = _read_dirs(spark, dirs)
-    snap = {
-        "version": (prev_v or 0) + 1,
-        "mode": mode,
-        "data_dirs": dirs,
-        "appended_fingerprints": appended,
-        "batch_fingerprint": batch_fp,
-        "snapshot_id": content_fingerprint(full, key_cols),
-        "row_count": full.count(),
-        "partition_by": partition_by,
-        "partition_counts": _partition_counts(full, partition_by),
-        "schema": full.schema.simpleString(),
-        "committed_at": time.time(),
-    }
-    with open(_snap_path(table, snap["version"]), "w") as f:
-        json.dump(snap, f, indent=1, sort_keys=True)
-    tmp = os.path.join(_meta_dir(table), CURRENT + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(str(snap["version"]))
-    os.replace(tmp, os.path.join(_meta_dir(table), CURRENT))  # atomic swap
-    return snap
+        if mode == "append" and prev:
+            dirs = prev["data_dirs"] + [data_dir]
+            appended = prev.get("appended_fingerprints", []) + [batch_fp]
+        else:
+            dirs = [data_dir]
+            appended = [batch_fp]
+
+        full = _read_dirs(spark, dirs)
+        snap = {
+            "version": (prev_v or 0) + 1,
+            "mode": mode,
+            "data_dirs": dirs,
+            "appended_fingerprints": appended,
+            "batch_fingerprint": batch_fp,
+            "snapshot_id": content_fingerprint(full, key_cols),
+            "row_count": full.count(),
+            "partition_by": partition_by,
+            "partition_counts": _partition_counts(full, partition_by),
+            "schema": full.schema.simpleString(),
+            "committed_at": time.time(),
+        }
+        try:
+            # O_EXCL: exactly one writer owns this version number
+            with open(_snap_path(table, snap["version"]), "x") as f:
+                json.dump(snap, f, indent=1, sort_keys=True)
+        except FileExistsError:
+            # lost the race: a rival owns v(N+1). Its snapshot file is
+            # fully written before its pointer swap, so wait (bounded) for
+            # _current to advance past our base, then rebase on it.
+            for _ in range(200):  # <= 2 s
+                if (current_version(table) or 0) > (prev_v or 0):
+                    break
+                time.sleep(0.01)
+            continue
+        tmp = os.path.join(_meta_dir(table), CURRENT + f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snap["version"]))
+        os.replace(tmp, os.path.join(_meta_dir(table), CURRENT))  # atomic swap
+        return snap
+    raise RuntimeError(
+        f"commit to {table} lost {_COMMIT_RETRIES} optimistic-concurrency races; giving up"
+    )
 
 
 def read_table(

@@ -90,6 +90,8 @@ SH_MIN_COUNT = SHACL + "minCount"
 SH_MAX_COUNT = SHACL + "maxCount"
 SH_QUALIFIED_MIN_COUNT = SHACL + "qualifiedMinCount"
 SH_QUALIFIED_MAX_COUNT = SHACL + "qualifiedMaxCount"
+SH_QUALIFIED_VALUE_SHAPE = SHACL + "qualifiedValueShape"
+SH_BLANK_NODE_OR_IRI = SHACL + "BlankNodeOrIRI"
 SH_DATATYPE = SHACL + "datatype"
 SH_PROPERTY = SHACL + "property"
 SH_PATH = SHACL + "path"

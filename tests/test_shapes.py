@@ -80,6 +80,13 @@ def test_shapes_graph_structure(spark):
     assert (ps_ord, vocab.SH_QUALIFIED_MIN_COUNT, "literal", None, "0", vocab.XSD_INTEGER) in got
     assert (ps_ord, vocab.SH_QUALIFIED_MAX_COUNT, "literal", None, "2", vocab.XSD_INTEGER) in got
     assert not any(r[1] == vocab.SH_NODEKIND and r[0] == ps_ord for r in got)
+    # qualified counts are paired with a value shape (well-formed SHACL,
+    # r4 ADVICE): ps -> [ sh:nodeKind sh:BlankNodeOrIRI ]
+    qvs_ord = ids.instance_iri("shacl-qvs|" + EX + "Customer|" + EX + "hasOrder")
+    assert (ps_ord, vocab.SH_QUALIFIED_VALUE_SHAPE, "bnode", qvs_ord, None, None) in got
+    assert (qvs_ord, vocab.SH_NODEKIND, "iri", vocab.SH_BLANK_NODE_OR_IRI, None, None) in got
+    # literal property shapes carry NO qualified constraints
+    assert not any(r[1] == vocab.SH_QUALIFIED_VALUE_SHAPE and r[0] == ps_name for r in got)
 
     # mixed datatypes -> xsd:string fallback (ShapesCreator2.java:846-851)
     ps_code = ids.instance_iri(

@@ -87,3 +87,58 @@ def test_pipeline_triples_through_table_log(spark, tmp_path):
     assert sum(s1["partition_counts"].values()) == s1["row_count"]
     s2 = commit(triples, t, mode="append", partition_by=["obj_kind"])
     assert s2["version"] == s1["version"]  # idempotent replay
+
+
+def test_commit_race_rebases_not_overwrites(spark, tmp_path, monkeypatch):
+    """r4 ADVICE: two writers racing to the same version must not lose
+    rows. Simulate the losing side: its current_version read is stale (a
+    rival committed v2 between the read and the O_EXCL snapshot create),
+    so its first attempt collides on v2.json and it must REBASE onto the
+    rival's snapshot — the final table contains both writers' batches."""
+    from rdfcmap_spark.sources import table_log
+
+    t = str(tmp_path / "tbl")
+    commit(_docs(spark, 0, 10), t)
+    s2 = commit(_docs(spark, 10, 20), t)  # the "rival" commit (v2)
+
+    real_cv = table_log.current_version
+    state = {"stale": True}
+
+    def stale_once(table):
+        v = real_cv(table)
+        if state["stale"]:
+            state["stale"] = False
+            return (v or 0) - 1 or None  # pretend we never saw the rival
+        return v
+
+    monkeypatch.setattr(table_log, "current_version", stale_once)
+    s3 = table_log.commit(_docs(spark, 20, 25), t)
+    monkeypatch.undo()
+
+    # landed as v3 on top of the rival's v2 — nothing overwritten
+    assert s3["version"] == 3 and current_version(t) == 3
+    assert set(s2["data_dirs"]) < set(s3["data_dirs"])
+    df, _ = read_table(spark, t)
+    assert df.count() == 25  # 10 + 10 + 5: the rival's batch survived
+
+
+def test_commit_crashed_rival_raises_not_overwrites(spark, tmp_path, monkeypatch):
+    """A rival that created v2.json but died before swapping _current must
+    never be silently overwritten: the writer waits (bounded), then
+    raises."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from rdfcmap_spark.sources import table_log
+
+    t = str(tmp_path / "tbl")
+    commit(_docs(spark, 0, 10), t)
+    # fake a crashed rival: v2.json exists, _current still says 1
+    with open(_os.path.join(t, "metadata", "v2.json"), "x") as f:
+        _json.dump({"version": 2, "data_dirs": []}, f)
+    monkeypatch.setattr(table_log, "_COMMIT_RETRIES", 2)
+    monkeypatch.setattr(table_log.time, "sleep", lambda s: None)  # fast wait-out
+    with _pytest.raises(RuntimeError, match="optimistic-concurrency"):
+        table_log.commit(_docs(spark, 10, 20), t)

@@ -450,20 +450,24 @@ def test_chunk_documents_windows_and_overlap(spark):
     )
     rows = chunk_documents(docs, window=4, overlap=2).collect()
     got = {(r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"]) for r in rows}
-    # doc 1: 10 tokens, stride 2 -> starts 0,2,4,6,8
+    # doc 1: 10 tokens, stride 2 -> starts 0,2,4,6 (start 8's "w8 w9" is
+    # fully contained in chunk 3, so it is NOT emitted — r4 ADVICE)
     assert got[(1, 0)] == (4, "w0 w1 w2 w3")
     assert got[(1, 1)] == (4, "w2 w3 w4 w5")
     assert got[(1, 3)] == (4, "w6 w7 w8 w9")
-    assert got[(1, 4)] == (2, "w8 w9")  # remainder, no padding
-    assert (1, 5) not in got
-    # doc 2: 3 tokens -> one full-ish chunk + remainder at start 2
+    assert (1, 4) not in got
+    # doc 2: 3 tokens -> ONE chunk covering the doc (the old start-2
+    # remainder "c" was a strict subset of it)
     assert got[(2, 0)] == (3, "a b c")
-    assert got[(2, 1)] == (1, "c")
+    assert (2, 1) not in got
     # empty doc -> no chunks; single token -> one chunk
     assert not any(d == 3 for d, _ in got)
     assert got[(4, 0)] == (1, "solo")
     # overlap consistency: consecutive chunks share `overlap` tokens
     assert got[(1, 1)][1].split()[:2] == got[(1, 0)][1].split()[2:]
+    # every chunk contributes unseen tokens: coverage strictly grows
+    ends = [s * 2 + got[(1, i)][0] for i, s in enumerate([0, 1, 2, 3])]
+    assert ends == sorted(set(ends)) and ends[-1] == 10
 
 
 def test_chunk_documents_rejects_bad_overlap(spark):
