@@ -1926,8 +1926,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"src0": 1.0, "src1": 0.5, "src2": 0.1},
             default=0.3,
         ),
-        # --- multimodal plumbing (Arrow mapInPandas; deterministic fake decode) ---
-        "multimodal_features": lambda s, d: multimodal.media_features(load(s, d, "documents")),
+        # --- multimodal (Arrow mapInPandas) ---
+        # multimodal_features is the REAL decode path (round 5): synthesize
+        # actual PNG/BMP bytes per doc, decode them with the in-repo codec
+        # (functions/imagecodec.py), measure pixel stats; the oracle mirrors
+        # the generator's closed-form values, so the whole encode -> zlib ->
+        # un-filter -> stats chain is verified bit-for-bit.
+        "multimodal_features": lambda s, d: multimodal.real_image_features(
+            load(s, d, "documents")
+        ),
         "multimodal_resize": lambda s, d: multimodal.resize_media(
             multimodal.extract_features(multimodal.ingest_media(load(s, d, "documents")))
         ),
@@ -5045,14 +5052,41 @@ SELECT doc_id, shard, n_tokens, bin, fill FROM packed
 """
     )
 
+    # multimodal_features (round 5, REAL decode): mirror of the synthetic
+    # image generator's closed-form pixel model (multimodal._synth_pixels):
+    # dims w=4+doc_id%13, h=3+doc_id%7; luminance ramp v(i)=(doc_id*7+i)%256
+    # over row-major i; even doc_id = grayscale PNG (1 channel), odd = RGB
+    # BMP with g/b planes offset +85/+170 mod 256. The Spark side measures
+    # these stats from DECODED bytes, so matching here proves the codec.
     sql["multimodal_features"] = r"""
-SELECT doc_id,
-  CAST(strlen(text) AS BIGINT) AS n_bytes,
-  md5(text) AS checksum,
-  CAST(strlen(text) % 640 AS INTEGER) AS width,
-  CAST(strlen(text) % 480 AS INTEGER) AS height,
-  CAST(1 + strlen(text) % 16 AS INTEGER) AS n_frames
-FROM documents
+WITH v AS (
+  SELECT doc_id, (doc_id * 7 + i) % 256 AS val
+  FROM (SELECT doc_id,
+               unnest(range(0, (4 + doc_id % 13) * (3 + doc_id % 7))) AS i
+        FROM documents)
+),
+agg AS (
+  SELECT doc_id,
+    SUM(CASE WHEN doc_id % 2 = 0 THEN val
+             ELSE val + (val + 85) % 256 + (val + 170) % 256 END) AS px_sum,
+    SUM(val) AS r_sum,
+    MIN(CASE WHEN doc_id % 2 = 0 THEN val
+             ELSE least(val, (val + 85) % 256, (val + 170) % 256) END) AS px_min,
+    MAX(CASE WHEN doc_id % 2 = 0 THEN val
+             ELSE greatest(val, (val + 85) % 256, (val + 170) % 256) END) AS px_max
+  FROM v GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN d.doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+  CAST(4 + d.doc_id % 13 AS INTEGER) AS width,
+  CAST(3 + d.doc_id % 7 AS INTEGER) AS height,
+  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+  CAST((4 + d.doc_id % 13) * (3 + d.doc_id % 7) AS BIGINT) AS n_pixels,
+  CAST(a.px_sum AS BIGINT) AS px_sum,
+  CAST(a.r_sum AS BIGINT) AS r_sum,
+  CAST(a.px_min AS INTEGER) AS px_min,
+  CAST(a.px_max AS INTEGER) AS px_max
+FROM documents d JOIN agg a USING (doc_id)
 """
 
     sql["multimodal_resize"] = r"""

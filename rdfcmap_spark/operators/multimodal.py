@@ -4,12 +4,23 @@ At 100 TB, image/audio/video ride along as binary columns with a metadata
 struct; decode / feature-extraction runs as Arrow-batched ``mapInPandas``
 (one Python process per partition, columnar transfer, never row-at-a-time).
 
-The actual decoders (PIL / librosa / av) are **not in this container**, so
-:func:`extract_features` computes a clearly-marked deterministic fake
-(length/checksum-derived dims) unless ``real_decode=True``, which raises
-``NotImplementedError`` at the exact seam where the real library call goes.
-The Spark-side plumbing — schema, binary handling, batch shape, partition
-behavior — is real and tested (tests/test_training_ops.py).
+Two decode paths:
+
+* **Real image decode (round 5)** — :func:`synth_images` generates actual
+  PNG (8-bit grayscale, all five scanline filters) and BMP (24-bit,
+  bottom-up, padded) bytes deterministically per ``doc_id``, and
+  :func:`real_image_features` decodes those bytes with the in-repo codec
+  (:mod:`rdfcmap_spark.functions.imagecodec` — stdlib zlib/struct +
+  numpy, no PIL needed) and measures real pixels: width/height/channels
+  from the headers, channel sums and min/max from the decoded samples.
+  The DuckDB oracle mirrors the generator's closed-form pixel values, so
+  a single flipped bit anywhere in encode -> zlib -> un-filter -> stats
+  fails the hash compare.
+* **Stubbed video path** — :func:`extract_features` keeps the clearly
+  marked deterministic fake for the *video* surface (frame sampling needs
+  an ``av``-style container decoder that is genuinely not in this
+  sandbox); ``real_decode=True`` now routes payloads through the real
+  image codec instead of raising.
 """
 
 from __future__ import annotations
@@ -80,10 +91,28 @@ def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real_decode:
-                raise NotImplementedError(
-                    "real image/audio decode needs PIL/librosa — not in this container; "
-                    "plug the decoder into _fake_decode"
+                # round 5: the seam is real — header-parse each payload
+                # with the in-repo codec (PNG/BMP; ValueError -> (0,0,0))
+                from rdfcmap_spark.functions.imagecodec import decode_image
+
+                dims = []
+                for p in pdf["payload"]:
+                    try:
+                        _, px = decode_image(bytes(p) if p is not None else b"")
+                        dims.append((px.shape[1], px.shape[0], 1))
+                    except ValueError:
+                        dims.append((0, 0, 0))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": pdf["n_bytes"],
+                        "checksum": pdf["checksum"],
+                        "width": [d[0] for d in dims],
+                        "height": [d[1] for d in dims],
+                        "n_frames": [d[2] for d in dims],
+                    }
                 )
+                continue
             dims = [_fake_decode(p if p is not None else b"") for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
@@ -198,4 +227,135 @@ def sample_frames(media_feats: DataFrame, every_n: int = 4) -> DataFrame:
 
     return media_feats.select("doc_id", "n_frames", "checksum").mapInPandas(
         run, FRAME_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# real image pipeline (round 5): synth corpus -> real decode -> pixel stats
+# ---------------------------------------------------------------------------
+
+REAL_MEDIA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("checksum", T.StringType(), True),
+    ]
+)
+
+REAL_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("r_sum", T.LongType(), True),
+        T.StructField("px_min", T.IntegerType(), True),
+        T.StructField("px_max", T.IntegerType(), True),
+    ]
+)
+
+
+def _synth_pixels(doc_id: int):
+    """Deterministic pixel model shared with the DuckDB oracle: linear
+    luminance ramp v(i) = (doc_id*7 + i) % 256 over row-major index i,
+    dims w = 4 + doc_id%13, h = 3 + doc_id%7. Even doc_id -> grayscale
+    (PNG), odd -> RGB (BMP) with g/b offset by +85/+170 (mod 256) so the
+    three channel planes differ and a BGR/RGB byte-order bug is caught."""
+    import numpy as np
+
+    w, h = 4 + doc_id % 13, 3 + doc_id % 7
+    v = ((doc_id * 7 + np.arange(w * h)) % 256).astype("uint8").reshape(h, w)
+    if doc_id % 2 == 0:
+        return v  # (h, w) grayscale
+    rgb = np.stack([v, (v.astype("int32") + 85) % 256, (v.astype("int32") + 170) % 256], axis=-1)
+    return rgb.astype("uint8")  # (h, w, 3)
+
+
+def synth_images(docs: DataFrame) -> DataFrame:
+    """documents -> media table of REAL encoded image bytes (PNG for even
+    doc_id — filter seed doc_id%5, so the corpus covers all five PNG
+    scanline filters — BMP 24-bit for odd). Arrow-batched generation; the
+    payloads are genuine spec-conformant files, decodable by any codec."""
+    import hashlib
+
+    from rdfcmap_spark.functions.imagecodec import encode_bmp, encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads, sizes, sums = [], [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = _synth_pixels(d)
+                if d % 2 == 0:
+                    payload = encode_png(px, filter_seed=d % 5)
+                    mt = "image/png"
+                else:
+                    payload = encode_bmp(px)
+                    mt = "image/bmp"
+                ids.append(d)
+                types.append(mt)
+                payloads.append(payload)
+                sizes.append(len(payload))
+                sums.append(hashlib.md5(payload).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": types,
+                    "payload": payloads,
+                    "n_bytes": sizes,
+                    "checksum": sums,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, REAL_MEDIA)
+
+
+def real_image_features(docs: DataFrame) -> DataFrame:
+    """The closed multimodal seam: synth -> REAL decode -> pixel stats.
+
+    Every output column east of ``media_type`` is measured from decoded
+    pixel samples (header dims + channel sums/extrema), so the DuckDB
+    oracle — which recomputes the generator's closed-form values with
+    ``generate_series`` — verifies the whole encode/decode path
+    bit-for-bit: a wrong PNG un-filter, a BGR/RGB swap, or an off-by-one
+    in BMP row padding each flip ``px_sum``/``r_sum`` and fail the hash.
+
+    Scale posture: decode runs inside Arrow ``mapInPandas`` batches with
+    only (doc_id, payload, media_type) crossing the boundary; swapping
+    the in-repo codec for a C library on a production cluster is a
+    one-line change here.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rdfcmap_spark.functions.imagecodec import decode_image
+
+        for pdf in batches:
+            rows = {k: [] for k in REAL_FEATURES.fieldNames()}
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                kind, px = decode_image(bytes(payload))
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                h, w, ch = px.shape
+                samples = px.astype("int64")
+                rows["doc_id"].append(int(doc_id))
+                rows["media_type"].append(mt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["n_pixels"].append(w * h)
+                rows["px_sum"].append(int(samples.sum()))
+                rows["r_sum"].append(int(samples[:, :, 0].sum()))
+                rows["px_min"].append(int(samples.min()))
+                rows["px_max"].append(int(samples.max()))
+            yield pd.DataFrame(rows)
+
+    return (
+        synth_images(docs)
+        .select("doc_id", "media_type", "payload")
+        .mapInPandas(run, REAL_FEATURES)
     )

@@ -518,11 +518,15 @@ def test_sample_frames_fanout_and_checksum(spark):
     assert got[(0, 4)] == hashlib.md5(b"abc|4").hexdigest()
 
 
-def test_extract_features_real_decode_seam_raises(spark):
+def test_extract_features_real_decode_rejects_non_image_payload(spark):
+    """round 5: real_decode no longer raises NotImplementedError — it
+    decodes with the in-repo codec, and a non-image payload (here: raw
+    utf-8 text bytes) degrades to (0, 0, 0) per row (see
+    tests/test_imagecodec.py for the positive decode path)."""
     docs = _docs(spark, ["abc"])
     media = multimodal.ingest_media(docs)
-    with pytest.raises(Exception, match="decode"):
-        multimodal.extract_features(media, real_decode=True).collect()
+    row = multimodal.extract_features(media, real_decode=True).collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (0, 0, 0)
 
 
 def _clustered_embeddings(spark, n_clusters=8, per_cluster=40, dim=16):
