@@ -341,20 +341,15 @@ def _canonical_undirected(edges: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_triangles(und: DataFrame) -> DataFrame:
-    """Enumerate each triangle of the canonical undirected edge list
-    exactly once as ``(wu, wv, ww)`` — the node-iterator++ core shared by
-    :func:`triangle_count` and :func:`ktruss`.
-
-    DEGREE ORIENTATION: every undirected edge is directed from its
-    lower-(degree, node) endpoint to the higher one, so each triangle is
-    found at its lowest-rank corner and — the scale property — the
-    out-degree of every node is O(√m) on ANY graph, bounding the
-    wedge-join mass by m^1.5 instead of Σ deg² (a mega-hub contributes
-    almost no wedges because nearly all its edges point INTO it). The
-    rank is a single zero-padded string (deg, node) — plain column
-    comparisons, engine-portable, no struct ordering.
-    """
+def _oriented_edges(und: DataFrame) -> DataFrame:
+    """Degree-orient the canonical undirected edge list: every edge is
+    directed from its lower-(degree, node) endpoint to the higher one
+    (``u -> v`` with rank(u) < rank(v)), so each triangle has exactly one
+    base edge between its two lowest-rank corners and — the scale
+    property — the out-degree of every node is O(√m) on ANY graph (a
+    mega-hub contributes almost no out-edges because nearly all its edges
+    point INTO it). The rank is a single zero-padded string (deg, node) —
+    plain column comparisons, engine-portable, no struct ordering."""
     nodes = und.select(F.col("a").alias("node")).unionByName(
         und.select(F.col("b").alias("node"))
     )
@@ -370,11 +365,57 @@ def _oriented_triangles(und: DataFrame) -> DataFrame:
         .join(dr.select(F.col("node").alias("b"), F.col("rk").alias("rkb")), "b")
     )
     lo_first = F.col("rka") < F.col("rkb")
-    o = j.select(
+    return j.select(
         F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lo_first, F.col("rkb")).otherwise(F.col("rka")).alias("rkv"),
     )
+
+
+def _oriented_triangles(und: DataFrame) -> DataFrame:
+    """Enumerate each triangle of the canonical undirected edge list
+    exactly once as ``(wu, wv, ww)`` with rank(wu) < rank(wv) < rank(ww)
+    — the core shared by :func:`triangle_count` and :func:`ktruss`.
+
+    EDGE-ITERATOR over degree-oriented adjacency ARRAYS (round 5; ~2x the
+    wedge self-join this replaced — interleaved A/B at sf0.1, 1.196M-edge
+    co-purchase graph, warm: wedge join 8.6-13.6 s vs 4.5-6.0 s here,
+    identical triangle set): build each node's out-neighbor list once
+    (out-deg is O(√m) by orientation — see :func:`_oriented_edges` — so
+    arrays are hub-safe), then for every oriented base edge (u, v) the
+    closing corners are ``array_intersect(out[u], out[v])`` computed
+    IN-ROW. The Σ min(deg) intersection work is the same wedge mass as
+    the self-join formulation, but it never materializes or shuffles the
+    wedge rows — the only exchanges are the two adjacency joins, and the
+    explode is a narrow in-partition fan-out.
+
+    For pathological graphs beyond the array comfort zone (out-deg bound
+    √m means ~10^6-element arrays at m = 10^12), the previous wedge-join
+    formulation is :func:`_oriented_triangles_wedge`, kept as the
+    documented fallback; both emit the same rows.
+    """
+    o = _oriented_edges(und).select("u", "v")
+    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    return (
+        o.join(adj.select("u", F.col("nbrs").alias("nu")), "u")
+        .join(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv")), "v")
+        .select(
+            F.col("u").alias("wu"),
+            F.col("v").alias("wv"),
+            F.explode(F.array_intersect("nu", "nv")).alias("ww"),
+        )
+    )
+
+
+def _oriented_triangles_wedge(und: DataFrame) -> DataFrame:
+    """Wedge self-join formulation of :func:`_oriented_triangles` (the
+    pre-round-5 default, kept as the fallback for graphs whose √m
+    out-degree bound makes per-node adjacency arrays impractically wide):
+    join the oriented edge list with itself on the wedge apex (mass ≤
+    m^1.5), close each wedge against the edge list. Emits the same
+    triangle rows as the array formulation (columns ordered wv, ww, wu —
+    consumers select by name)."""
+    o = _oriented_edges(und)
     x = o.select(F.col("u").alias("wu"), F.col("v").alias("wv"), F.col("rkv").alias("wrk"))
     y = o.select(F.col("u").alias("yu"), F.col("v").alias("ww"), F.col("rkv").alias("yrk"))
     wedges = x.join(
@@ -382,6 +423,48 @@ def _oriented_triangles(und: DataFrame) -> DataFrame:
     ).select("wu", "wv", "ww")
     closing = o.select(F.col("u").alias("wv"), F.col("v").alias("ww"))
     return wedges.join(closing, ["wv", "ww"])
+
+
+#: session-scoped memo of enumerated triangle frames, keyed by the SEMANTIC
+#: plan of the canonical undirected edge list (``sameSemantics`` — two
+#: independently-built lambdas over the same parquet scan share one entry).
+#: The m^1.5 wedge-join enumeration is the dominant cost of the triangle
+#: family (~16 s of the sf0.1 co-purchase graph); its OUTPUT is small
+#: (3 node ids per triangle), so persisting it is the textbook
+#: recompute-vs-cache win — the opposite profile of the dedup shingle
+#: frame whose persist was A/B-rejected (multi-GB cache starving join
+#: memory). Bounded LRU; assumes source tables are immutable within a
+#: session (true for the repo's parquet-scan lineages — same contract as
+#: Spark's own ``persist``).
+_TRI_CACHE: list[tuple[DataFrame, DataFrame]] = []
+_TRI_CACHE_MAX = 4
+
+
+def clear_triangle_cache() -> None:
+    while _TRI_CACHE:
+        _, t = _TRI_CACHE.pop()
+        t.unpersist()
+
+
+def _oriented_triangles_cached(und: DataFrame) -> DataFrame:
+    """Memoizing front of :func:`_oriented_triangles`: the first consumer
+    (e.g. ``triangle_count``) pays the wedge-join enumeration and persists
+    the triangle frame; every later consumer with a semantically-identical
+    edge list (e.g. ``ktruss`` over the same co-purchase graph) reuses it
+    — r4 review's top bench item (the two queries each paid the same
+    enumeration)."""
+    for u, t in _TRI_CACHE:
+        try:
+            if und.sameSemantics(u):
+                return t
+        except Exception:  # cross-session frame or plan not comparable
+            continue
+    tri = _oriented_triangles(und).persist()
+    _TRI_CACHE.append((und, tri))
+    if len(_TRI_CACHE) > _TRI_CACHE_MAX:
+        _, old = _TRI_CACHE.pop(0)
+        old.unpersist()
+    return tri
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -411,7 +494,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Output: (node, n_triangles) for nodes in ≥1 triangle.
     """
     und = _canonical_undirected(edges)
-    tri = _oriented_triangles(und)
+    tri = _oriented_triangles_cached(und)
     corners = (
         tri.select(F.col("wu").alias("node"))
         .unionByName(tri.select(F.col("wv").alias("node")))
@@ -643,10 +726,14 @@ def ktruss(edges: DataFrame, k: int = 4, rounds: int = 6) -> DataFrame:
     if rounds < 1:
         raise ValueError(f"ktruss needs rounds >= 1, got {rounds}")
     min_sup = k - 2
-    e = _canonical_undirected(edges).localCheckpoint(eager=False)
+    und = _canonical_undirected(edges)
+    e = und.localCheckpoint(eager=False)
     _TRI_EDGES = [("a1", "b1"), ("a2", "b2"), ("a3", "b3")]
+    # enumerate from the UN-checkpointed plan so the session triangle
+    # cache hits when triangle_count already ran on this edge set (the
+    # checkpointed twin would have an opaque, never-matching plan)
     tri = (
-        _oriented_triangles(e)
+        _oriented_triangles_cached(und)
         .select(
             F.least("wu", "wv").alias("a1"),
             F.greatest("wu", "wv").alias("b1"),
