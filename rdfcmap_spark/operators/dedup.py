@@ -454,6 +454,33 @@ def span_dedup(docs: DataFrame, span_words: int = SPAN_WORDS) -> DataFrame:
     )
 
 
+def _fresh_banding_reps(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """One banding representative per text hash UNSEEN in the old corpus —
+    the only documents whose minhash signatures a new batch requires
+    (shared by :func:`incremental_dup_groups` and the persisted-index
+    maintenance in :func:`incremental_dup_groups_indexed`)."""
+    new_h = new_docs.select("doc_id", F.md5("text").alias("h"))
+    old_h = old_docs.select("doc_id", F.md5("text").alias("h"))
+    return (
+        new_h.join(old_h.select("h").distinct(), "h", "left_anti")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .join(new_docs, "doc_id")
+    )
+
+
+def _corpus_banding_reps(docs: DataFrame) -> DataFrame:
+    """One banding representative (min doc_id) per distinct text hash."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .join(docs, "doc_id")
+    )
+
+
 def incremental_dup_groups(
     old_docs: DataFrame,
     old_mapping: DataFrame,
@@ -511,18 +538,8 @@ def incremental_dup_groups(
     )
 
     # fresh new texts (hash unseen in the corpus), one banding rep per hash
-    fresh_reps = (
-        new_h.join(old_h.select("h").distinct(), "h", "left_anti")
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-        .join(new_docs, "doc_id")
-    )
-    old_reps = (
-        old_h.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-        .join(old_docs, "doc_id")
-    )
+    fresh_reps = _fresh_banding_reps(old_docs, new_docs)
+    old_reps = _corpus_banding_reps(old_docs)
     new_bk = lsh_band_keys(fresh_reps)
     old_bk = old_band_index if old_band_index is not None else lsh_band_keys(old_reps)
     cross = (
@@ -566,6 +583,66 @@ def incremental_dup_groups(
             ),
         )
     )
+
+
+def incremental_dup_groups_indexed(
+    old_docs: DataFrame,
+    old_mapping: DataFrame,
+    new_docs: DataFrame,
+    index_table: str,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """:func:`incremental_dup_groups` with the corpus LSH band index
+    PERSISTED as a versioned :mod:`rdfcmap_spark.sources.table_log` table
+    (round 5 — the r4 review asked for the docstring's "pluggable"
+    persisted index to be real).
+
+    Protocol per batch:
+
+    1. bootstrap (first call only): sign the existing corpus
+       representatives once and commit them as snapshot v1, partitioned
+       by ``band`` (the probe side joins on (band, band_key), so the
+       partitioned layout is the bucketed-table co-location the base
+       docstring promises);
+    2. read the CURRENT snapshot as ``old_band_index`` — the old corpus
+       is never re-signed: the only minhash work in the batch fold is
+       over the batch's fresh representatives;
+    3. fold the batch (identical semantics to the stateless call — the
+       index is a cache of ``lsh_band_keys(old representatives)``, which
+       depends only on text);
+    4. append the batch's fresh-representative band keys as the next
+       snapshot, so the NEXT batch finds the union index. The append is
+       content-fingerprint idempotent (a restarted job re-appending the
+       same batch is absorbed) and optimistically concurrent (O_EXCL).
+
+    Output: identical to ``incremental_dup_groups(old, mapping, new)`` —
+    pinned by ``test_indexed_incremental_matches_stateless_and_full``.
+    """
+    from rdfcmap_spark.sources import table_log
+
+    spark = new_docs.sparkSession
+    if table_log.current_version(index_table) is None:
+        table_log.commit(
+            lsh_band_keys(_corpus_banding_reps(old_docs)),
+            index_table,
+            mode="overwrite",
+            partition_by=["band"],
+        )
+    old_bk, _snap = table_log.read_table(spark, index_table)
+    out = incremental_dup_groups(
+        old_docs,
+        old_mapping,
+        new_docs,
+        min_jaccard=min_jaccard,
+        old_band_index=old_bk.select("doc_id", "band", "band_key"),
+    )
+    table_log.commit(
+        lsh_band_keys(_fresh_banding_reps(old_docs, new_docs)),
+        index_table,
+        mode="append",
+        partition_by=["band"],
+    )
+    return out
 
 
 def lsh_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:

@@ -699,6 +699,77 @@ def test_incremental_dup_groups_equals_full_recompute(spark):
     assert full[4] == full[0] and full[7] == full[2] and full[6] == 6
 
 
+def test_indexed_incremental_matches_stateless_and_full(spark, tmp_path, monkeypatch):
+    """round 5: the persisted-band-index variant. Two batches fold through
+    a table_log-versioned index; outputs equal the stateless call AND the
+    full recompute at every step, and — the point of the index — the
+    second batch NEVER re-signs the old corpus: every minhash_signatures
+    input is bounded by the batch size (input-rows assert via
+    monkeypatch)."""
+    from rdfcmap_spark.operators import dedup
+    from rdfcmap_spark.sources import table_log
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    variant = base + " extra tail words here now"
+    other = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (0, base), (1, base), (2, other), (3, variant),           # corpus
+            (4, base), (5, variant + " and more"),                    # batch 1
+            (6, "totally unrelated fresh text with many novel words"),
+            (7, other),                                               # batch 1
+            (8, variant + " and more plus growth"),                   # batch 2
+            (9, "another genuinely novel document of fresh words"),   # batch 2
+        ],
+        "doc_id long, text string",
+    )
+    thresh = 0.3
+    old = docs.filter("doc_id <= 3")
+    b1 = docs.filter("doc_id between 4 and 7")
+    b2 = docs.filter("doc_id >= 8")
+    t = str(tmp_path / "band_index")
+
+    old_map = dedup.dup_groups(old, min_jaccard=thresh)
+    r1 = dedup.incremental_dup_groups_indexed(old, old_map, b1, t, min_jaccard=thresh)
+    got1 = {r["doc_id"]: r["canonical_id"] for r in r1.collect()}
+    full1 = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.dup_groups(docs.filter("doc_id <= 7"), min_jaccard=thresh).collect()
+    }
+    assert got1 == full1
+    # bootstrap snapshot + batch-1 append
+    assert table_log.current_version(t) == 2
+
+    # batch 2: prove the old corpus (8 docs) is never re-signed — every
+    # signature computation's input is bounded by the batch (2 docs)
+    n_batch2 = b2.count()
+    real_sign = dedup.minhash_signatures
+    signed_sizes: list[int] = []
+
+    def counting_sign(d, *a, **kw):
+        signed_sizes.append(d.count())
+        return real_sign(d, *a, **kw)
+
+    monkeypatch.setattr(dedup, "minhash_signatures", counting_sign)
+    old2 = docs.filter("doc_id <= 7")
+    map2 = spark.createDataFrame(
+        sorted(got1.items()), "doc_id long, canonical_id long"
+    )
+    r2 = dedup.incremental_dup_groups_indexed(old2, map2, b2, t, min_jaccard=thresh)
+    got2 = {r["doc_id"]: r["canonical_id"] for r in r2.collect()}
+    monkeypatch.undo()
+
+    assert signed_sizes and all(n <= n_batch2 for n in signed_sizes), signed_sizes
+    assert table_log.current_version(t) == 3
+    full2 = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.dup_groups(docs, min_jaccard=thresh).collect()
+    }
+    assert got2 == full2
+    # chain growth landed: 8 joined the variant cluster (3-5), 9 is alone
+    assert got2[8] == got2[3] == got2[5] and got2[9] == 9
+
+
 def test_quality_filter_rules(spark):
     from rdfcmap_spark.operators.textstats import quality_filter
 
