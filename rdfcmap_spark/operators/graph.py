@@ -106,6 +106,14 @@ def shacl_shapes(typed_triples: DataFrame) -> DataFrame:
     )
 
 
+#: self-defense bound for the driver-side layout paths (r4 review item 6):
+#: a "human-sized concept map" is the documented contract of the layout
+#: family; a caller pointing these at the full entity graph gets a loud
+#: refusal instead of a silent driver collect (same device as
+#: canonicalize.DRIVER_CC_MAX_EDGES).
+DRIVER_LAYOUT_MAX_EDGES = 500_000
+
+
 def cycle_break_edges(edges: DataFrame) -> list[tuple[str, str]]:
     """G6 cycle-breaking (`Layouter.determineEdgesToBreakCycles:500-554`,
     `follow:632-690`): the set of edges whose removal leaves the directed
@@ -116,9 +124,17 @@ def cycle_break_edges(edges: DataFrame) -> list[tuple[str, str]]:
     with insertion-order-dependent results; here the same *purpose* is a
     classic deterministic back-edge detection — iterative DFS over sorted
     adjacency, driver-side (a concept map is human-sized; the 10^12-turn
-    graph never needs layout). Removing the returned edges is guaranteed to
-    leave a DAG, which the heuristic original does not guarantee.
+    graph never needs layout — enforced by ``DRIVER_LAYOUT_MAX_EDGES``).
+    Removing the returned edges is guaranteed to leave a DAG, which the
+    heuristic original does not guarantee.
     """
+    probe = edges.limit(DRIVER_LAYOUT_MAX_EDGES + 1).count()
+    if probe > DRIVER_LAYOUT_MAX_EDGES:
+        raise ValueError(
+            f"cycle_break_edges is a driver-side layout path bounded at "
+            f"{DRIVER_LAYOUT_MAX_EDGES} edges (human-sized concept maps); "
+            f"got more — this graph should not be laid out"
+        )
     rows = edges.select("src", "dst").collect()
     adj: dict[str, list[str]] = {}
     for r in rows:

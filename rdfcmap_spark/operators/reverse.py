@@ -26,6 +26,13 @@ from pyspark.sql import functions as F
 from rdfcmap_spark import vocab
 from rdfcmap_spark.ids import name_uuid_col
 
+#: self-defense bound for the single-map visualization walk (r4 review
+#: item 6): a rendered concept map is human-sized by contract; above this
+#: many distinct instances :func:`viz_twins` raises instead of pushing the
+#: entity set through one window partition (same device as
+#: ``canonicalize.DRIVER_CC_MAX_EDGES``).
+VIZ_MAX_CONCEPTS = 500_000
+
 #: label tiers for the subject itself, in ladder priority order
 _SUBJ_TIERS = [
     ("title", vocab.DCT_TITLE),
@@ -331,9 +338,12 @@ def viz_twins(triples: DataFrame, map_name: str = "map") -> DataFrame:
     Positions need a total order over the map's concepts, so this is a
     per-map window — concept maps are human-sized by the same contract as
     the layout family (a map that renders to CXL); the 10^12-turn graph
-    never takes this path. Everything else is one ladder aggregation plus
-    a constant-factor template explode; twin IRIs are prefix swaps of the
-    already-deterministic skolems, so output is cluster-size-invariant.
+    never takes this path, and the contract is ENFORCED (r4 review item
+    6): more than ``VIZ_MAX_CONCEPTS`` distinct instances raises instead
+    of funneling the entity set through one window partition. Everything
+    else is one ladder aggregation plus a constant-factor template
+    explode; twin IRIs are prefix swaps of the already-deterministic
+    skolems, so output is cluster-size-invariant.
 
     Output: the 6 triple columns (callers add conv_id/turn_idx lineage).
     """
@@ -342,12 +352,15 @@ def viz_twins(triples: DataFrame, map_name: str = "map") -> DataFrame:
     from rdfcmap_spark.ids import VIZ_PREFIX, name_uuid, uuid_of_iri
     from rdfcmap_spark.operators.shapes import _explode, _t
 
-    ents = (
-        triples.filter(F.col("subj").startswith("urn:uuid:"))
-        .select("subj")
-        .distinct()
-        .join(title_ladder(triples), "subj", "left")
-    )
+    subj = triples.filter(F.col("subj").startswith("urn:uuid:")).select("subj").distinct()
+    probe = subj.limit(VIZ_MAX_CONCEPTS + 1).count()
+    if probe > VIZ_MAX_CONCEPTS:
+        raise ValueError(
+            f"viz_twins renders a human-sized concept map (single-map "
+            f"ordinal walk); bounded at {VIZ_MAX_CONCEPTS} concepts — "
+            f"got more. Do not point it at the full entity set."
+        )
+    ents = subj.join(title_ladder(triples), "subj", "left")
     w = Window.partitionBy(F.lit(map_name)).orderBy("subj")
     ents = ents.select(
         "subj",

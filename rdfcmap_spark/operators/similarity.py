@@ -793,22 +793,31 @@ def kmeans_iterate(embeddings: DataFrame, rounds: int = 3) -> DataFrame:
     )
 
 
-def ann_recall(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
+def ann_recall(
+    embeddings: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD
+) -> DataFrame:
     """recall@k of the IVF index against exact brute force — the standard
     ANN quality gate ("measure, don't guess": an index whose recall you
     have not measured is not an index you can ship). Per query:
     ``n_hits`` = |ivf top-k ∩ exact top-k|, ``recall_at_k`` = n_hits / k.
 
-    Composition of :func:`topk_bruteforce` (ground truth; the query set is
-    tiny by QUERY_MOD, so exact is affordable as an eval) and
+    Composition of :func:`topk_bruteforce` (ground truth) and
     :func:`topk_ivf` — one additional hash join on (query_id, neighbor_id)
     and a per-query count; both inputs are already bounded at k rows per
     query, so the eval is query-set-sized regardless of corpus scale.
 
+    ``query_mod`` (round 5 — r4 review item) sizes the deterministic query
+    SAMPLE the gate scores: the ground truth is a full corpus scan per
+    query by definition, so a recurring gate at corpus scale must sample
+    sparsely — e.g. 16x the default mod cut the 200k x 4k bigscale point
+    from 625 s (every 50th vector) to a <60 s sampled gate; recall is a
+    corpus property, so a deterministic thin sample estimates it as well
+    as a dense one.
+
     Output: (query_id, n_hits, recall_at_k).
     """
-    exact = topk_bruteforce(embeddings, k=k)
-    approx = topk_ivf(embeddings, k=k).select(
+    exact = topk_bruteforce(embeddings, k=k, query_mod=query_mod)
+    approx = topk_ivf(embeddings, k=k, query_mod=query_mod).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     return (

@@ -411,3 +411,36 @@ def test_top_ngrams_plan_take_ordered(spark):
 
     p = plan_of(top_ngrams(load(spark, SF, "documents")), "simple")
     assert "TakeOrderedAndProject" in p
+
+
+def test_driver_side_layout_paths_raise_above_bound(spark, monkeypatch):
+    """r4 review item 6: the two human-sized driver paths are
+    self-defending — above the documented row bound they raise instead of
+    collecting/windowing the full entity set. Below the bound behavior is
+    unchanged (covered by the existing cycle-break/viz-twins tests)."""
+    import pytest as _pytest
+
+    from rdfcmap_spark.operators import graph as graphmod
+    from rdfcmap_spark.operators import reverse as revmod
+
+    # lower the bounds so the guard trips on a tiny frame
+    monkeypatch.setattr(graphmod, "DRIVER_LAYOUT_MAX_EDGES", 3)
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], "src string, dst string"
+    )
+    with _pytest.raises(ValueError, match="bounded at 3 edges"):
+        graphmod.cycle_break_edges(edges)
+    # below the bound: still works
+    monkeypatch.setattr(graphmod, "DRIVER_LAYOUT_MAX_EDGES", 500)
+    assert graphmod.cycle_break_edges(edges) == []
+
+    monkeypatch.setattr(revmod, "VIZ_MAX_CONCEPTS", 2)
+    triples = spark.createDataFrame(
+        [(f"urn:uuid:{i:032x}", "p", "iri", "urn:x", None, None) for i in range(5)],
+        "subj string, pred string, obj_kind string, obj_iri string, "
+        "obj_lexical string, obj_datatype string",
+    )
+    with _pytest.raises(ValueError, match="bounded at 2 concepts"):
+        revmod.viz_twins(triples).collect()
+    monkeypatch.setattr(revmod, "VIZ_MAX_CONCEPTS", 500)
+    assert revmod.viz_twins(triples).count() > 0
