@@ -56,6 +56,45 @@ _HEADER = (
     '    <map width="6000" height="6000">\n'
 )
 
+#: the reference writer's fixed style-sheet block (`CxlWriter.java:118-131`),
+#: emitted verbatim when the caller supplies no parsed sheets — content
+#: parity attribute-for-attribute (whitespace ours)
+_DEFAULT_STYLE_SHEETS = (
+    "    <style-sheet-list>\n"
+    '        <style-sheet id="_Default_">\n'
+    '            <map-style background-color="255,255,255,0" image-style="full" image-top-left="0,0"/>\n'
+    '            <concept-style font-name="Verdana" font-size="12" font-style="plain" '
+    'font-color="0,0,0,255" text-margin="4" background-color="237,244,246,255" '
+    'background-image-style="full" border-color="0,0,0,255" border-style="solid" '
+    'border-thickness="1" border-shape="rounded-rectangle" border-shape-rrarc="15.0" '
+    'text-alignment="center" shadow-color="none" min-width="-1" min-height="-1" '
+    'max-width="-1.0" group-child-spacing="10" group-parent-spacing="10"/>\n'
+    '            <linking-phrase-style font-name="Verdana" font-size="12" font-style="plain" '
+    'font-color="0,0,0,255" text-margin="1" background-color="0,0,255,0" '
+    'background-image-style="full" border-color="0,0,0,0" border-style="solid" '
+    'border-thickness="1" border-shape="rectangle" border-shape-rrarc="15.0" '
+    'text-alignment="center" shadow-color="none" min-width="-1" min-height="-1" '
+    'max-width="-1.0" group-child-spacing="10" group-parent-spacing="10"/>\n'
+    '            <connection-style color="0,0,0,255" style="solid" thickness="1" '
+    'type="straight" arrowhead="if-to-concept-and-slopes-up"/>\n'
+    '            <resource-style font-name="SanSerif" font-size="12" font-style="plain" '
+    'font-color="0,0,0,255" background-color="192,192,192,255"/>\n'
+    "        </style-sheet>\n"
+    '        <style-sheet id="_LatestChanges_">\n'
+    '            <concept-style font-style="plain"/>\n'
+    '            <connection-style arrowhead="no"/>\n'
+    "        </style-sheet>\n"
+    "    </style-sheet-list>\n"
+)
+
+#: connection-appearance defaults (`CxlWriter.java:114-116`)
+_CONN_DEFAULTS = {
+    "from-pos": "center",
+    "to-pos": "center",
+    "type": "straight",
+    "arrowhead": "no",
+}
+
 
 def render_cxl(
     concepts: DataFrame,
@@ -65,6 +104,7 @@ def render_cxl(
     wrap_labels: bool = True,
     positions: DataFrame | None = None,
     appearance: DataFrame | None = None,
+    style_sheets: DataFrame | None = None,
 ) -> str:
     """(concepts, links, connections) -> CXL document text.
 
@@ -88,7 +128,12 @@ def render_cxl(
     width/height over the defaults, and the optional expanded / font /
     border / background attributes in the reference's stored-appearance
     emission order (`CxlWriter.generateCxlFromRdfModel:236-345`), plus
-    short/long comments on the element tags."""
+    short/long comments on the element tags. Connection appearances
+    (round 5) render with the stored anchors/line-type/arrowhead (defaults
+    `CxlWriter.java:114-116`) and nested index-ordered ``control-point``
+    children. ``style_sheets`` — the :func:`read_cxl_stylesheets` frame —
+    re-emits the ``<style-sheet-list>`` block; absent, the reference
+    writer's fixed default block is emitted verbatim."""
     from rdfcmap_spark.functions.normalize import break_string_py
 
     wrap = break_string_py if wrap_labels else (lambda x: x)
@@ -172,6 +217,53 @@ def render_cxl(
             f'        <connection id="conn-{i}" from-id="{cxl_escape(fid)}" to-id="{cxl_escape(tid)}"/>\n'
         )
     sb.append("    </connection-list>\n")
+    # connection appearances + control points (round 5)
+    import re as _re
+
+    sb.append("    <connection-appearance-list>\n")
+    for i, _fid_tid in enumerate(xrows):
+        cid = f"conn-{i}"
+        a = app.get(cid, {})
+        attrs = "".join(
+            f' {k}="{cxl_escape(a.get(k, d))}"' for k, d in _CONN_DEFAULTS.items()
+        )
+        cps: dict[int, dict[str, str]] = {}
+        for attr, v in a.items():
+            m = _re.fullmatch(r"control-point/(\d+)/(x|y)", attr)
+            if m:
+                cps.setdefault(int(m.group(1)), {})[m.group(2)] = v
+        if cps:
+            sb.append(f'        <connection-appearance id="{cxl_escape(cid)}"{attrs}>\n')
+            for idx in sorted(cps):
+                p = cps[idx]
+                sb.append(
+                    f'            <control-point x="{cxl_escape(p.get("x", "0"))}"'
+                    f' y="{cxl_escape(p.get("y", "0"))}"/>\n'
+                )
+            sb.append("        </connection-appearance>\n")
+        else:
+            sb.append(f'        <connection-appearance id="{cxl_escape(cid)}"{attrs}/>\n')
+    sb.append("    </connection-appearance-list>\n")
+    # style-sheet passthrough (round 5): parsed sheets, else the
+    # reference's fixed default block
+    if style_sheets is not None:
+        sheets: dict[str, dict[str, dict[str, str]]] = {}
+        for r in style_sheets.select("sheet_id", "style_tag", "attr", "value").collect():
+            sheets.setdefault(r["sheet_id"], {}).setdefault(r["style_tag"], {})[
+                r["attr"]
+            ] = r["value"]
+        sb.append("    <style-sheet-list>\n")
+        for sid in sorted(sheets):
+            sb.append(f'        <style-sheet id="{cxl_escape(sid)}">\n')
+            for tag in sorted(sheets[sid]):
+                attrs = "".join(
+                    f' {k}="{cxl_escape(v)}"' for k, v in sorted(sheets[sid][tag].items())
+                )
+                sb.append(f"            <{tag}{attrs}/>\n")
+            sb.append("        </style-sheet>\n")
+        sb.append("    </style-sheet-list>\n")
+    else:
+        sb.append(_DEFAULT_STYLE_SHEETS)
     sb.append("    </map>\n</cmap>\n")
     return "".join(sb)
 
@@ -232,6 +324,12 @@ _DIRECT_ATTRS = {
     "short-comment": "shortComment",
     "long-comment": "longComment",
     "font-style": None,  # satellite, see _SAT_ATTRS
+    # connection-appearance attributes (`CxlWriter.java:501-505`,
+    # `VizUtil.java:57-66`; round 5)
+    "from-pos": "anchorFrom",
+    "to-pos": "anchorTo",
+    "type": "lineType",
+    "arrowhead": "arrowHead",
 }
 #: CXL attribute -> (satellite group, link pred local, type local, value pred local)
 _SAT_ATTRS = {
@@ -250,21 +348,28 @@ _APPEARANCE_ORDER = [
 
 
 def read_cxl_appearance(spark, path: str) -> DataFrame:
-    """concept-appearance / linking-phrase-appearance attributes (plus the
-    short/long comments carried on the element tags) in long form
-    ``(elem_id, attr, value)`` — the read half of the appearance round
-    trip. Driver-sized by the same contract as :func:`read_cxl`."""
+    """concept-appearance / linking-phrase-appearance /
+    connection-appearance attributes (plus the short/long comments carried
+    on the element tags) in long form ``(elem_id, attr, value)`` — the
+    read half of the appearance round trip. Connection control points
+    (round 5 — `ControlPoints.java`, `Cmap2TurtleConverter.java:1790-1822`:
+    nested ``<control-point x y/>`` children, index = document order)
+    flatten to ``control-point/<index>/x`` / ``.../y`` attr rows.
+    Driver-sized by the same contract as :func:`read_cxl`."""
     import xml.etree.ElementTree as ET
 
     ns = "{http://cmap.ihmc.us/xml/cmap/}"
     root = ET.parse(path).getroot()
     rows: list[tuple[str, str, str]] = []
-    for tag in ("concept-appearance", "linking-phrase-appearance"):
+    for tag in ("concept-appearance", "linking-phrase-appearance", "connection-appearance"):
         for el in root.iter(f"{ns}{tag}"):
             eid = el.get("id")
             for attr, val in el.attrib.items():
                 if attr != "id" and val is not None:
                     rows.append((eid, attr, val))
+            for i, cp in enumerate(el.findall(f"{ns}control-point")):
+                rows.append((eid, f"control-point/{i}/x", cp.get("x")))
+                rows.append((eid, f"control-point/{i}/y", cp.get("y")))
     for tag in ("concept", "linking-phrase"):
         for el in root.iter(f"{ns}{tag}"):
             for attr in ("short-comment", "long-comment"):
@@ -272,6 +377,28 @@ def read_cxl_appearance(spark, path: str) -> DataFrame:
                 if v is not None:
                     rows.append((el.get("id"), attr, v))
     return spark.createDataFrame(rows, "elem_id string, attr string, value string")
+
+
+def read_cxl_stylesheets(spark, path: str) -> DataFrame:
+    """``<style-sheet-list>`` passthrough (round 5 — `StyleSheets.java`,
+    the writer's fixed block `CxlWriter.java:118-131`): every style child
+    of every sheet flattens to ``(sheet_id, style_tag, attr, value)``.
+    :func:`render_cxl` re-emits the block from this frame (sheets/tags/
+    attrs in sorted order — deterministic text, identical re-parse)."""
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://cmap.ihmc.us/xml/cmap/}"
+    root = ET.parse(path).getroot()
+    rows: list[tuple[str, str, str, str]] = []
+    for sheet in root.iter(f"{ns}style-sheet"):
+        sid = sheet.get("id")
+        for style in sheet:
+            tag = style.tag.removeprefix(ns)
+            for attr, val in style.attrib.items():
+                rows.append((sid, tag, attr, val))
+    return spark.createDataFrame(
+        rows, "sheet_id string, style_tag string, attr string, value string"
+    )
 
 
 def appearance_triples(appearance: DataFrame) -> DataFrame:
@@ -353,7 +480,54 @@ def appearance_triples(appearance: DataFrame) -> DataFrame:
     idents = appearance.select("elem_id").distinct().select(
         *lit_row(viz, F.lit(vocab.AFV_IDENTIFIER), F.col("elem_id"))
     )
-    return direct.unionByName(sat_values).unionByName(sat_links).unionByName(sat_types).unionByName(idents)
+
+    # control points (round 5): one afv:Point satellite per (element, index)
+    # — afv:hasControlPoint link, xPosition/yPosition literals, afx:index
+    # (`Cmap2TurtleConverter.java:1790-1822`, `CxlWriter.java:512-534`)
+    cp = (
+        appearance.filter(F.col("attr").rlike(r"^control-point/[0-9]+/[xy]$"))
+        .withColumn("idx", F.regexp_extract("attr", r"^control-point/([0-9]+)/", 1))
+        .withColumn("axis", F.regexp_extract("attr", r"/([xy])$", 1))
+        .withColumn(
+            "cp_sat",
+            F.concat(
+                F.lit(VIZ_PREFIX),
+                name_uuid_col(
+                    F.concat(F.lit("cxlcp"), F.col("idx"), F.lit("|"), F.col("elem_id"))
+                ),
+            ),
+        )
+    )
+    cp_values = cp.select(
+        *lit_row(
+            F.col("cp_sat"),
+            F.when(F.col("axis") == "x", F.lit(vocab.AFV_X_POSITION)).otherwise(
+                F.lit(vocab.AFV_Y_POSITION)
+            ),
+            F.col("value"),
+        )
+    )
+    cp_skel = cp.select(viz.alias("viz"), "cp_sat", "idx").distinct()
+    cp_links = cp_skel.select(
+        *iri_row(F.col("viz"), F.lit(vocab.AFV_HAS_CONTROL_POINT), F.col("cp_sat"))
+    )
+    cp_types = cp_skel.select(
+        *iri_row(F.col("cp_sat"), F.lit(vocab.RDF_TYPE), F.lit(vocab.AFV_POINT))
+    )
+    cp_idx = cp_skel.select(
+        *lit_row(F.col("cp_sat"), F.lit(vocab.AFX_INDEX_PROP), F.col("idx"))
+    )
+
+    return (
+        direct.unionByName(sat_values)
+        .unionByName(sat_links)
+        .unionByName(sat_types)
+        .unionByName(idents)
+        .unionByName(cp_values)
+        .unionByName(cp_links)
+        .unionByName(cp_types)
+        .unionByName(cp_idx)
+    )
 
 
 def appearance_from_triples(triples: DataFrame) -> DataFrame:
@@ -393,4 +567,32 @@ def appearance_from_triples(triples: DataFrame) -> DataFrame:
         .join(ids_, "viz")
         .select("elem_id", "attr", F.col("obj_lexical").alias("value"))
     )
-    return direct.unionByName(sat)
+    # control points (round 5): rejoin each afv:Point satellite through its
+    # hasControlPoint link and afx:index, rebuilding the flattened
+    # control-point/<idx>/<axis> attr rows
+    cp_links = triples.filter(F.col("pred") == vocab.AFV_HAS_CONTROL_POINT).select(
+        F.col("subj").alias("viz"), F.col("obj_iri").alias("cp_sat")
+    )
+    cp_idx = triples.filter(F.col("pred") == vocab.AFX_INDEX_PROP).select(
+        F.col("subj").alias("cp_sat"), F.col("obj_lexical").alias("idx")
+    )
+    cp = (
+        triples.filter(F.col("pred").isin(vocab.AFV_X_POSITION, vocab.AFV_Y_POSITION))
+        .select(F.col("subj").alias("cp_sat"), "pred", F.col("obj_lexical").alias("value"))
+        .join(cp_links, "cp_sat")
+        .join(cp_idx, "cp_sat")
+        .join(ids_, "viz")
+        .select(
+            "elem_id",
+            F.concat(
+                F.lit("control-point/"),
+                F.col("idx"),
+                F.lit("/"),
+                F.when(F.col("pred") == vocab.AFV_X_POSITION, F.lit("x")).otherwise(
+                    F.lit("y")
+                ),
+            ).alias("attr"),
+            "value",
+        )
+    )
+    return direct.unionByName(sat).unionByName(cp)

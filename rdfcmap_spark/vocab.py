@@ -73,6 +73,15 @@ AFV_SHAPE = AFV + "shape"
 AFV_COLOR = AFV + "color"
 AFV_BACKGROUND_COLOR = AFV + "backgroundColor"
 AFV_EXPANDED = AFV + "expanded"
+# connection appearance + control points (`VizUtil.java:18,57-58,65-66,76`,
+# `AFOUtil.java:325`; round 5 — the last CXL surface)
+AFV_POINT = AFV + "Point"
+AFV_HAS_CONTROL_POINT = AFV + "hasControlPoint"
+AFV_ANCHOR_FROM = AFV + "anchorFrom"
+AFV_ANCHOR_TO = AFV + "anchorTo"
+AFV_LINE_TYPE = AFV + "lineType"
+AFV_ARROW_HEAD = AFV + "arrowHead"
+AFX_INDEX_PROP = AFX + "AFX_0000684"  # af-x:index (AFOUtil.java:325)
 
 # RDF collection cells (`AFOUtil.java:177-179`) — the sh:path cons-list
 RDF_FIRST = RDF + "first"

@@ -300,3 +300,147 @@ def test_cxl_appearance_roundtrip(spark, tmp_path):
         encoding="utf-8",
     )
     assert out2.read_text(encoding="utf-8") == out.read_text(encoding="utf-8")
+
+
+_CONN_FIXTURE = """<?xml version="1.0" encoding="UTF-8"?>
+<cmap xmlns:dcterms="http://purl.org/dc/terms/" xmlns="http://cmap.ihmc.us/xml/cmap/" xmlns:dc="http://purl.org/dc/elements/1.1/">
+    <res-meta><dc:title>curved fixture</dc:title></res-meta>
+    <map width="6000" height="6000">
+    <concept-list>
+        <concept id="c1" label="reactor"/>
+        <concept id="c2" label="vessel"/>
+    </concept-list>
+    <concept-appearance-list>
+        <concept-appearance id="c1" x="10" y="10" width="100" height="25" font-style="plain"/>
+        <concept-appearance id="c2" x="400" y="300" width="100" height="25" font-style="plain"/>
+    </concept-appearance-list>
+    <linking-phrase-list>
+        <linking-phrase id="l1" label="feeds"/>
+    </linking-phrase-list>
+    <linking-phrase-appearance-list>
+        <linking-phrase-appearance id="l1" x="200" y="150" width="90" height="11"/>
+    </linking-phrase-appearance-list>
+    <connection-list>
+        <connection id="conn-0" from-id="c1" to-id="l1"/>
+        <connection id="conn-1" from-id="l1" to-id="c2"/>
+    </connection-list>
+    <connection-appearance-list>
+        <connection-appearance id="conn-0" from-pos="right" to-pos="left" type="curved" arrowhead="yes">
+            <control-point x="120" y="35"/>
+            <control-point x="180" y="95"/>
+        </connection-appearance>
+        <connection-appearance id="conn-1" from-pos="center" to-pos="center" type="straight" arrowhead="no"/>
+    </connection-appearance-list>
+    <style-sheet-list>
+        <style-sheet id="_Default_">
+            <concept-style font-name="Verdana" font-size="12"/>
+            <connection-style color="0,0,0,255" type="straight"/>
+        </style-sheet>
+        <style-sheet id="custom">
+            <concept-style font-size="16" font-style="italic"/>
+        </style-sheet>
+    </style-sheet-list>
+    </map>
+</cmap>
+"""
+
+
+def test_cxl_connection_controlpoints_and_stylesheets_roundtrip(spark, tmp_path):
+    """round 5 (r4 review item 4 — the last CXL gap): connection
+    appearances with curved control points and the style-sheet block
+    survive cxl -> afv: triples -> ttl -> cxl, and the rendered document
+    is a text-level fixed point of the loop."""
+    from rdfcmap_spark.sources.cxl import (
+        appearance_from_triples,
+        appearance_triples,
+        read_cxl,
+        read_cxl_appearance,
+        read_cxl_stylesheets,
+        render_cxl,
+    )
+    from rdfcmap_spark.sources.ttl import read_ttl, write_ttl
+
+    src = tmp_path / "curved.cxl"
+    src.write_text(_CONN_FIXTURE, encoding="utf-8")
+
+    concepts, links, conns = read_cxl(spark, str(src))
+    app0 = read_cxl_appearance(spark, str(src))
+    a0 = _appearance_map(app0)
+    # connection attrs + flattened index-ordered control points parsed
+    assert a0[("conn-0", "type")] == "curved"
+    assert a0[("conn-0", "control-point/0/x")] == "120"
+    assert a0[("conn-0", "control-point/1/y")] == "95"
+    assert a0[("conn-1", "arrowhead")] == "no"
+
+    ss0 = {
+        (r["sheet_id"], r["style_tag"], r["attr"]): r["value"]
+        for r in read_cxl_stylesheets(spark, str(src)).collect()
+    }
+    assert ss0[("custom", "concept-style", "font-size")] == "16"
+    assert ss0[("_Default_", "connection-style", "type")] == "straight"
+
+    # appearance -> triples -> TTL -> appearance: control points ride as
+    # afv:Point satellites with afx:index and come back exactly
+    trips = appearance_triples(app0).select(
+        "*",
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+    )
+    ttl_path = str(tmp_path / "curved.ttl")
+    write_ttl(trips, ttl_path)
+    a1 = _appearance_map(appearance_from_triples(read_ttl(spark, ttl_path)))
+    assert a1 == a0
+
+    # re-render: connection appearance + control points + stylesheets all
+    # re-emitted; re-parse matches
+    out = tmp_path / "out.cxl"
+    out.write_text(
+        render_cxl(
+            concepts, links, conns,
+            appearance=app0,
+            style_sheets=read_cxl_stylesheets(spark, str(src)),
+        ),
+        encoding="utf-8",
+    )
+    a2 = _appearance_map(read_cxl_appearance(spark, str(out)))
+    for k, v in a0.items():
+        assert a2[k] == v, k
+    ss2 = {
+        (r["sheet_id"], r["style_tag"], r["attr"]): r["value"]
+        for r in read_cxl_stylesheets(spark, str(out)).collect()
+    }
+    assert ss2 == ss0
+
+    # text-level fixed point of the full loop
+    c2, l2, x2 = read_cxl(spark, str(out))
+    out2 = tmp_path / "out2.cxl"
+    out2.write_text(
+        render_cxl(
+            c2, l2, x2,
+            appearance=read_cxl_appearance(spark, str(out)),
+            style_sheets=read_cxl_stylesheets(spark, str(out)),
+        ),
+        encoding="utf-8",
+    )
+    assert out2.read_text(encoding="utf-8") == out.read_text(encoding="utf-8")
+
+
+def test_render_cxl_default_stylesheet_block_is_reference_shaped(spark, tmp_path):
+    """With no parsed sheets, render_cxl emits the reference writer's
+    fixed default block (`CxlWriter.java:118-131`) — _Default_ +
+    _LatestChanges_ with the hardcoded style attributes."""
+    from rdfcmap_spark.sources.cxl import read_cxl_stylesheets, render_cxl
+
+    concepts = spark.createDataFrame([("c1", "a")], "concept_id string, label string")
+    links = spark.createDataFrame([], "link_id string, label string")
+    conns = spark.createDataFrame([], "from_id string, to_id string")
+    p = tmp_path / "d.cxl"
+    p.write_text(render_cxl(concepts, links, conns), encoding="utf-8")
+    ss = {
+        (r["sheet_id"], r["style_tag"], r["attr"]): r["value"]
+        for r in read_cxl_stylesheets(spark, str(p)).collect()
+    }
+    assert ss[("_Default_", "concept-style", "font-name")] == "Verdana"
+    assert ss[("_Default_", "concept-style", "border-shape")] == "rounded-rectangle"
+    assert ss[("_Default_", "connection-style", "arrowhead")] == "if-to-concept-and-slopes-up"
+    assert ss[("_LatestChanges_", "connection-style", "arrowhead")] == "no"
