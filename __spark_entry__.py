@@ -189,6 +189,15 @@ def _kg_triple_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triple_timeline(_synth_transcripts(spark, sf_dir))
 
 
+def _kg_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG growth curve (round 5): newly-minted canonical triples per
+    epoch-week of first assertion + running total — the extraction
+    monitoring product of a continuously-built KG."""
+    from rdfcmap_spark.plans.pipeline import triple_growth, triple_timeline
+
+    return triple_growth(triple_timeline(_synth_transcripts(spark, sf_dir)))
+
+
 def _kg_conflicts_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-asserted-wins merge over the multi-valued facts of the
     triple timeline (conflict-by-recency, the stream-of-conversations
@@ -1634,6 +1643,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_WINDOW_PRIORITY = [
     # new in round 5 (driver-check immediately)
     "sim_ann_recall_sampled",
+    "kg_growth_curve",
+    "multimodal_resize_real",
     # the final 32 never-driver-checked queries (no row in CORRECTNESS_r01-r04;
     # the r1-r4 union covers 124/156 — this window finishes the job)
     "dedup_embedding_lsh",
@@ -1797,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_support": _kg_triple_support,
         # temporal KG: first/last assertion ts per canonical triple
         "kg_triple_timeline": _kg_triple_timeline,
+        "kg_growth_curve": _kg_growth_curve,
         # KG quality: multi-valued-fact conflict report over the pipeline
         "kg_conflicts": lambda s, d: relational.fact_conflicts(_kg_pipeline_full(s, d)),
         # temporal merge policy: latest-asserted value wins per conflict
@@ -1944,6 +1956,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "multimodal_resize": lambda s, d: multimodal.resize_media(
             multimodal.extract_features(multimodal.ingest_media(load(s, d, "documents")))
+        ),
+        # round 5: resize planning composed over REAL decoded dimensions —
+        # the whole chain (synth bytes -> codec decode -> integer fit) is
+        # measured pixels, no stubs anywhere
+        "multimodal_resize_real": lambda s, d: multimodal.resize_media(
+            multimodal.real_image_features(load(s, d, "documents")).select(
+                "doc_id", "width", "height"
+            )
         ),
         "multimodal_frame_sample": lambda s, d: multimodal.sample_frames(
             multimodal.extract_features(multimodal.ingest_media(load(s, d, "documents")))
@@ -3728,6 +3748,26 @@ SELECT subj, pred, lex, conv_id, turn_idx FROM a4
     sql["kg_rdfs_entail"] = _oracle.rdfs_entail_sql()
     sql["kg_triple_support"] = _oracle.triple_support_sql()
     sql["kg_triple_timeline"] = _oracle.triple_timeline_sql()
+    # kg_growth_curve: hourly new-triple counts + running total, composed
+    # over the timeline oracle (DuckDB // on BIGINT == Spark DIV for the
+    # positive microsecond domain)
+    sql["kg_growth_curve"] = (
+        "WITH tl AS ("
+        + _oracle.triple_timeline_sql()
+        + r"""),
+bk AS (
+  SELECT CAST(first_asserted_us // 3600000000 AS BIGINT) AS epoch_bucket
+  FROM tl WHERE first_asserted_us IS NOT NULL
+),
+per AS (
+  SELECT epoch_bucket, CAST(count(*) AS BIGINT) AS n_new_triples
+  FROM bk GROUP BY epoch_bucket
+)
+SELECT epoch_bucket, n_new_triples,
+       CAST(SUM(n_new_triples) OVER (ORDER BY epoch_bucket) AS BIGINT) AS cum_triples
+FROM per
+"""
+    )
     # kg_conflicts: multi-valued facts over the full pipeline triple set
     # (rdf:type / dct:title excluded — legitimately multi-valued)
     sql["kg_conflicts"] = (
@@ -5101,6 +5141,28 @@ WITH f AS (
   SELECT doc_id,
     CAST(strlen(text) % 640 AS INTEGER) AS width,
     CAST(strlen(text) % 480 AS INTEGER) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+  CAST(CASE
+    WHEN width <= 0 OR height <= 0 THEN 0
+    WHEN width * 240 >= height * 320 THEN 320
+    ELSE (width * 240) // height END AS INTEGER) AS out_w,
+  CAST(CASE
+    WHEN width <= 0 OR height <= 0 THEN 0
+    WHEN width * 240 >= height * 320 THEN (height * 320) // width
+    ELSE 240 END AS INTEGER) AS out_h
+FROM f
+"""
+
+    # multimodal_resize_real: same integer fit, dims from the REAL decoded
+    # images (the generator's closed-form w/h — dims are always >= 3 so no
+    # zero branch fires, but the CASE stays for formula parity)
+    sql["multimodal_resize_real"] = r"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(4 + doc_id % 13 AS INTEGER) AS width,
+    CAST(3 + doc_id % 7 AS INTEGER) AS height
   FROM documents
 )
 SELECT doc_id, width, height,

@@ -92,6 +92,10 @@ SECONDARY = [
     "kg_conflicts",
     "data_chunking",
     "text_top_ngrams",
+    # round-5 additions: the sampled recurring recall gate (16x-sparser
+    # query sample — bench-safe, unlike the full-density eval) — note
+    # multimodal_features above is now the REAL PNG/BMP decode path
+    "sim_ann_recall_sampled",
 ]
 
 

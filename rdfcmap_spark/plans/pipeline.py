@@ -370,6 +370,42 @@ def triple_timeline(
     )
 
 
+def triple_growth(timeline: DataFrame, bucket_us: int = 3_600_000_000) -> DataFrame:
+    """KG growth curve over the temporal timeline (round 5): per time
+    bucket of FIRST assertion, how many canonical triples the corpus
+    minted in that bucket, plus the running total — the monitoring
+    product a continuously-built KG needs (is extraction saturating? did
+    a source change bend the curve?). ``bucket_us`` sizes the bucket
+    (default hourly; a corpus whose canonical facts saturate early — like
+    the synthetic fixture, where recurring facts are all first-asserted
+    within the first conversations — needs fine buckets to show a curve).
+
+    Scale posture: one hash aggregate over the timeline keyed on the
+    bucket ordinal (map-side combinable), then a running sum by window
+    over the per-bucket frame — which is CALENDAR-sized (one row per
+    bucket of corpus history), not corpus-sized, so the unpartitioned
+    window is bounded by design. Bucket ordinal is exact integer
+    division of microseconds (``DIV`` — no double rounding at edges).
+
+    Output: (epoch_bucket, n_new_triples, cum_triples), ascending
+    ordinals of ``bucket_us``-microsecond buckets since the epoch.
+    """
+    from pyspark.sql import Window
+
+    bucket = F.expr(f"first_asserted_us DIV {int(bucket_us)}")
+    per = (
+        timeline.filter(F.col("first_asserted_us").isNotNull())
+        .groupBy(bucket.alias("epoch_bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_triples"))
+    )
+    w = Window.orderBy("epoch_bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        F.col("epoch_bucket").cast("long").alias("epoch_bucket"),
+        "n_new_triples",
+        F.sum("n_new_triples").over(w).cast("long").alias("cum_triples"),
+    )
+
+
 def resolve_by_recency(timeline: DataFrame) -> DataFrame:
     """Conflict resolution by recency: for every multi-valued
     (subject, predicate) in a :func:`triple_timeline` frame, keep the most

@@ -556,3 +556,36 @@ def test_resolve_by_recency_hand_computed(spark):
         ("s1", vocab.QUDT_UNIT): ("u:kelvin", 300, 2),
         ("s2", "p:q"): ("a:x", 50, 2),
     }
+
+
+def test_triple_growth_hand_computed(spark):
+    """round 5: growth curve buckets first assertions exactly and the
+    running total is the prefix sum; null first_asserted rows drop."""
+    from pyspark.sql import functions as F
+
+    from rdfcmap_spark.plans.pipeline import triple_growth
+
+    hour = 3_600_000_000
+    rows = [
+        # (first_asserted_us,) — 3 in hour 0, 1 in hour 1, 2 in hour 5
+        (10,), (hour - 1,), (hour // 2,),
+        (hour + 5,),
+        (5 * hour,), (5 * hour + 17,),
+        (None,),
+    ]
+    tl = spark.createDataFrame(rows, "first_asserted_us long")
+    got = {
+        r["epoch_bucket"]: (r["n_new_triples"], r["cum_triples"])
+        for r in triple_growth(tl).collect()
+    }
+    assert got == {0: (3, 3), 1: (1, 4), 5: (2, 6)}
+    # custom bucket width: one day swallows everything into bucket 0
+    day = triple_growth(tl, bucket_us=86_400_000_000).collect()
+    assert len(day) == 1 and day[0]["n_new_triples"] == 6
+
+    # partition invariance
+    again = {
+        r["epoch_bucket"]: (r["n_new_triples"], r["cum_triples"])
+        for r in triple_growth(tl.repartition(7)).collect()
+    }
+    assert again == got
