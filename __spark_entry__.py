@@ -1645,6 +1645,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "sim_ann_recall_sampled",
     "kg_growth_curve",
     "multimodal_resize_real",
+    "multimodal_audio_features",
     # the final 32 never-driver-checked queries (no row in CORRECTNESS_r01-r04;
     # the r1-r4 union covers 124/156 — this window finishes the job)
     "dedup_embedding_lsh",
@@ -1967,6 +1968,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "multimodal_frame_sample": lambda s, d: multimodal.sample_frames(
             multimodal.extract_features(multimodal.ingest_media(load(s, d, "documents")))
+        ),
+        # round 5: REAL audio decode — synthesize RIFF/WAVE PCM bytes,
+        # decode with the in-repo codec (functions/audiocodec.py), report
+        # stats measured from the decoded samples; oracle = closed-form
+        # waveform model (same verification story as the image path)
+        "multimodal_audio_features": lambda s, d: multimodal.real_audio_features(
+            load(s, d, "documents")
         ),
         # --- conversation-level assembly over the transcripts table
         # (operators/transcripts.py; same synthesized fixture the pipeline
@@ -5153,6 +5161,40 @@ SELECT doc_id, width, height,
     WHEN width * 240 >= height * 320 THEN (height * 320) // width
     ELSE 240 END AS INTEGER) AS out_h
 FROM f
+"""
+
+    # multimodal_audio_features (round 5, REAL decode): mirror of the
+    # synthetic waveform generator (multimodal._synth_waveform): channel-0
+    # sample v(i) = (doc_id*31 + i*7) % 65536 - 32768 over n = 800 +
+    # doc_id%800 frames; odd doc_id adds a +1000-offset second channel;
+    # rate = 8000*(1 + doc_id%3). The Spark side measures these stats from
+    # DECODED RIFF/PCM bytes, so matching proves the codec.
+    sql["multimodal_audio_features"] = r"""
+WITH v AS (
+  SELECT doc_id,
+         (doc_id * 31 + i * 7) % 65536 - 32768 AS c0,
+         CASE WHEN doc_id % 2 = 1
+              THEN (doc_id * 31 + i * 7 + 1000) % 65536 - 32768 END AS c1
+  FROM (SELECT doc_id, unnest(range(0, 800 + doc_id % 800)) AS i FROM documents)
+),
+agg AS (
+  SELECT doc_id,
+    SUM(abs(c0) + COALESCE(abs(c1), 0)) AS sum_abs,
+    SUM(c0) AS c0_sum,
+    MAX(GREATEST(abs(c0), COALESCE(abs(c1), 0))) AS peak
+  FROM v GROUP BY doc_id
+)
+SELECT d.doc_id,
+  'audio/wav' AS media_type,
+  CAST(8000 * (1 + d.doc_id % 3) AS INTEGER) AS sample_rate,
+  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS n_channels,
+  CAST(800 + d.doc_id % 800 AS BIGINT) AS n_frames,
+  CAST((800 + d.doc_id % 800) * 1000000 // (8000 * (1 + d.doc_id % 3)) AS BIGINT)
+    AS duration_us,
+  CAST(a.sum_abs AS BIGINT) AS sum_abs,
+  CAST(a.c0_sum AS BIGINT) AS c0_sum,
+  CAST(a.peak AS INTEGER) AS peak
+FROM documents d JOIN agg a USING (doc_id)
 """
 
     # multimodal_resize_real: same integer fit, dims from the REAL decoded

@@ -359,3 +359,98 @@ def real_image_features(docs: DataFrame) -> DataFrame:
         .select("doc_id", "media_type", "payload")
         .mapInPandas(run, REAL_FEATURES)
     )
+
+
+# ---------------------------------------------------------------------------
+# real audio pipeline (round 5): synth WAV -> real RIFF/PCM decode -> stats
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_us", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("c0_sum", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def _synth_waveform(doc_id: int):
+    """Deterministic waveform shared with the DuckDB oracle: channel-0
+    sample v(i) = ((doc_id*31 + i*7) % 65536) - 32768 over frame index i,
+    n_frames = 800 + doc_id%800, rate = 8000*(1 + doc_id%3); even doc_id
+    mono, odd stereo with channel 1 offset +1000 (mod 2^16) so a channel
+    interleave/order bug is caught. Returns (rate, (n, ch) int16)."""
+    import numpy as np
+
+    n = 800 + doc_id % 800
+    rate = 8000 * (1 + doc_id % 3)
+    base = (doc_id * 31 + np.arange(n, dtype=np.int64) * 7) % 65536 - 32768
+    if doc_id % 2 == 0:
+        return rate, base.astype(np.int16)[:, None]
+    c1 = (doc_id * 31 + np.arange(n, dtype=np.int64) * 7 + 1000) % 65536 - 32768
+    return rate, np.stack([base, c1], axis=1).astype(np.int16)
+
+
+def real_audio_features(docs: DataFrame) -> DataFrame:
+    """The audio twin of :func:`real_image_features` (round 5): synthesize
+    genuine RIFF/WAVE PCM bytes per document, decode them with the
+    in-repo codec (:mod:`rdfcmap_spark.functions.audiocodec`), and report
+    stats measured from the DECODED samples — rate/channels/frames from
+    the headers, exact-integer amplitude sums and peak from the PCM data.
+    The DuckDB oracle recomputes the generator's closed-form waveform, so
+    a byte-order, interleave, or chunk-walk bug in the codec fails the
+    hash compare. Arrow ``mapInPandas`` both directions; only (doc_id)
+    enters generation and (doc_id, payload) crosses into decode.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rdfcmap_spark.functions.audiocodec import encode_wav
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate, s = _synth_waveform(d)
+                ids.append(d)
+                payloads.append(encode_wav(s, sample_rate=rate))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rdfcmap_spark.functions.audiocodec import decode_wav
+
+        for pdf in batches:
+            rows = {k: [] for k in AUDIO_FEATURES.fieldNames()}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                wide = s.astype("int64")
+                n, ch = s.shape
+                rows["doc_id"].append(int(doc_id))
+                rows["media_type"].append("audio/wav")
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(ch)
+                rows["n_frames"].append(n)
+                rows["duration_us"].append(n * 1_000_000 // rate)
+                rows["sum_abs"].append(int(np.abs(wide).sum()))
+                rows["c0_sum"].append(int(wide[:, 0].sum()))
+                rows["peak"].append(int(np.abs(wide).max()))
+            yield pd.DataFrame(rows)
+
+    import numpy as np  # noqa: F401  (used in feats closure)
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return (
+        docs.select("doc_id")
+        .mapInPandas(gen, payload_schema)
+        .mapInPandas(feats, AUDIO_FEATURES)
+    )

@@ -174,3 +174,72 @@ def test_synth_images_are_spec_conformant_files(spark):
             assert payload[:8] == PNG_MAGIC and r["media_type"] == "image/png"
         else:
             assert payload[:2] == b"BM" and r["media_type"] == "image/bmp"
+
+
+# ---------------------------------------------------------------------------
+# audio codec (round 5): WAV RIFF/PCM
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_mono_stereo_rates():
+    from rdfcmap_spark.functions.audiocodec import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    for n, ch, rate in [(1, 1, 8000), (17, 2, 16000), (800, 1, 24000), (999, 2, 44100)]:
+        s = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+        r2, back = decode_wav(encode_wav(s, rate))
+        assert r2 == rate and np.array_equal(back, s), (n, ch, rate)
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    """RIFF spec: unknown chunks (e.g. LIST metadata) are skipped with
+    word alignment — an odd-sized chunk before data must not break the
+    parse."""
+    from rdfcmap_spark.functions.audiocodec import decode_wav, encode_wav
+
+    payload = encode_wav(np.arange(10, dtype=np.int16), 8000)
+    fmt_chunk = payload[12:36]
+    data_chunk = payload[36:]
+    lst = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # odd + pad
+    body = b"WAVE" + fmt_chunk + lst + data_chunk
+    crafted = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, s = decode_wav(crafted)
+    assert rate == 8000 and np.array_equal(s.reshape(-1), np.arange(10))
+
+
+def test_wav_rejects_non_pcm_and_garbage():
+    from rdfcmap_spark.functions.audiocodec import decode_wav, encode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS....")
+    payload = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+    payload[20] = 3  # format tag -> IEEE float
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(bytes(payload))
+
+
+def test_real_audio_features_measures_decoded_samples(spark):
+    """End-to-end: synth WAV bytes -> Spark binary column -> codec decode
+    -> exact-integer stats, against the closed-form waveform model."""
+    from rdfcmap_spark.operators import multimodal
+
+    ids = [0, 1, 2, 5, 7]
+    docs = spark.createDataFrame([(i, "x") for i in ids], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in multimodal.real_audio_features(docs).collect()}
+    for d in ids:
+        n = 800 + d % 800
+        rate = 8000 * (1 + d % 3)
+        v = (d * 31 + np.arange(n, dtype=np.int64) * 7) % 65536 - 32768
+        r = got[d]
+        assert (r["sample_rate"], r["n_frames"]) == (rate, n)
+        assert r["duration_us"] == n * 1_000_000 // rate
+        assert r["c0_sum"] == int(v.sum())
+        if d % 2 == 0:
+            assert r["n_channels"] == 1
+            assert r["sum_abs"] == int(np.abs(v).sum())
+            assert r["peak"] == int(np.abs(v).max())
+        else:
+            w = (d * 31 + np.arange(n, dtype=np.int64) * 7 + 1000) % 65536 - 32768
+            assert r["n_channels"] == 2
+            assert r["sum_abs"] == int(np.abs(v).sum() + np.abs(w).sum())
+            assert r["peak"] == int(max(np.abs(v).max(), np.abs(w).max()))
