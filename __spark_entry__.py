@@ -1646,6 +1646,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_growth_curve",
     "multimodal_resize_real",
     "multimodal_audio_features",
+    "dedup_group_sizes",
+    "text_bpe_pairs",
     # the final 32 never-driver-checked queries (no row in CORRECTNESS_r01-r04;
     # the r1-r4 union covers 124/156 — this window finishes the job)
     "dedup_embedding_lsh",
@@ -1837,6 +1839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # linear-output product: doc -> canonical keep-id (exact collapse ->
         # LSH over representatives -> verify -> connected components)
         "dedup_dup_groups": lambda s, d: dedup.dup_groups(load(s, d, "documents")),
+        # round 5: cluster-size histogram over the groups product (the
+        # standard dedup diagnostic — fat tail = boilerplate content)
+        "dedup_group_sizes": lambda s, d: dedup.dup_group_sizes(load(s, d, "documents")),
         # incremental maintenance path: fold a new batch (doc_id % 4 == 0)
         # into the mapping built from the rest; contract == full recompute,
         # so the oracle is dup_groups' own naive all-docs SQL
@@ -1910,6 +1915,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_keywords": lambda s, d: textstats.tfidf_keywords(load(s, d, "documents")),
         # corpus 3-gram heavy hitters (boilerplate detector), top-20 by df
         "text_top_ngrams": lambda s, d: textstats.top_ngrams(load(s, d, "documents")),
+        # round 5: the first BPE merge step — corpus-wide adjacent
+        # character-pair counts within words (the tokenizer-training
+        # statistic), TakeOrdered top-k
+        "text_bpe_pairs": lambda s, d: textstats.bpe_pair_counts(load(s, d, "documents")),
         # benchmark = deterministic 5% sample (doc_id % 20): in production the
         # benchmark frame is the eval suite; here it must be derivable from
         # the shared parquet views so the DuckDB oracle sees the same set
@@ -4156,6 +4165,19 @@ FROM documents d LEFT JOIN mapping m ON m.node = d.doc_id
     )
     sql["dedup_incremental_groups"] = sql["dedup_dup_groups"]
 
+    # dedup_group_sizes (round 5): cluster-size histogram composed over the
+    # groups oracle
+    sql["dedup_group_sizes"] = (
+        "WITH dg AS ("
+        + sql["dedup_dup_groups"]
+        + r"""),
+sz AS (SELECT canonical_id, count(*) AS group_size FROM dg GROUP BY canonical_id)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM sz GROUP BY group_size
+"""
+    )
+
     # conversation-level near-dup: the rendered-conversation table shadows
     # the `documents` view via a CTE of the same name, so the whole
     # dedup_dup_groups oracle body (already provably component-equivalent to
@@ -5329,6 +5351,26 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
   CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+    # text_bpe_pairs (round 5): first BPE merge step — adjacent character
+    # pairs within whitespace words, top-20 by count (Spark sequence is
+    # bound-inclusive, DuckDB range stop-exclusive: both give i=1..len-1)
+    sql["text_bpe_pairs"] = r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM words, UNNEST(range(1, len(w))) AS r(i)
+  WHERE len(w) >= 2
+),
+stats AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences FROM pairs GROUP BY pair),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rank FROM stats
+)
+SELECT CAST(rank AS INTEGER) AS rank, pair, n_occurrences FROM rk WHERE rank <= 20
 """
 
     # text_top_ngrams: corpus 3-gram heavy hitters, top-20 by document

@@ -717,3 +717,22 @@ def lsh_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         "threshold5 double, n_truth long, n_found_in_block long, n_hits long, "
         "recall5 double, n_cross_block long",
     )
+
+
+def dup_group_sizes(docs: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
+    """Cluster-size histogram over :func:`dup_groups` (round 5): how many
+    near-dup groups have 1, 2, 3, ... members — the standard dedup
+    diagnostic (a fat tail of large clusters means template/boilerplate
+    content; a histogram that is all singletons means the thresholds are
+    too tight). Two map-side-combinable aggregates on top of the groups
+    product; the histogram frame is size-distribution-sized (tiny).
+
+    Output: (group_size, n_groups), ascending by size.
+    """
+    g = dup_groups(docs, min_jaccard=min_jaccard)
+    sizes = g.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        sizes.groupBy("group_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+        .select(F.col("group_size").cast("long").alias("group_size"), "n_groups")
+    )

@@ -633,3 +633,42 @@ def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     return top.select(
         F.row_number().over(w).alias("rank"), "ngram", "n_docs", "n_occurrences"
     )
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 20) -> DataFrame:
+    """The first BPE merge step over the corpus (round 5): count adjacent
+    CHARACTER pairs within whitespace words and rank the top ``k`` merge
+    candidates — exactly the statistic a byte-pair-encoding tokenizer
+    trainer computes each round (Sennrich et al. 2016; the full trainer
+    iterates merge -> recount, and each round is this same aggregate over
+    the progressively-merged symbol stream).
+
+    Scale shape: split once, explode words, ONE in-row ``sequence``
+    transform to the per-word pair array (no shuffle until the count),
+    one (pair) hash aggregate with map-side combine, then a global
+    ``orderBy().limit(k)`` — TakeOrdered, never a single-partition sort
+    of the pair distribution. The rank window runs over k rows.
+
+    Output: (rank, pair, n_occurrences), rank 1-based by
+    (n_occurrences desc, pair asc) — fully deterministic.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    # w.substr(i, 2): 1-based adjacent char pair; length-<2 words filtered
+    per_word = F.transform(
+        F.filter(words, lambda w: F.length(w) >= 2),
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1), lambda i: w.substr(i, F.lit(2))
+        ),
+    )
+    stats = (
+        docs.select(F.explode(F.flatten(per_word)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    top = stats.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc()).limit(k)
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("n_occurrences").desc(), F.col("pair").asc()
+    )
+    return top.select(F.row_number().over(w).alias("rank"), "pair", "n_occurrences")

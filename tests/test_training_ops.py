@@ -1103,3 +1103,36 @@ def test_filtered_topk_excludes_dropped_docs(spark):
     got = [(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows]
     # query 0: doc 1 is its nearest twin but filtered out -> 2 then 3
     assert got == [(0, 2, 1), (0, 3, 2)]
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """round 5: BPE merge-step pair counting — within-word character
+    bigrams only (no cross-word pairs), deterministic top-k order."""
+    from rdfcmap_spark.operators.textstats import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "abab ab"), (2, "ba x"), (3, "")], "doc_id long, text string"
+    )
+    rows = bpe_pair_counts(docs, k=10).collect()
+    got = {r["pair"]: (r["rank"], r["n_occurrences"]) for r in rows}
+    # "abab": ab, ba, ab; "ab": ab; "ba": ba; "x" and "" contribute nothing
+    assert got["ab"] == (1, 3)
+    assert got["ba"] == (2, 2)
+    assert len(rows) == 2  # no cross-word or single-char pairs
+
+
+def test_dup_group_sizes_hand_computed(spark):
+    """round 5: the histogram sums to the doc count and reflects the
+    planted clique structure (3 exact dups + 2 singletons)."""
+    from rdfcmap_spark.operators.dedup import dup_group_sizes
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, text),
+         (4, "one two three four five six seven eight nine ten"),
+         (5, "totally different words in this document here now ok fine")],
+        "doc_id long, text string",
+    )
+    got = {r["group_size"]: r["n_groups"] for r in dup_group_sizes(docs).collect()}
+    assert got == {1: 2, 3: 1}
+    assert sum(size * n for size, n in got.items()) == 5
