@@ -726,16 +726,21 @@ def ktruss(edges: DataFrame, k: int = 4, rounds: int = 6) -> DataFrame:
     incremental 29 s warm, identical 9,790-edge output; the one-time
     16 s enumeration is the remaining floor.
 
-    Scale posture: one enumeration up front; per wave, three semi-joins
-    over the (monotonically shrinking) triangle frame, one map-side-
-    combinable (edge → support) count, one inner join back to the edge
-    list; lineage cut with lazy localCheckpoints, one materializing
-    count per wave (the convergence probe).
+    Scale posture: one enumeration up front (shared with
+    ``triangle_count`` via the session cache); per wave, three broadcast
+    semi-joins restricting the (monotonically shrinking) triangle frame,
+    one explode + map-side-combinable (edge → support) count — and
+    NOTHING else: every triangle side is a canonical alive edge by
+    construction, so no join back to the edge list is needed (round 5 —
+    the old per-wave edge join shuffled 1.2M rows to change nothing).
+    Lineage cut with lazy localCheckpoints, one materializing count per
+    wave (the convergence probe). sf0.1 decomposition: enumeration ~8 s
+    (cached), wave 0 ~4 s, waves shrink geometrically.
 
     Output: (a, b, support) — surviving canonical edges with their
     support in the final subgraph (support ≥ k-2 after convergence).
     Edges in zero triangles never acquire a support row and drop in the
-    first wave (inner-join semantics, shared with the oracle); with
+    first wave (same semantics as the oracle's inner join); with
     k ≤ 2 this returns only the triangle-touched subset of the
     trivially-true truss — use k ≥ 3.
     """
@@ -747,18 +752,18 @@ def ktruss(edges: DataFrame, k: int = 4, rounds: int = 6) -> DataFrame:
     _TRI_EDGES = [("a1", "b1"), ("a2", "b2"), ("a3", "b3")]
     # enumerate from the UN-checkpointed plan so the session triangle
     # cache hits when triangle_count already ran on this edge set (the
-    # checkpointed twin would have an opaque, never-matching plan)
-    tri = (
-        _oriented_triangles_cached(und)
-        .select(
-            F.least("wu", "wv").alias("a1"),
-            F.greatest("wu", "wv").alias("b1"),
-            F.least("wu", "ww").alias("a2"),
-            F.greatest("wu", "ww").alias("b2"),
-            F.least("wv", "ww").alias("a3"),
-            F.greatest("wv", "ww").alias("b3"),
-        )
-        .localCheckpoint(eager=False)
+    # checkpointed twin would have an opaque, never-matching plan). No
+    # extra checkpoint here: the shared frame is already persisted by the
+    # cache — a second localCheckpoint would double-store the 6-column
+    # projection (wave-1's semi-join output is checkpointed below, so
+    # lineage is cut after one derivation either way).
+    tri = _oriented_triangles_cached(und).select(
+        F.least("wu", "wv").alias("a1"),
+        F.greatest("wu", "wv").alias("b1"),
+        F.least("wu", "ww").alias("a2"),
+        F.greatest("wu", "ww").alias("b2"),
+        F.least("wv", "ww").alias("a3"),
+        F.greatest("wv", "ww").alias("b3"),
     )
     kept = e.withColumn("support", F.lit(0).cast("long"))
     n_prev = -1
@@ -769,15 +774,27 @@ def ktruss(edges: DataFrame, k: int = 4, rounds: int = 6) -> DataFrame:
                     e.select(F.col("a").alias(ac), F.col("b").alias(bc)), [ac, bc], "left_semi"
                 )
             tri = tri.localCheckpoint(eager=False)
-        sides = tri.select(F.col("a1").alias("a"), F.col("b1").alias("b"))
-        for ac, bc in _TRI_EDGES[1:]:
-            sides = sides.unionByName(tri.select(F.col(ac).alias("a"), F.col(bc).alias("b")))
+        # one explode pass over the triangle frame (not a 3-scan union),
+        # then the support aggregate. No join back to the edge list
+        # (round 5): every side of a triangle IS a canonical alive edge —
+        # wave 0 by construction (triangles come from e), later waves
+        # because the semi-join restriction keeps only triangles whose
+        # three edges survived — so supp's keys are exactly the
+        # triangle-touched alive edges and the old e-join was a per-wave
+        # 1.2M-row shuffle that changed nothing (zero-triangle edges drop
+        # either way, the documented inner-join semantics).
+        sides = tri.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.col(ac).alias("a"), F.col(bc).alias("b"))
+                        for ac, bc in _TRI_EDGES
+                    ]
+                )
+            ).alias("s")
+        ).select("s.a", "s.b")
         supp = sides.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
-        kept = (
-            e.join(supp, ["a", "b"])
-            .filter(F.col("support") >= min_sup)
-            .localCheckpoint(eager=False)
-        )
+        kept = supp.filter(F.col("support") >= min_sup).localCheckpoint(eager=False)
         n = kept.count()
         e = kept.select("a", "b")
         if n == n_prev:
