@@ -56,6 +56,7 @@ QUERIES = [
     "sim_topk_pq",
     "sim_topk_pq_refined",
     "sim_topk_ivfpq",
+    "sim_ann_recall_sampled",
     "data_mixture_weights",
 ]
 
