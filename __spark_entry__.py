@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from rdfcmap_spark.operators import (
     dedup,
+    graph as graphops,
     multimodal,
     relational,
     similarity,
@@ -1648,6 +1649,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_audio_features",
     "dedup_group_sizes",
     "text_bpe_pairs",
+    "dedup_bucket_stats",
+    "kg_degree_profile",
     # the final 32 never-driver-checked queries (no row in CORRECTNESS_r01-r04;
     # the r1-r4 union covers 124/156 — this window finishes the job)
     "dedup_embedding_lsh",
@@ -1812,6 +1815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal KG: first/last assertion ts per canonical triple
         "kg_triple_timeline": _kg_triple_timeline,
         "kg_growth_curve": _kg_growth_curve,
+        # round 5: undirected degree-distribution histogram of the
+        # constructed KG (structural health monitor)
+        "kg_degree_profile": lambda s, d: graphops.degree_profile(_kg_pipeline_full(s, d)),
         # KG quality: multi-valued-fact conflict report over the pipeline
         "kg_conflicts": lambda s, d: relational.fact_conflicts(_kg_pipeline_full(s, d)),
         # temporal merge policy: latest-asserted value wins per conflict
@@ -1842,6 +1848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: cluster-size histogram over the groups product (the
         # standard dedup diagnostic — fat tail = boilerplate content)
         "dedup_group_sizes": lambda s, d: dedup.dup_group_sizes(load(s, d, "documents")),
+        # round 5: LSH bucket-size histogram per band — the blocking-skew
+        # diagnostic (candidate mass = sum c(c-1)/2 over bucket sizes)
+        "dedup_bucket_stats": lambda s, d: dedup.lsh_bucket_stats(load(s, d, "documents")),
         # incremental maintenance path: fold a new batch (doc_id % 4 == 0)
         # into the mapping built from the rest; contract == full recompute,
         # so the oracle is dup_groups' own naive all-docs SQL
@@ -3787,6 +3796,27 @@ FROM per
     )
     # kg_conflicts: multi-valued facts over the full pipeline triple set
     # (rdf:type / dct:title excluded — legitimately multi-valued)
+    # kg_degree_profile (round 5): undirected degree histogram over the
+    # object-property edges of the full pipeline product
+    sql["kg_degree_profile"] = (
+        "WITH pt AS ("
+        + _oracle.pipeline_full_sql()
+        + r"""),
+pe AS (
+  SELECT DISTINCT subj, obj_iri
+  FROM pt WHERE obj_kind = 'iri' AND obj_iri IS NOT NULL AND subj <> obj_iri
+),
+und AS (
+  SELECT subj AS node, obj_iri AS nbr FROM pe
+  UNION
+  SELECT obj_iri AS node, subj AS nbr FROM pe
+),
+deg AS (SELECT node, count(*) AS degree FROM und GROUP BY node)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_entities
+FROM deg GROUP BY degree
+"""
+    )
+
     sql["kg_conflicts"] = (
         "WITH pt AS ("
         + _oracle.pipeline_full_sql()
@@ -4164,6 +4194,23 @@ FROM documents d LEFT JOIN mapping m ON m.node = d.doc_id
 """
     )
     sql["dedup_incremental_groups"] = sql["dedup_dup_groups"]
+
+    # dedup_bucket_stats (round 5): LSH bucket-size histogram per band,
+    # composed over the shared minhash/bands CTE
+    sql["dedup_bucket_stats"] = (
+        "WITH "
+        + _MINHASH_CTE
+        + r""",
+bsz AS (
+  SELECT band, band_key, count(*) AS bucket_size
+  FROM bands GROUP BY band, band_key
+)
+SELECT CAST(band AS INTEGER) AS band,
+       CAST(bucket_size AS BIGINT) AS bucket_size,
+       CAST(count(*) AS BIGINT) AS n_buckets
+FROM bsz GROUP BY band, bucket_size
+"""
+    )
 
     # dedup_group_sizes (round 5): cluster-size histogram composed over the
     # groups oracle

@@ -736,3 +736,32 @@ def dup_group_sizes(docs: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
         .select(F.col("group_size").cast("long").alias("group_size"), "n_groups")
     )
+
+
+def lsh_bucket_stats(docs: DataFrame) -> DataFrame:
+    """LSH blocking-skew diagnostic (round 5): the bucket-size histogram
+    per band — how many (band, band_key) buckets hold 1, 2, 3, ...
+    documents. THE operational metric for banded dedup at corpus scale:
+    candidate-join mass is Σ c·(c-1)/2 over bucket sizes c, so a fat
+    bucket tail is quadratic work concentrating in one task (the
+    AQE-skew-join escape hatch exists, but the histogram tells you
+    BEFORE the job whether the banding parameters fit the corpus — the
+    "measure, don't guess" twin of tools/bucket_audit.py as a
+    first-class query).
+
+    Two map-side-combinable aggregates over the band keys; the histogram
+    frame is size-distribution-sized.
+
+    Output: (band, bucket_size, n_buckets).
+    """
+    bk = lsh_band_keys(docs)
+    sizes = bk.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return (
+        sizes.groupBy("band", "bucket_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+        .select(
+            F.col("band").cast("int").alias("band"),
+            F.col("bucket_size").cast("long").alias("bucket_size"),
+            "n_buckets",
+        )
+    )

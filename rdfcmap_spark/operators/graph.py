@@ -228,6 +228,42 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     return closure
 
 
+def degree_profile(triples: DataFrame) -> DataFrame:
+    """Degree-distribution histogram of the constructed KG (round 5):
+    per undirected entity degree (distinct IRI neighbors over the
+    object-property triples), how many entities have it — the structural
+    health monitor of a corpus-built graph (a drifting tail means a new
+    hub entity or a linking regression; a collapsing head means
+    extraction is thinning).
+
+    Two map-side-combinable aggregates after a distinct over the
+    (subj, obj) pairs; the histogram frame is degree-distribution-sized.
+    Self-loops excluded (an entity is not its own neighbor).
+
+    Output: (degree, n_entities).
+    """
+    edges = (
+        triples.filter(
+            (F.col("obj_kind") == "iri")
+            & F.col("obj_iri").isNotNull()
+            & (F.col("subj") != F.col("obj_iri"))
+        )
+        .select("subj", "obj_iri")
+        .distinct()
+    )
+    und = (
+        edges.select(F.col("subj").alias("node"), F.col("obj_iri").alias("nbr"))
+        .unionByName(edges.select(F.col("obj_iri").alias("node"), F.col("subj").alias("nbr")))
+        .distinct()
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entities"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_entities")
+    )
+
+
 #: fixed-point scale for pagerank ranks (1 nano = 1e-9 rank mass)
 PR_SCALE = 1_000_000_000
 

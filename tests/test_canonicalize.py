@@ -589,3 +589,28 @@ def test_triple_growth_hand_computed(spark):
         for r in triple_growth(tl.repartition(7)).collect()
     }
     assert again == got
+
+
+def test_degree_profile_hand_computed(spark):
+    """round 5: degree histogram over a hand-built triple set — literals
+    and self-loops excluded, degrees undirected over distinct pairs."""
+    from rdfcmap_spark.operators.graph import degree_profile
+
+    rows = [
+        # star: a—b, a—c, a—d (+ a duplicate edge and a reverse assertion)
+        ("a", "p", "iri", "b", None, None),
+        ("a", "p2", "iri", "b", None, None),   # same pair, other pred
+        ("b", "p", "iri", "a", None, None),    # reverse direction
+        ("a", "p", "iri", "c", None, None),
+        ("a", "p", "iri", "d", None, None),
+        ("a", "p", "iri", "a", None, None),    # self-loop: dropped
+        ("a", "p", "literal", None, "x", "t"),  # literal: dropped
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind string, obj_iri string, "
+        "obj_lexical string, obj_datatype string",
+    )
+    got = {r["degree"]: r["n_entities"] for r in degree_profile(t).collect()}
+    # a has neighbors {b,c,d}; b,c,d each have {a}
+    assert got == {3: 1, 1: 3}

@@ -1136,3 +1136,22 @@ def test_dup_group_sizes_hand_computed(spark):
     got = {r["group_size"]: r["n_groups"] for r in dup_group_sizes(docs).collect()}
     assert got == {1: 2, 3: 1}
     assert sum(size * n for size, n in got.items()) == 5
+
+
+def test_lsh_bucket_stats_consistency(spark):
+    """round 5: the bucket histogram is consistent with the band-key frame
+    it summarizes — per band, sum(size * n_buckets) = n_docs (every doc
+    is in exactly one bucket per band)."""
+    a = "the quick brown fox jumps over the lazy dog again today"
+    b = "completely unrelated words about spark partitions and shuffles everywhere"
+    docs = _docs(spark, [a, a, b, a + " slightly changed"])
+    got = dedup.lsh_bucket_stats(docs).collect()
+    per_band = {}
+    for r in got:
+        per_band[r["band"]] = per_band.get(r["band"], 0) + r["bucket_size"] * r["n_buckets"]
+    assert set(per_band) == {0, 1, 2, 3} and all(v == 4 for v in per_band.values())
+    # the two identical docs share every band bucket -> each band has at
+    # least one bucket of size >= 2
+    assert all(
+        any(r["band"] == band and r["bucket_size"] >= 2 for r in got) for band in range(4)
+    )
