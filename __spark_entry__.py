@@ -190,6 +190,15 @@ def _kg_triple_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triple_timeline(_synth_transcripts(spark, sf_dir))
 
 
+def _kg_turn_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT pairs from the KG (round 5): per turn, (turn text, sorted
+    serialized canonical triples) — the pipeline-distillation training
+    product of the transcripts->KG graft."""
+    from rdfcmap_spark.plans.pipeline import turn_sft_pairs
+
+    return turn_sft_pairs(_synth_transcripts(spark, sf_dir))
+
+
 def _kg_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG growth curve (round 5): newly-minted canonical triples per
     epoch-week of first assertion + running total — the extraction
@@ -1651,6 +1660,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_bpe_pairs",
     "dedup_bucket_stats",
     "kg_degree_profile",
+    "kg_turn_sft_pairs",
     # the final 32 never-driver-checked queries (no row in CORRECTNESS_r01-r04;
     # the r1-r4 union covers 124/156 — this window finishes the job)
     "dedup_embedding_lsh",
@@ -1815,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal KG: first/last assertion ts per canonical triple
         "kg_triple_timeline": _kg_triple_timeline,
         "kg_growth_curve": _kg_growth_curve,
+        "kg_turn_sft_pairs": _kg_turn_sft_pairs,
         # round 5: undirected degree-distribution histogram of the
         # constructed KG (structural health monitor)
         "kg_degree_profile": lambda s, d: graphops.degree_profile(_kg_pipeline_full(s, d)),
@@ -3774,6 +3785,7 @@ SELECT subj, pred, lex, conv_id, turn_idx FROM a4
     sql["kg_rdfs_entail"] = _oracle.rdfs_entail_sql()
     sql["kg_triple_support"] = _oracle.triple_support_sql()
     sql["kg_triple_timeline"] = _oracle.triple_timeline_sql()
+    sql["kg_turn_sft_pairs"] = _oracle.turn_sft_pairs_sql()
     # kg_growth_curve: hourly new-triple counts + running total, composed
     # over the timeline oracle (DuckDB // on BIGINT == Spark DIV for the
     # positive microsecond domain)

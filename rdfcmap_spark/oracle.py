@@ -541,3 +541,37 @@ SELECT subj, '{vocab.RDF_TYPE}' AS pred, 'iri' AS obj_kind, anc AS obj_iri,
        conv_id, turn_idx
 FROM er WHERE rn = 1"""
     )
+
+
+def turn_sft_pairs_sql() -> str:
+    """Oracle for kg_turn_sft_pairs: per-turn sorted canonical-triple
+    serialization joined back to the turn text, over the pre-dedup
+    canonical-rewrite stream (the ``rew`` CTE; both engines sort the
+    token list in binary UTF-8 order)."""
+    return (
+        "WITH RECURSIVE "
+        + _base_ctes()
+        + """,
+sft_prov AS (
+  SELECT DISTINCT subj, pred, obj_kind, obj_iri, obj_lexical, obj_datatype,
+         conv_id, turn_idx
+  FROM rew
+),
+sft_tok AS (
+  SELECT conv_id, turn_idx,
+         subj || '|' || pred || '|' ||
+         CASE WHEN obj_kind = 'literal'
+              THEN '"' || obj_lexical || '"^^' || obj_datatype
+              ELSE obj_iri END AS token
+  FROM sft_prov
+),
+sft AS (
+  SELECT conv_id, turn_idx,
+         array_to_string(list_sort(list(token)), ' ; ') AS target,
+         CAST(count(*) AS BIGINT) AS n_triples
+  FROM sft_tok GROUP BY conv_id, turn_idx
+)
+SELECT s.conv_id, s.turn_idx, t.text AS prompt, s.target, s.n_triples
+FROM sft s JOIN tr t ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+"""
+    )

@@ -370,6 +370,65 @@ def triple_timeline(
     )
 
 
+def turn_sft_pairs(
+    transcripts: DataFrame,
+    alias: DataFrame | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """SFT pairs FROM the KG (round 5 — the graft cell's fusion product:
+    transcripts in, training data out): per turn, ``prompt`` = the turn's
+    raw text and ``target`` = the canonical triples that turn asserts,
+    serialized deterministically (sorted ``subj|pred|obj`` tokens joined
+    with " ; ") — the supervision pairs for fine-tuning an extraction
+    model on the pipeline's own outputs (the standard bootstrap loop:
+    pipeline labels the corpus, the model distills the pipeline).
+
+    Scale posture: identical head to :func:`triple_support` up to the
+    rewrite (one pass over the text, CC over identity edges only); then
+    one distinct over (triple key, provenance), one hash aggregate per
+    turn building the sorted token list (collect_list is bounded by
+    triples-per-turn — a human turn asserts a handful), one hash join
+    back to the turn text. Output is turn-linear.
+
+    Output: (conv_id, turn_idx, prompt, target, n_triples); turns that
+    assert no triple produce no pair (inner-join semantics — empty
+    targets teach nothing).
+    """
+    spark = transcripts.sparkSession
+    alias = alias if alias is not None else linking.resolved_alias_df(spark)
+    sent = linked_sentences(transcripts, alias).drop("phrase", "phrase_norm", "obj_bnode")
+    if checkpoint:
+        from pyspark import StorageLevel
+
+        sent = sent.persist(StorageLevel.MEMORY_AND_DISK)
+        sent.count()
+    triples = assembly.sentence_triples(sent)
+    sameas, idents = identity_inputs(sent, checkpoint=checkpoint)
+    edges = canonicalize.identity_edges(sameas, idents)
+    mapping, n_mapping = canonicalize.connected_components_with_count(edges)
+    out, key, (d_iri, d_kind, d_dt) = canonicalize.rewritten_candidates(
+        triples, mapping, n_mapping=n_mapping
+    )
+    prov = out.select(*key, "conv_id", "turn_idx").distinct()
+    obj_repr = F.when(
+        d_kind(F.col("kind_t")) == "literal",
+        F.concat(F.lit('"'), F.col("obj_lexical"), F.lit('"^^'), d_dt(F.col("dt_b"))),
+    ).otherwise(d_iri(F.col("obj_b")))
+    tok = prov.select(
+        "conv_id",
+        "turn_idx",
+        F.concat_ws("|", d_iri(F.col("subj_b")), F.col("pred"), obj_repr).alias("token"),
+    )
+    agg = tok.groupBy("conv_id", "turn_idx").agg(
+        F.array_join(F.array_sort(F.collect_list("token")), " ; ").alias("target"),
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+    )
+    return agg.join(
+        transcripts.select("conv_id", "turn_idx", F.col("text").alias("prompt")),
+        ["conv_id", "turn_idx"],
+    ).select("conv_id", "turn_idx", "prompt", "target", "n_triples")
+
+
 def triple_growth(timeline: DataFrame, bucket_us: int = 3_600_000_000) -> DataFrame:
     """KG growth curve over the temporal timeline (round 5): per time
     bucket of FIRST assertion, how many canonical triples the corpus

@@ -614,3 +614,31 @@ def test_degree_profile_hand_computed(spark):
     got = {r["degree"]: r["n_entities"] for r in degree_profile(t).collect()}
     # a has neighbors {b,c,d}; b,c,d each have {a}
     assert got == {3: 1, 1: 3}
+
+
+def test_turn_sft_pairs_contract(spark):
+    """round 5: SFT pairs — prompt is the raw turn text, target is the
+    sorted serialization of exactly the canonical triples that turn
+    asserts (cross-checked against triple_support provenance), and turns
+    without triples emit no pair."""
+    from pyspark.sql import functions as F
+
+    from rdfcmap_spark.plans.pipeline import turn_sft_pairs
+    from rdfcmap_spark.synth import transcripts_df
+
+    tr = transcripts_df(spark, n_convs=4, turns_per_conv=4)
+    pairs = turn_sft_pairs(tr, checkpoint=False).collect()
+    assert pairs, "fixture produced no pairs"
+    texts = {(r["conv_id"], r["turn_idx"]): r["text"] for r in tr.collect()}
+    for r in pairs:
+        assert r["prompt"] == texts[(r["conv_id"], r["turn_idx"])]
+        toks = r["target"].split(" ; ")
+        assert len(toks) == r["n_triples"] > 0
+        assert toks == sorted(toks)          # deterministic serialization
+        assert all(t.count("|") >= 2 for t in toks)  # subj|pred|obj shape
+    # determinism under repartitioning
+    again = {
+        (r["conv_id"], r["turn_idx"]): r["target"]
+        for r in turn_sft_pairs(tr.repartition(7), checkpoint=False).collect()
+    }
+    assert again == {(r["conv_id"], r["turn_idx"]): r["target"] for r in pairs}
