@@ -96,6 +96,9 @@ SECONDARY = [
     # query sample — bench-safe, unlike the full-density eval) — note
     # multimodal_features above is now the REAL PNG/BMP decode path
     "sim_ann_recall_sampled",
+    "kg_turn_sft_pairs",
+    "kg_growth_curve",
+    "multimodal_audio_features",
 ]
 
 
