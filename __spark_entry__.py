@@ -1661,6 +1661,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_bucket_stats",
     "kg_degree_profile",
     "kg_turn_sft_pairs",
+    "sim_hard_negatives",
     # the final 32 never-driver-checked queries (no row in CORRECTNESS_r01-r04;
     # the r1-r4 union covers 124/156 — this window finishes the job)
     "dedup_embedding_lsh",
@@ -1893,6 +1894,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sample estimates it (threading demanded by the r4 review)
         "sim_ann_recall_sampled": lambda s, d: similarity.ann_recall(
             load(s, d, "embeddings"), query_mod=16 * similarity.QUERY_MOD
+        ),
+        # round 5: hard-negative mining — per query, the k closest corpus
+        # vectors that are NOT its near-duplicates (contrastive training
+        # pairs; positives = the hyperplane-LSH dup component)
+        "sim_hard_negatives": lambda s, d: similarity.hard_negatives(
+            load(s, d, "embeddings")
         ),
         # quality-gated retrieval: corpus pruned by the C4/Gopher keep bit
         "sim_filtered_topk": lambda s, d: similarity.filtered_topk(
@@ -5553,5 +5560,34 @@ GROUP BY bf.query_id
 
     sql["sim_ann_recall"] = _ann_recall_sql(50)
     sql["sim_ann_recall_sampled"] = _ann_recall_sql(800)
+
+    # sim_hard_negatives (round 5): label-bucketed top-k with the query's
+    # near-dup component excluded — composed over the embedding-groups
+    # oracle so "positive" means exactly what the dedup pipeline ships
+    sql["sim_hard_negatives"] = (
+        "WITH g AS ("
+        + sql["dedup_embedding_groups"]
+        + r"""),
+q AS (
+  SELECT v.vec_id AS query_id, v.label, v.embedding AS qe, g.canonical_id AS qg
+  FROM embeddings v JOIN g ON g.vec_id = v.vec_id
+  WHERE v.vec_id % 50 = 0
+),
+c AS (
+  SELECT v.vec_id AS neighbor_id, v.label, v.embedding AS ce, g.canonical_id AS cg
+  FROM embeddings v JOIN g ON g.vec_id = v.vec_id
+),
+pairs AS (
+  SELECT query_id, neighbor_id, """
+        + _COS.format(a="qe", b="ce")
+        + r""" AS cos_sim
+  FROM c JOIN q USING (label) WHERE qg <> cg
+),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM r WHERE rank <= 5
+"""
+    )
 
     return sql

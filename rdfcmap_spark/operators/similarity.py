@@ -878,3 +878,58 @@ def filtered_topk(
         )
     )
     return _ranked(pairs, k)
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = TOPK,
+    query_mod: int = QUERY_MOD,
+    dup_threshold: float = 0.9,
+) -> DataFrame:
+    """Hard-negative mining for retriever training (round 5): per
+    evaluation query, the ``k`` highest-cosine corpus vectors that are
+    NOT near-duplicates of it — the closest non-positives, i.e. exactly
+    the pairs that teach a contrastive model its decision boundary
+    (random negatives are trivially separable; the hard ones live just
+    outside the positive set). Positives = the query's
+    :func:`embedding_dup_groups` component (hyperplane-LSH + exact
+    cosine verify at ``dup_threshold``), so the exclusion is the same
+    near-dup semantics the dedup pipeline ships.
+
+    Plan: one co-keyed hash join attaches the component id to the corpus
+    (and to the broadcast query side), then the label-bucketed pair scan
+    of :func:`topk_clustered` with the same-component filter pushed
+    below the rank window — per-query scan cost stays 1/n_buckets of
+    the corpus, and the group join adds one vec_id-keyed shuffle.
+
+    Output: (query_id, neighbor_id, rank, cos_sim) — same contract as
+    the other top-k variants.
+    """
+    dim = embedding_dim(embeddings)
+    groups = embedding_dup_groups(embeddings, threshold=dup_threshold)
+    q = (
+        embeddings.filter(F.col("vec_id") % query_mod == 0)
+        .join(groups, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "label",
+            F.col("embedding").alias("qe"),
+            F.col("canonical_id").alias("qg"),
+        )
+    )
+    c = embeddings.join(groups, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("ce"),
+        F.col("canonical_id").alias("cg"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), "label")
+        .filter(F.col("qg") != F.col("cg"))  # excludes self + all positives
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce"), dim), 5).alias("cos_sim"),
+        )
+    )
+    return _ranked(pairs, k)

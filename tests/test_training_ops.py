@@ -1155,3 +1155,28 @@ def test_lsh_bucket_stats_consistency(spark):
     assert all(
         any(r["band"] == band and r["bucket_size"] >= 2 for r in got) for band in range(4)
     )
+
+
+def test_hard_negatives_excludes_dup_component(spark):
+    """round 5: hard-negative mining never surfaces a near-duplicate of
+    the query (its own component is the positive set), yet ranks the
+    closest remaining vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=8)
+    rows = []
+    # query vec 0 + a near-identical positive (vec 1) + distinct others
+    rows.append((0, "g0", [float(x) for x in base]))
+    rows.append((1, "g0", [float(x) for x in base + rng.normal(scale=1e-3, size=8)]))
+    for i in range(2, 12):
+        rows.append((i, "g0", [float(x) for x in rng.normal(size=8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    got = similarity.hard_negatives(emb, k=3, query_mod=50, dup_threshold=0.9).collect()
+    mine = [r for r in got if r["query_id"] == 0]
+    ids = {r["neighbor_id"] for r in mine}
+    assert 1 not in ids and 0 not in ids  # the near-dup positive + self excluded
+    assert len(mine) == 3 and [r["rank"] for r in sorted(mine, key=lambda r: r["rank"])] == [1, 2, 3]
+    # sanity: without the exclusion, vec 1 would be rank 1
+    plain = similarity.topk_clustered(emb, k=1, query_mod=50).collect()
+    assert [r["neighbor_id"] for r in plain if r["query_id"] == 0] == [1]
